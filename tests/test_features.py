@@ -1,0 +1,161 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import integrate
+
+from vggp_tpu import features, kernels
+
+P = {"variance": jnp.asarray(1.4), "lengthscale": jnp.asarray(0.3)}
+
+
+def quad_cell_point(mesh, x, var, ls):
+    """Brute-force Cov[v_i, f(x)] = ∫_cell k(|t-x|) dt."""
+    out = np.empty((len(mesh) - 1, len(x)))
+    for i in range(len(mesh) - 1):
+        for j, xj in enumerate(x):
+            out[i, j], _ = integrate.quad(
+                lambda t: var * np.exp(-abs(t - xj) / ls), mesh[i], mesh[i + 1]
+            )
+    return out
+
+
+def quad_cell_cell(mesh_a, mesh_b, var, ls):
+    out = np.empty((len(mesh_a) - 1, len(mesh_b) - 1))
+    for i in range(len(mesh_a) - 1):
+        for j in range(len(mesh_b) - 1):
+            out[i, j], _ = integrate.dblquad(
+                lambda s, t: var * np.exp(-abs(s - t) / ls),
+                mesh_a[i], mesh_a[i + 1],
+                mesh_b[j], mesh_b[j + 1],
+            )
+    return out
+
+
+class TestCellIntegral:
+    feat = features.CellIntegralFeature.from_lims(6, 0.0, 1.0)
+
+    def test_kuf_vs_quadrature(self):
+        x = np.array([-0.3, 0.01, 0.17, 0.5, 0.83, 0.99, 1.4])
+        kuf = np.asarray(self.feat.Kuf("matern12", P, jnp.asarray(x)))
+        ref = quad_cell_point(self.feat.mesh, x, float(P["variance"]), float(P["lengthscale"]))
+        np.testing.assert_allclose(kuf, ref, rtol=1e-7, atol=1e-10)
+
+    def test_kuu_toeplitz_vs_quadrature(self):
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        ref = quad_cell_cell(self.feat.mesh, self.feat.mesh, float(P["variance"]), float(P["lengthscale"]))
+        np.testing.assert_allclose(kuu, ref, rtol=1e-7, atol=1e-10)
+
+    def test_kuu_psd(self):
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        assert np.linalg.eigvalsh(kuu).min() > 0
+
+    def test_kvu_cross_mesh(self):
+        grid = features.CellIntegralFeature.from_lims(4, 0.1, 0.9)
+        kvu = np.asarray(self.feat.Kvu("matern12", P, grid))
+        ref = quad_cell_cell(grid.mesh, self.feat.mesh, float(P["variance"]), float(P["lengthscale"]))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-7, atol=1e-10)
+
+    def test_kvu_same_mesh_equals_kuu(self):
+        kvu = np.asarray(self.feat.Kvu("matern12", P, self.feat))
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        np.testing.assert_allclose(kvu, kuu, rtol=1e-9, atol=1e-12)
+
+    def test_b0_basis_eval(self):
+        x = np.array([0.05, 0.5, 0.99])
+        b = np.asarray(self.feat.basis_eval(jnp.asarray(x)))
+        assert b.shape == (6, 3)
+        np.testing.assert_allclose(b.sum(axis=0), np.ones(3))
+
+
+class TestPoints:
+    def test_kuu_kuf(self, rng):
+        z = rng.normal(size=5)
+        feat = features.PointFeature(m=5, z_init=z)
+        p = dict(P, z=jnp.asarray(z))
+        kuu = np.asarray(feat.Kuu("matern32", p))
+        ref = np.asarray(kernels.gram_1d("matern32", jnp.asarray(z), jnp.asarray(z), P["variance"], P["lengthscale"]))
+        np.testing.assert_allclose(kuu, ref)
+
+    def test_kvu_matches_cell_point(self, rng):
+        z = np.sort(rng.uniform(size=4))
+        feat = features.PointFeature(m=4, z_init=z)
+        p = dict(P, z=jnp.asarray(z))
+        grid = features.CellIntegralFeature.from_lims(5, 0.0, 1.0)
+        kvu = np.asarray(feat.Kvu("matern12", p, grid))
+        ref = quad_cell_point(grid.mesh, z, float(P["variance"]), float(P["lengthscale"]))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-7, atol=1e-10)
+
+
+class TestFourier:
+    feat = features.FourierFeature(n_frequencies=3, a=0.0, b=1.0)
+
+    def test_kuf_inside_domain(self):
+        x = np.array([0.1, 0.4, 0.77])
+        kuf = np.asarray(self.feat.Kuf("matern12", P, jnp.asarray(x)))
+        om = 2 * np.pi * np.arange(4) / 1.0
+        ref = np.concatenate(
+            [np.cos(om[:, None] * x[None, :]), np.sin(om[1:, None] * x[None, :])], axis=0
+        )
+        np.testing.assert_allclose(kuf, ref, rtol=1e-10, atol=1e-12)
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_kuf_outside_domain_continuity(self, kind):
+        # continuation must match the inside value at the boundary a
+        eps = 1e-9
+        inside = np.asarray(self.feat.Kuf(kind, P, jnp.asarray([0.0 + eps])))
+        outside = np.asarray(self.feat.Kuf(kind, P, jnp.asarray([0.0 - eps])))
+        np.testing.assert_allclose(inside, outside, atol=1e-6)
+
+    def test_kuu_psd_and_shapes(self):
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        assert kuu.shape == (7, 7)
+        assert np.linalg.eigvalsh(kuu).min() > 0
+
+    def test_kvu_vs_quadrature(self):
+        grid = features.CellIntegralFeature.from_lims(4, 0.05, 0.95)
+        kvu = np.asarray(self.feat.Kvu("matern12", P, grid))
+        ref = np.asarray(self.feat.kvu_quadrature("matern12", P, grid, n_quad=4001))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-5, atol=1e-7)
+
+
+class TestB1Spline:
+    feat = features.B1SplineFeature(np.linspace(0.0, 1.0, 8))
+
+    def test_partition_of_unity(self):
+        x = np.linspace(0.001, 0.999, 57)
+        kuf = np.asarray(self.feat.Kuf("matern12", P, jnp.asarray(x)))
+        np.testing.assert_allclose(kuf.sum(axis=0), np.ones_like(x), rtol=1e-9)
+
+    def test_hat_values(self):
+        # at each knot, exactly the corresponding hat is 1
+        kuf = np.asarray(self.feat.Kuf("matern12", P, jnp.asarray(self.feat.mesh)))
+        np.testing.assert_allclose(kuf, np.eye(8), atol=1e-12)
+
+    def test_kuu_psd(self):
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        assert np.linalg.eigvalsh(kuu).min() > 0
+
+    def test_kuu_matches_rkhs_quadrature(self):
+        """Kuu_ij must equal the Matérn-1/2 RKHS inner product of hats i, j:
+        (ℓ∫φᵢ'φⱼ' + ∫φᵢφⱼ/ℓ)/(2σ²) + boundary terms."""
+        var, ls = float(P["variance"]), float(P["lengthscale"])
+        mesh = self.feat.mesh
+        xs = np.linspace(0, 1, 200001)
+        phis = np.asarray(self.feat.Kuf("matern12", P, jnp.asarray(xs)))  # (m, nx)
+        dphis = np.gradient(phis, xs, axis=1)
+        m = phis.shape[0]
+        ref = np.empty((m, m))
+        for i in range(m):
+            for j in range(m):
+                mass = np.trapezoid(phis[i] * phis[j], xs)
+                stiff = np.trapezoid(dphis[i] * dphis[j], xs)
+                bc = phis[i, 0] * phis[j, 0] + phis[i, -1] * phis[j, -1]
+                ref[i, j] = (ls * stiff + mass / ls + bc) / (2 * var)
+        kuu = np.asarray(self.feat.Kuu("matern12", P))
+        np.testing.assert_allclose(kuu, ref, rtol=5e-3, atol=5e-3)
+
+    def test_kvu_vs_quadrature(self):
+        grid = features.CellIntegralFeature.from_lims(3, 0.0, 1.0)
+        kvu = np.asarray(self.feat.Kvu("matern12", P, grid))
+        ref = np.asarray(self.feat.kvu_quadrature("matern12", P, grid, n_quad=4001))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-5, atol=1e-8)

@@ -1,0 +1,464 @@
+"""Inducing-feature families (per input axis).
+
+Each feature family supplies, for one input axis, the three covariance blocks
+a sparse GP model needs:
+
+- ``Kuu(kind, p)``       : (m, m) inducing-feature covariance,
+- ``Kuf(kind, p, x)``    : (m, n) cross-covariance with latent evaluations f(x),
+- ``Kvu(kind, p, grid)`` : (g, m) cross-covariance with B0 cell integrals
+  ``v_i = ∫_cell_i f(t) dt`` (the "gridded prediction" head).
+
+``kind`` is the kernel kind (:mod:`vggp_tpu.kernels`), ``p`` a dict of traced
+parameters (``variance``, ``lengthscale``, and ``z`` for free inducing
+points). Meshes/limits are static numpy data: models close over features, so
+jit sees only the traced parameter pytrees and static constants.
+
+Reference parity (math re-derived, vectorized branch-free for XLA):
+
+- ``PointFeature``        ≙ SVGP inducing points (``univariate_structure.py:273-321``)
+- ``FourierFeature``      ≙ VFF (``fourier.py``, ``univariate_structure.py:364-520``)
+- ``B1SplineFeature``     ≙ ASVGP B1-spline RKHS (``univariate_structure.py:531-658``)
+- ``CellIntegralFeature`` ≙ GriddedGP B0 integral features
+  (``univariate_structure.py:668-825`` — the library's crown jewel)
+
+Known reference bugs intentionally NOT replicated (SURVEY.md §7):
+
+- ASVGP Kuu: the reference multiplies the L2 mass matrix by ℓ and the
+  stiffness matrix by 1/ℓ (``univariate_structure.py:654-658``). The Matérn-1/2
+  RKHS inner product on [a,b] is ``⟨f,g⟩ = (ℓ∫f'g' + ∫fg/ℓ)/(2σ²) +
+  (f(a)g(a)+f(b)g(b))/(2σ²)`` — stiffness carries ℓ. We implement the correct
+  form (it is also what makes ASVGP's NLPD sane; cf. the +76 NLPD outlier in
+  the reference's Envisat table).
+- 2D gridded-VFF ``_Kvv_along_dim`` scales by ``lengthscale * 2`` instead of
+  ``lengthscale ** 2`` (``gridded_kronecker_structure.py:594``) — not copied.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from vggp_tpu import kernels
+from vggp_tpu.ops import diag_lowrank, toeplitz
+from vggp_tpu.ops.stablemath import expm1mx, expm1s
+
+Params = Dict[str, jnp.ndarray]
+
+
+# --------------------------------------------------------------------------- #
+# Matérn-1/2 closed-form building blocks
+# --------------------------------------------------------------------------- #
+
+def _m12_cell_point_cov(mesh: jnp.ndarray, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Cov[v_i, f(x_j)] for v_i = ∫_{cell i} f, Matérn-1/2 kernel. (m, n).
+
+    Branch-free 3-case closed form (reference ``univariate_structure.py:740-787``):
+    with a_i, b_i the cell edges and u = |x-a_i|/ℓ, w = |x-b_i|/ℓ,
+
+    - x inside  [a_i,b_i] : σ²ℓ (2 - e^{-u} - e^{-w})
+    - x outside           : σ²ℓ · e^{-min(u,w)} (1 - e^{-δ/ℓ})
+
+    Both cases are compensated (ops.stablemath series expm1): the naive
+    outside form ``±(e^{-u} - e^{-w})`` cancels catastrophically when the
+    cell is narrow relative to ℓ; the case select is a ``jnp.where`` (no
+    boolean fancy-indexing, jits clean).
+    """
+    x = jnp.reshape(x, (-1,))
+    a = mesh[:-1][:, None]  # (m, 1)
+    b = mesh[1:][:, None]
+    u = jnp.abs(x[None, :] - a) / lengthscale
+    w = jnp.abs(x[None, :] - b) / lengthscale
+    inside = (x[None, :] >= a) & (x[None, :] <= b)
+    near = jnp.minimum(u, w)
+    dd = (b - a) / lengthscale  # = |u - w| outside the cell
+    outside_val = jnp.exp(-near) * (-expm1s(-dd))
+    inside_val = -(expm1s(-u) + expm1s(-w))
+    return variance * lengthscale * jnp.where(inside, inside_val, outside_val)
+
+
+def _m12_cell_cell_cov(mesh_a: jnp.ndarray, mesh_b: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Cov[∫_{A_i} f, ∫_{B_j} f] for arbitrary cell sets, Matérn-1/2. (ga, gb).
+
+    The raw antiderivative identity
+    ``∬ e^{-|s-t|/ℓ} = ℓ² Σ± (e^{-|u|/ℓ} + |u|/ℓ)`` over the four corner
+    differences cancels catastrophically in float32 when δ ≪ ℓ (the four
+    terms are each ≈ 1; their combination is O((δ/ℓ)²) — observed 1e-4
+    absolute error that q_v amplifies into negative variances through
+    near-singular Kuu directions). Compensated form used here:
+
+    - the |u| part telescopes *exactly* to ``2·overlap(A_i, B_j)``,
+    - the exponential part is grouped into two differences of exponentials
+      with nearby arguments, each evaluated as ``e^{-|v|/ℓ}·expm1(Δ/ℓ)``.
+
+    For identical cells this reduces to ``2ℓ²σ²(expm1(-δ/ℓ) + δ/ℓ)`` — the
+    same compensated expression as the Toeplitz diagonal, so Kvu == Kuu holds
+    to roundoff when grid == features.
+    """
+    a1, b1 = mesh_a[:-1][:, None], mesh_a[1:][:, None]
+    a2, b2 = mesh_b[:-1][None, :], mesh_b[1:][None, :]
+
+    def ediff(u_far, u_near):
+        # e^{-|u_far|/ℓ} - e^{-|u_near|/ℓ}, computed without cancellation
+        an, af = jnp.abs(u_near) / lengthscale, jnp.abs(u_far) / lengthscale
+        return jnp.exp(-an) * expm1s(an - af)
+
+    epart = ediff(b1 - a2, a1 - a2) + ediff(a1 - b2, b1 - b2)
+    overlap = jnp.maximum(jnp.minimum(b1, b2) - jnp.maximum(a1, a2), 0.0)
+    return variance * lengthscale**2 * (epart + 2.0 * overlap / lengthscale)
+
+
+def _m12_toeplitz_first_row(m: int, delta, variance, lengthscale, dtype) -> jnp.ndarray:
+    """First row of the uniform-mesh B0 cell-integral Kuu (Toeplitz).
+
+    Reference form (``univariate_structure.py:789-825``):
+    ``row[k] = σ²ℓ² (e^{-(k-1)δ/ℓ} + e^{-(k+1)δ/ℓ} - 2 e^{-kδ/ℓ})`` for k ≥ 1
+    and ``row[0] = 2σ²ℓ² (e^{-δ/ℓ} + δ/ℓ - 1)``.
+
+    Compensated equivalents used here (f32-safe, TPU-transcendental-safe —
+    see ops.stablemath for why plain expm1/sinh are not enough on TPU):
+    ``row[k] = σ²ℓ² · e^{-(k+1)δ/ℓ} · expm1(δ/ℓ)²`` for k ≥ 1 (no
+    cancellation: product of positives) and
+    ``row[0] = 2σ²ℓ² (e^{-δ/ℓ} − 1 + δ/ℓ)`` via the expm1mx series.
+    """
+    k = jnp.arange(m, dtype=dtype)
+    d = delta / lengthscale
+    em1 = expm1s(d)
+    tail = em1 * em1 * jnp.exp(-(k + 1.0) * d)
+    head = 2.0 * expm1mx(-d)
+    row = jnp.where(k == 0, head, tail)
+    return variance * lengthscale**2 * row
+
+
+# --------------------------------------------------------------------------- #
+# Features
+# --------------------------------------------------------------------------- #
+
+class AxisFeature:
+    """Base class; concrete features implement Kuu / Kuf / Kvu."""
+
+    m: int  # number of features
+
+    def init_params(self, dtype=jnp.float32) -> Dict:
+        """Feature-owned learnable parameters (empty for fixed bases)."""
+        return {}
+
+    # quadrature fallback used by tests to validate closed-form Kvu
+    def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
+        edges = np.asarray(grid.mesh)
+        out = []
+        for i in range(len(edges) - 1):
+            ts = np.linspace(edges[i], edges[i + 1], n_quad)
+            vals = self.Kuf(kind, p, jnp.asarray(ts))  # (m, n_quad)
+            out.append(np.trapezoid(np.asarray(vals), ts, axis=1))
+        return jnp.asarray(np.stack(out, axis=0))
+
+
+@dataclass(frozen=True)
+class PointFeature(AxisFeature):
+    """Free inducing points u_i = f(z_i) along one axis (SVGP).
+
+    ``z`` is learnable and lives in the per-axis param dict (reference
+    registers Z as ``nn.Parameter``, ``univariate_structure.py:289-290``).
+    """
+
+    m: int
+    z_init: np.ndarray = None  # (m,) initial locations
+
+    def init_params(self, dtype=jnp.float32) -> Dict:
+        z = self.z_init if self.z_init is not None else np.linspace(0.0, 1.0, self.m)
+        return {"z": jnp.asarray(z, dtype=dtype)}
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        z = p["z"]
+        return kernels.gram_1d(kind, z, z, p["variance"], p["lengthscale"])
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        return kernels.gram_1d(kind, p["z"], x, p["variance"], p["lengthscale"])
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError("closed-form cell integrals only for matern12")
+        return _m12_cell_point_cov(grid.mesh_j(p), p["z"], p["variance"], p["lengthscale"])
+
+
+@dataclass(frozen=True)
+class FourierFeature(AxisFeature):
+    """Variational Fourier features on [a, b] (VFF).
+
+    ω_j = 2πj/(b-a); feature order is [cos_0 .. cos_M, sin_1 .. sin_M]
+    (m = 2M+1), matching the reference basis layout (``fourier.py:42-56``).
+    Kuu for Matérn-1/2 is the diag+rank-1 VFF representation
+    (``univariate_structure.py:443-504``).
+    """
+
+    n_frequencies: int
+    a: float
+    b: float
+
+    @property
+    def m(self) -> int:
+        return 2 * self.n_frequencies + 1
+
+    def omegas(self, dtype=jnp.float32) -> jnp.ndarray:
+        M = self.n_frequencies
+        return (2.0 * jnp.pi) * jnp.arange(M + 1, dtype=dtype) / (self.b - self.a)
+
+    def kuu_diag_rank1(self, kind: str, p: Params):
+        """(α, β) of Kuu = diag(α) + ββᵀ — Matérn-1/2 only (VFF paper eq. 62)."""
+        if kind != "matern12":
+            raise NotImplementedError("VFF Kuu closed form implemented for matern12")
+        om = self.omegas(dtype=jnp.result_type(p["lengthscale"]))
+        s = kernels.spectral_density(kind, om, p["variance"], p["lengthscale"])
+        s_inv = 1.0 / s
+        half = (self.b - self.a) / 2.0
+        alpha = half * jnp.concatenate([2.0 * s_inv[:1], s_inv[1:], s_inv[1:]])
+        sigma = jnp.sqrt(p["variance"])
+        beta = jnp.concatenate(
+            [jnp.ones_like(om) / sigma, jnp.zeros_like(om[1:])]
+        )
+        return alpha, beta
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        alpha, beta = self.kuu_diag_rank1(kind, p)
+        return diag_lowrank.diag_rank1_dense(alpha, beta)
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Basis evaluation Φ(x), branch-free over the domain mask.
+
+        Inside [a,b): cos(ω(x-a)) / sin(ω(x-a)). Outside, the Matérn-order
+        continuation decays with r = min(|x-a|, |x-b|)
+        (``fourier.py:78-135``); the inside/outside Python loop of the
+        reference becomes a ``jnp.where`` select.
+        """
+        x = jnp.reshape(x, (-1,))
+        om = self.omegas(dtype=jnp.result_type(x))
+        inside = (x >= self.a) & (x < self.b)
+        xr = x - self.a
+        cos_in = jnp.cos(om[:, None] * xr[None, :])          # (M+1, n)
+        sin_in = jnp.sin(om[1:, None] * xr[None, :])          # (M, n)
+
+        r = jnp.minimum(jnp.abs(x - self.a), jnp.abs(x - self.b))
+        s = jnp.where(x < self.a, 1.0, -1.0)
+        lmbda = kernels.lam(kind, p["lengthscale"])
+        e = jnp.exp(-lmbda * r)
+        if kind == "matern12":
+            cos_out = jnp.broadcast_to(e[None, :], cos_in.shape)
+            sin_out = jnp.zeros_like(sin_in)
+        elif kind == "matern32":
+            cos_out = jnp.broadcast_to(((1.0 + lmbda * r) * e)[None, :], cos_in.shape)
+            sin_out = (s * r * e)[None, :] * om[1:, None]
+        elif kind == "matern52":
+            # Markov extrapolation e^{Fr} for (d/dt+λ)³: f ← e^{-λr}(1+λr+½λ²r²)f
+            # + e^{-λr}r(1+λr)f' + ½r²e^{-λr}f'', with φ(b)=1, φ'(b)=0/±ω,
+            # φ''(b)=-ω²/0 →  cos: e^{-λr}(1+λr+½(λ²-ω²)r²), sin: ±ωr(1+λr)e^{-λr}.
+            # (The reference's ``(1 + λr + ½(λ² + ω²r²))e^{-λr}``,
+            # fourier.py:126, is discontinuous at the domain boundary — typo,
+            # not replicated.)
+            cos_out = (1.0 + lmbda * r[None, :] + 0.5 * (lmbda**2 - om[:, None] ** 2) * r[None, :] ** 2) * e[None, :]
+            sin_out = (s * r * (1.0 + lmbda * r) * e)[None, :] * om[1:, None]
+        else:
+            raise NotImplementedError(f"Fourier basis continuation for {kind}")
+        cos_b = jnp.where(inside[None, :], cos_in, cos_out)
+        sin_b = jnp.where(inside[None, :], sin_in, sin_out)
+        return jnp.concatenate([cos_b, sin_b], axis=0)
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        """Closed-form cell integrals of the basis (cells must lie in [a,b]).
+
+        Reference ``gridded_univariate_structure.py:354-397``:
+        ∫cell 1 = δ_i; ∫cell cos = (sin(ω(β-a)) - sin(ω(α-a)))/ω;
+        ∫cell sin = -(cos(ω(β-a)) - cos(ω(α-a)))/ω.
+        """
+        mesh = grid.mesh_j(p)
+        om = self.omegas(dtype=mesh.dtype)
+        alpha = mesh[:-1][:, None] - self.a
+        beta = mesh[1:][:, None] - self.a
+        col0 = (mesh[1:] - mesh[:-1])[:, None]  # (g, 1)
+        w = om[1:][None, :]
+        cos_int = (jnp.sin(w * beta) - jnp.sin(w * alpha)) / w
+        sin_int = -(jnp.cos(w * beta) - jnp.cos(w * alpha)) / w
+        return jnp.concatenate([col0, cos_int, sin_int], axis=1)
+
+
+def _b1_segments(mesh: np.ndarray):
+    """Static (tl, tc, tr) triples for the B1 hat basis over ``mesh``.
+
+    m = len(mesh) basis functions: a left half-hat, len(mesh)-2 interior hats,
+    a right half-hat (reference ``bspline.py:106-112``). Degenerate segments
+    (tl == tc or tc == tr) encode the halves.
+    """
+    mesh = np.asarray(mesh, dtype=np.float64)
+    tl = np.concatenate([[mesh[0]], mesh[:-2], [mesh[-2]]])
+    tc = np.concatenate([[mesh[0]], mesh[1:-1], [mesh[-1]]])
+    tr = np.concatenate([[mesh[1]], mesh[2:], [mesh[-1]]])
+    return tl, tc, tr
+
+
+@dataclass(frozen=True)
+class B1SplineFeature(AxisFeature):
+    """B1 (hat) spline RKHS features on a uniform mesh (ASVGP).
+
+    Kuu is the banded Matérn-1/2 RKHS Gram: with mass matrix A (∫φφ'),
+    stiffness B (∫φ'φ'') and boundary diag BC,
+    ``Kuu = (ℓ·B + A/ℓ + BC) / (2σ²)``  [correct orientation — see module
+    docstring re: the reference's swapped ℓ placement].
+    """
+
+    mesh: np.ndarray  # (n_knots,) uniform
+
+    def __post_init__(self):
+        object.__setattr__(self, "mesh", np.asarray(self.mesh, dtype=np.float64))
+
+    @property
+    def m(self) -> int:
+        return len(self.mesh)
+
+    @property
+    def delta(self) -> float:
+        return float(self.mesh[1] - self.mesh[0])
+
+    def _mass_stiff_bc(self, dtype):
+        """Static mass/stiffness/boundary matrices (hyperparameter-free)."""
+        m, d = self.m, self.delta
+        # Toeplitz first rows + boundary diagonal corrections
+        # (reference univariate_structure.py:616-635)
+        mass_row = np.zeros(m); mass_row[0] = 2.0 * d / 3.0; mass_row[1] = d / 6.0
+        mass_bc = np.zeros(m); mass_bc[[0, -1]] = -d / 3.0
+        stiff_row = np.zeros(m); stiff_row[0] = 2.0 / d; stiff_row[1] = -1.0 / d
+        stiff_bc = np.zeros(m); stiff_bc[[0, -1]] = -1.0 / d
+        bc = np.zeros(m); bc[[0, -1]] = 1.0
+        A = toeplitz.sym_toeplitz_dense(jnp.asarray(mass_row, dtype)) + jnp.diag(jnp.asarray(mass_bc, dtype))
+        B = toeplitz.sym_toeplitz_dense(jnp.asarray(stiff_row, dtype)) + jnp.diag(jnp.asarray(stiff_bc, dtype))
+        return A, B, jnp.diag(jnp.asarray(bc, dtype))
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError("B1-spline RKHS Kuu implemented for matern12")
+        ls, var = p["lengthscale"], p["variance"]
+        dtype = jnp.result_type(ls)
+        A, B, BC = self._mass_stiff_bc(dtype)
+        return (ls * B + A / ls + BC) / (2.0 * var)
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Hat-function evaluations Φ(x) — (m, n), vectorized Cox–de Boor."""
+        x = jnp.reshape(x, (-1,))
+        dtype = jnp.result_type(x)
+        tl, tc, tr = (jnp.asarray(t, dtype) for t in _b1_segments(self.mesh))
+        has_up = jnp.asarray(_b1_segments(self.mesh)[1] > _b1_segments(self.mesh)[0])
+        has_down = jnp.asarray(_b1_segments(self.mesh)[2] > _b1_segments(self.mesh)[1])
+        xt = x[None, :]
+        up_den = jnp.where(has_up, tc - tl, 1.0)[:, None]
+        down_den = jnp.where(has_down, tr - tc, 1.0)[:, None]
+        up = (xt - tl[:, None]) / up_den
+        down = (tr[:, None] - xt) / down_den
+        in_up = has_up[:, None] & (xt >= tl[:, None]) & (xt <= tc[:, None])
+        in_down = has_down[:, None] & (xt > tc[:, None]) & (xt <= tr[:, None])
+        # left half-hat: down-ramp includes its left endpoint
+        in_down_l = has_down[:, None] & (~has_up[:, None]) & (xt == tc[:, None])
+        val = jnp.where(in_up, up, 0.0) + jnp.where(in_down | in_down_l, down, 0.0)
+        return val.astype(dtype)
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        """Exact integrals of each hat over each grid cell — (g, m).
+
+        Generalizes the reference's rolled-row constructions
+        (``gridded_univariate_structure.py:595-608``,
+        ``gridded_kronecker_structure.py:831-839``) to any alignment of the
+        B1 mesh and the B0 cell grid, via closed-form ramp integrals.
+        """
+        mesh = grid.mesh_j(p)
+        dtype = mesh.dtype
+        tl, tc, tr = (jnp.asarray(t, dtype) for t in _b1_segments(self.mesh))
+        a = mesh[:-1][:, None]  # (g, 1)
+        b = mesh[1:][:, None]
+
+        def ramp_up_int(lo, hi, t0, t1):
+            # ∫ over [lo,hi]∩[t0,t1] of (x - t0)/(t1 - t0)
+            den = jnp.where(t1 > t0, t1 - t0, 1.0)
+            lo_c = jnp.clip(lo, t0, t1)
+            hi_c = jnp.clip(hi, t0, t1)
+            val = ((hi_c - t0) ** 2 - (lo_c - t0) ** 2) / (2.0 * den)
+            return jnp.where(t1 > t0, val, 0.0)
+
+        def ramp_down_int(lo, hi, t0, t1):
+            # ∫ over [lo,hi]∩[t0,t1] of (t1 - x)/(t1 - t0)
+            den = jnp.where(t1 > t0, t1 - t0, 1.0)
+            lo_c = jnp.clip(lo, t0, t1)
+            hi_c = jnp.clip(hi, t0, t1)
+            val = ((t1 - lo_c) ** 2 - (t1 - hi_c) ** 2) / (2.0 * den)
+            return jnp.where(t1 > t0, val, 0.0)
+
+        up = ramp_up_int(a, b, tl[None, :], tc[None, :])
+        down = ramp_down_int(a, b, tc[None, :], tr[None, :])
+        return up + down
+
+
+@dataclass(frozen=True)
+class CellIntegralFeature(AxisFeature):
+    """B0 cell-integral features v_i = ∫_{[mesh_i, mesh_{i+1}]} f(t) dt.
+
+    The "gridded" inducing variables: the model posterior q(v) *is* the
+    gridded data product. Closed forms for Matérn-1/2
+    (reference ``univariate_structure.py:668-825``).
+    """
+
+    mesh: np.ndarray  # (n_cells + 1,) uniform edges
+
+    def __post_init__(self):
+        object.__setattr__(self, "mesh", np.asarray(self.mesh, dtype=np.float64))
+
+    @classmethod
+    def from_lims(cls, n_cells: int, a: float, b: float) -> "CellIntegralFeature":
+        return cls(np.linspace(a, b, n_cells + 1))
+
+    @property
+    def m(self) -> int:
+        return len(self.mesh) - 1
+
+    @property
+    def delta(self) -> float:
+        return float(self.mesh[1] - self.mesh[0])
+
+    def mesh_j(self, p: Params) -> jnp.ndarray:
+        return jnp.asarray(self.mesh, dtype=jnp.result_type(p["lengthscale"]))
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError("cell-integral Kuu closed form only for matern12")
+        row = self.kuu_first_row(kind, p)
+        return toeplitz.sym_toeplitz_dense(row)
+
+    def kuu_first_row(self, kind: str, p: Params) -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError
+        dtype = jnp.result_type(p["lengthscale"])
+        return _m12_toeplitz_first_row(self.m, self.delta, p["variance"], p["lengthscale"], dtype)
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError("cell-integral Kuf closed form only for matern12")
+        return _m12_cell_point_cov(self.mesh_j(p), x, p["variance"], p["lengthscale"])
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        if kind != "matern12":
+            raise NotImplementedError
+        return _m12_cell_cell_cov(grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])
+
+    def basis_eval(self, x: jnp.ndarray) -> jnp.ndarray:
+        """B0 indicator basis evaluation (reference ``bspline.py:4-20,97-103``).
+
+        Cells are half-open [a_i, b_i) with the last cell closed, so the
+        basis is an exact partition of unity on [mesh[0], mesh[-1]] (the
+        reference's closed-closed cells double-count interior edges).
+        """
+        x = jnp.reshape(x, (-1,))
+        mesh = jnp.asarray(self.mesh, dtype=jnp.result_type(x))
+        a = mesh[:-1][:, None]
+        b = mesh[1:][:, None]
+        ind = (x[None, :] >= a) & (x[None, :] < b)
+        last = (jnp.arange(self.m)[:, None] == self.m - 1) & (x[None, :] == b)
+        return (ind | last).astype(x.dtype)

@@ -1,0 +1,127 @@
+"""Stationary kernels and their spectral densities as pure functions.
+
+TPU-native counterpart of the reference's gpytorch kernel usage
+(``ScaleKernel(MaternKernel(nu))`` — e.g. reference
+``src/models/sparse/univariate_structure.py:332,416,581,738``) and of the VFF
+spectral densities (``univariate_structure.py:418-441``).
+
+A kernel is identified by a static string ``kind`` in
+``{"matern12", "matern32", "matern52", "rbf"}`` plus a parameter dict
+``{"variance": s2, "lengthscale": l}`` whose entries are traced JAX scalars.
+Everything here is a pure function, jit/vmap/grad-safe, with no Python control
+flow on traced values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax.numpy as jnp
+
+KINDS = ("matern12", "matern32", "matern52", "rbf")
+
+SQRT3 = math.sqrt(3.0)
+SQRT5 = math.sqrt(5.0)
+
+
+def validate_kind(kind: str) -> str:
+    if kind not in KINDS:
+        raise ValueError(f"unknown kernel kind {kind!r}; expected one of {KINDS}")
+    return kind
+
+
+def k_r(kind: str, r: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Evaluate k(r) for nonnegative distances ``r``."""
+    if kind == "matern12":
+        return variance * jnp.exp(-r / lengthscale)
+    if kind == "matern32":
+        z = SQRT3 * r / lengthscale
+        return variance * (1.0 + z) * jnp.exp(-z)
+    if kind == "matern52":
+        z = SQRT5 * r / lengthscale
+        return variance * (1.0 + z + z * z / 3.0) * jnp.exp(-z)
+    if kind == "rbf":
+        z = r / lengthscale
+        return variance * jnp.exp(-0.5 * z * z)
+    raise ValueError(kind)
+
+
+def lam(kind: str, lengthscale) -> jnp.ndarray:
+    """Matérn decay rate λ (reference ``src/basis/fourier.py:76,96,120``)."""
+    if kind == "matern12":
+        return 1.0 / lengthscale
+    if kind == "matern32":
+        return SQRT3 / lengthscale
+    if kind == "matern52":
+        return SQRT5 / lengthscale
+    raise ValueError(f"lambda undefined for {kind}")
+
+
+def spectral_density(kind: str, omega: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Spectral density S(ω) of the kernel.
+
+    Matérn-1/2 form matches reference ``univariate_structure.py:418-441``:
+    ``S(ω) = 2 σ² λ / (λ² + ω²)``.
+    """
+    if kind == "matern12":
+        l_ = lam(kind, lengthscale)
+        return 2.0 * variance * l_ / (l_**2 + omega**2)
+    if kind == "matern32":
+        l_ = lam(kind, lengthscale)
+        return 4.0 * variance * l_**3 / (l_**2 + omega**2) ** 2
+    if kind == "matern52":
+        l_ = lam(kind, lengthscale)
+        return (16.0 / 3.0) * variance * l_**5 / (l_**2 + omega**2) ** 3
+    if kind == "rbf":
+        return (
+            variance
+            * lengthscale
+            * jnp.sqrt(2.0 * jnp.pi)
+            * jnp.exp(-0.5 * (lengthscale * omega) ** 2)
+        )
+    raise ValueError(kind)
+
+
+def gram_1d(kind: str, x1: jnp.ndarray, x2: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Dense Gram matrix K[i, j] = k(|x1_i - x2_j|) for 1D inputs.
+
+    ``x1``: (n1,) or (n1, 1); ``x2``: (n2,) or (n2, 1).
+    One fused elementwise expression — XLA maps it onto the VPU; for Matérn
+    kernels no sqrt is involved (|Δ| exactly).
+    """
+    a = jnp.reshape(x1, (-1,))[:, None]
+    b = jnp.reshape(x2, (-1,))[None, :]
+    r = jnp.abs(a - b)
+    return k_r(kind, r, variance, lengthscale)
+
+
+def gram_product_2d(
+    kinds: tuple,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    params1: Dict,
+    params2: Dict,
+) -> jnp.ndarray:
+    """Separable product kernel k((s,t),(s',t')) = k1(s,s') * k2(t,t').
+
+    Mirrors the reference's ``kernel_1(active_dims=[0]) * kernel_2(active_dims=[1])``
+    (``src/models/exact/bivariate_structure.py:144-146``,
+    ``src/models/sparse/kronecker_structure.py:29-32``) — evaluated as the
+    elementwise product of two 1D Grams (two fused VPU passes, no 2D distance).
+    """
+    k1 = gram_1d(kinds[0], x1[:, 0], x2[:, 0], params1["variance"], params1["lengthscale"])
+    k2 = gram_1d(kinds[1], x1[:, 1], x2[:, 1], params2["variance"], params2["lengthscale"])
+    return k1 * k2
+
+
+def kdiag_1d(kind: str, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """diag(K(x, x)) — constant ``variance`` for stationary kernels."""
+    n = jnp.reshape(x, (-1,)).shape[0]
+    return jnp.full((n,), 1.0, dtype=jnp.result_type(x)) * variance
+
+
+def kdiag_product_2d(kinds: tuple, x: jnp.ndarray, params1: Dict, params2: Dict) -> jnp.ndarray:
+    n = x.shape[0]
+    one = jnp.ones((n,), dtype=x.dtype)
+    return one * (params1["variance"] * params2["variance"])

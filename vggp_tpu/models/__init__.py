@@ -1,0 +1,23 @@
+"""GP model families.
+
+- :mod:`vggp_tpu.models.exact`  — exact GP regression (1D and separable 2D),
+  with a gridded q(v) head.
+- :mod:`vggp_tpu.models.sgpr`   — collapsed-ELBO sparse GP (Titsias) over any
+  inducing-feature family, 1D and Kronecker 2D. This covers the reference's
+  SVGP / VFF / ASVGP / GriddedGP model zoo via feature choice.
+- :mod:`vggp_tpu.models.svgp`   — whitened, uncollapsed, minibatchable SVGP
+  with full or Kronecker-factored variational covariance: the scalable path
+  the reference lacks (SURVEY.md §3a note), sized for 512×512 inducing grids.
+
+All models are functional: a frozen ``*Spec`` dataclass holds static
+configuration (kernel kinds, feature objects, jitter); pure functions take
+``(spec, params, data)``. Specs are closed over by jitted functions — only
+parameter pytrees and data arrays are traced.
+"""
+
+from vggp_tpu.models.exact import ExactGPSpec
+from vggp_tpu.models.sgpr import SGPRSpec
+from vggp_tpu.models.svgp import SVGPSpec
+from vggp_tpu.models import exact, sgpr, svgp  # noqa: F401
+
+__all__ = ["ExactGPSpec", "SGPRSpec", "SVGPSpec", "exact", "sgpr", "svgp"]

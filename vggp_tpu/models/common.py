@@ -1,0 +1,145 @@
+"""Shared model plumbing: axis blocks, Khatri–Rao assembly, Gaussian results."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vggp_tpu import kernels
+from vggp_tpu.ops import safe_cholesky, tri_solve, khatri_rao_rows, kron_dense
+from vggp_tpu.ops.chol import psd_factor, PSDFactor
+
+Params = Dict
+
+
+def highest_precision(fn):
+    """Run ``fn`` under float32-accurate matmuls.
+
+    TPU matmuls default to bfloat16 passes; GP bounds and predictive
+    variances involve large cancellations (k_ff - ‖a‖² + …) that lose all
+    significance at bf16. The 3/6-pass f32 MXU mode is still orders of
+    magnitude faster than the reference's CPU float64 path (SURVEY.md §7
+    precision strategy).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@dataclass
+class Gaussian:
+    """A multivariate normal result (mean, covariance or variance diag)."""
+
+    mean: jnp.ndarray
+    cov: jnp.ndarray = None  # (n, n) when materialized
+    var: jnp.ndarray = None  # (n,) diagonal when cov is not materialized
+
+    def variance(self) -> jnp.ndarray:
+        return self.var if self.var is not None else jnp.diagonal(self.cov)
+
+    def stddev(self) -> jnp.ndarray:
+        return jnp.sqrt(self.variance())
+
+
+def axis_params(params: Params, i: int) -> Params:
+    return params["axes"][i]
+
+
+def floor_var(var: jnp.ndarray, ref_diag: jnp.ndarray) -> jnp.ndarray:
+    """Floor predictive variances at a tiny fraction of the prior diagonal.
+
+    The subtracted forms ``k_diag - Σa² + Σt²`` can go slightly negative in
+    float32 (roundoff, not model error); a negative variance poisons NLPD and
+    plotting. The floor is relative to the prior marginal variance so it is
+    scale-free.
+    """
+    return jnp.maximum(var, 1e-6 * ref_diag)
+
+
+def axis_chol_kuu(spec, params: Params, method: str | None = None) -> Tuple[PSDFactor, ...]:
+    """Per-axis PSD factors of Kuu.
+
+    Default is jittered Cholesky (differentiable, cheap). Specs may set
+    ``factor_method="eigh"`` for the clamped-eigendecomposition factor on
+    non-differentiated prediction paths (see ops.chol.PSDFactor).
+    """
+    if method is None:
+        method = getattr(spec, "factor_method", "chol")
+    out = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        kuu = feat.Kuu(kind, axis_params(params, i))
+        out.append(psd_factor(kuu, method=method, jitter=spec.jitter))
+    return tuple(out)
+
+
+def axis_whitened_kuf(spec, params: Params, chols, X: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis A_i = F_i⁻¹ Kuf_i(x_i) — (m_i, n) each.
+
+    X is (n, d) (or (n,)/(n,1) in 1D). For separable kernels and per-axis
+    features the joint whitened cross-covariance is the column-wise Kronecker
+    (Khatri–Rao) of these blocks: never materialize until needed.
+    """
+    if X.ndim == 1:
+        X = X[:, None]
+    out = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        kuf = feat.Kuf(kind, axis_params(params, i), X[:, i])
+        out.append(chols[i].whiten(kuf))
+    return tuple(out)
+
+
+def khatri_rao_all(blocks: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = khatri_rao_rows(out, b)
+    return out
+
+
+def kdiag(spec, params: Params, X: jnp.ndarray) -> jnp.ndarray:
+    """diag K_ff — product of per-axis stationary variances."""
+    if X.ndim == 1:
+        X = X[:, None]
+    n = X.shape[0]
+    v = jnp.ones((n,), dtype=X.dtype)
+    for i in range(len(spec.kinds)):
+        v = v * axis_params(params, i)["variance"]
+    return v
+
+
+def gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Dense K(x1, x2) — product over axes of 1D Grams."""
+    if x1.ndim == 1:
+        x1 = x1[:, None]
+    if x2.ndim == 1:
+        x2 = x2[:, None]
+    out = None
+    for i, kind in enumerate(spec.kinds):
+        p = axis_params(params, i)
+        g = kernels.gram_1d(kind, x1[:, i], x2[:, i], p["variance"], p["lengthscale"])
+        out = g if out is None else out * g
+    return out
+
+
+def grid_kvu(spec, params: Params, grid_axes) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis Kvu blocks between grid cell integrals and the model features."""
+    return tuple(
+        feat.Kvu(kind, axis_params(params, i), grid_axes[i])
+        for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features))
+    )
+
+
+def grid_kvv(spec, params: Params, grid_axes, dense: bool = True):
+    """Per-axis grid-cell prior covariances (Toeplitz Kuu of the cell grid)."""
+    blocks = tuple(
+        grid_axes[i].Kuu(spec.kinds[i], axis_params(params, i))
+        for i in range(len(spec.kinds))
+    )
+    return kron_dense(blocks) if dense else blocks

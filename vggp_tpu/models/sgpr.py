@@ -1,0 +1,212 @@
+"""Collapsed-ELBO sparse GP regression (Titsias bound) over any feature family.
+
+This single model covers the reference's SVGP / VFF / ASVGP / GriddedGP class
+zoo (``src/models/sparse/univariate_structure.py`` and
+``kronecker_structure.py``) by feature choice, in 1D or Kronecker-structured
+d-D, with one O(n·m²) implementation instead of the reference's O(n³)
+``MultivariateNormal(Qff + σ²I).log_prob`` (``univariate_structure.py:234-263``
+— SURVEY.md §3a hot spot).
+
+Math (identical bound, stable factored form):
+    A  = L⁻¹ Kuf / σ          (L = chol(Kuu), σ² = noise variance)
+    B  = I + A Aᵀ,  L_B = chol(B)
+    c  = L_B⁻¹ A y / σ
+    ELBO = -n/2·log(2πσ²) - Σ log diag L_B - (yᵀy/σ² - cᵀc)/2
+           - (Σ k_ff - σ²‖A‖²_F) / (2σ²)
+For Kronecker axes, A = KhatriRao(L₁⁻¹Kuf₁, L₂⁻¹Kuf₂)/σ is assembled with one
+einsum — ``kron(Kuu₁, Kuu₂)`` is never materialized
+(vs reference ``kronecker_structure.py:496,513``).
+
+Predictions, optimal q(u), and the gridded q(v) head all propagate Cholesky
+factors; no explicit inverses anywhere (fixes the reference's non-PSD q(v)
+fallbacks, ``gridded_kronecker_structure.py:187-191,436-438``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from vggp_tpu.features import AxisFeature, CellIntegralFeature
+from vggp_tpu.models import common
+from vggp_tpu.models.common import Gaussian
+from vggp_tpu.ops import safe_cholesky, tri_solve, khatri_rao_rows, kron_dense
+
+Params = Dict
+
+
+@dataclass(frozen=True)
+class SGPRSpec:
+    """Static config: per-axis kernel kinds and inducing features."""
+
+    kinds: Tuple[str, ...]
+    features: Tuple[AxisFeature, ...]
+    jitter: float = 1e-6
+    factor_method: str = "chol"  # Kuu factorization: "chol" | "eigh"
+
+    @property
+    def ndim(self) -> int:
+        return len(self.kinds)
+
+    @property
+    def num_inducing(self) -> int:
+        m = 1
+        for f in self.features:
+            m *= f.m
+        return m
+
+    def init_params(self, dtype=jnp.float32) -> Params:
+        axes = []
+        for f in self.features:
+            p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
+            p.update(f.init_params(dtype))
+            axes.append(p)
+        return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype)}
+
+
+def _factored_state(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
+    """Compute (Ls, A, L_B, c, y) — everything downstream needs."""
+    y = jnp.reshape(y, (-1,))
+    noise = params["noise"]
+    sigma = jnp.sqrt(noise)
+    chols = common.axis_chol_kuu(spec, params)
+    blocks = common.axis_whitened_kuf(spec, params, chols, X)
+    A = common.khatri_rao_all(blocks) / sigma  # (m, n)
+    m = A.shape[0]
+    B = jnp.eye(m, dtype=A.dtype) + A @ A.T
+    LB = safe_cholesky(B, spec.jitter * 0.0 + 1e-12)
+    c = tri_solve(LB, A @ y) / sigma
+    return chols, A, LB, c, y
+
+
+@common.highest_precision
+def elbo(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Collapsed (Titsias) evidence lower bound — scalar.
+
+    Equals the reference ``SparseGP._elbo`` (``univariate_structure.py:234-263``)
+    exactly, computed in O(n m²).
+    """
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    n = y.shape[0]
+    noise = params["noise"]
+    kff_sum = jnp.sum(common.kdiag(spec, params, X))
+    qff_tr = noise * jnp.sum(A * A)
+    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * noise)
+    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound -= 0.5 * jnp.sum(y * y) / noise
+    bound += 0.5 * jnp.sum(c * c)
+    # trace gap tr(Kff - Qff) ≥ 0 always (Qff ⪯ Kff); clamp the f32
+    # cancellation error so it can never flip into a spurious reward.
+    bound -= jnp.maximum(kff_sum - qff_tr, 0.0) / (2.0 * noise)
+    return bound
+
+
+def loss(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return -elbo(spec, params, X, y)
+
+
+@common.highest_precision
+def posterior(
+    spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray, xstar: jnp.ndarray,
+    full_cov: bool = True, predictive: bool = False,
+) -> Gaussian:
+    """q(f*) at test inputs (reference ``univariate_structure.py:184-232``)."""
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
+    w = common.khatri_rao_all(blocks_star)      # (m, n*) = L⁻¹ Kuf*
+    tmp = tri_solve(LB, w)                       # (m, n*)
+    mean = tmp.T @ c
+    noise = params["noise"] if predictive else 0.0
+    if full_cov:
+        kss = common.gram_full(spec, params, xstar, xstar)
+        cov = kss - w.T @ w + tmp.T @ tmp
+        if predictive:
+            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return Gaussian(mean=mean, cov=cov)
+    kss = common.kdiag(spec, params, xstar)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=common.floor_var(var, kss) + noise)
+
+
+def posterior_predictive(spec, params, X, y, xstar, full_cov: bool = True) -> Gaussian:
+    return posterior(spec, params, X, y, xstar, full_cov=full_cov, predictive=True)
+
+
+def prior(spec: SGPRSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
+    """Prior N(0, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
+    cov = common.gram_full(spec, params, xstar, xstar)
+    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+
+
+@common.highest_precision
+def q_u(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> Gaussian:
+    """Optimal q(u) = N(L L_B⁻ᵀ c, L B⁻¹ Lᵀ).
+
+    Equal to the reference's ``mean = Kuu Σ⁻¹ Kuf y / σ²``,
+    ``cov = Kuu Σ⁻¹ Kuu`` (``univariate_structure.py:693-717``), PSD by
+    construction.
+    """
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    L = kron_dense([f.F for f in chols])
+    half = tri_solve(LB, L.T).T    # F F_B⁻ᵀ  (m, m)
+    return Gaussian(mean=half @ c, cov=half @ half.T)
+
+
+@common.highest_precision
+def q_v(
+    spec: SGPRSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+    full_cov: bool = True,
+) -> Gaussian:
+    """Gridded posterior q(v) over cell integrals v_i = ∫_cell_i f.
+
+    mean = R L_B⁻ᵀ c, cov = Kvv - R Rᵀ + T Tᵀ with R = Kvu L⁻ᵀ, T = R L_B⁻ᵀ —
+    the Cholesky-propagated form of the reference's
+    ``Kvv - Kvu Kuu⁻¹ Kvuᵀ + Kvu Σ⁻¹ Kvuᵀ``
+    (``gridded_univariate_structure.py:475-488``). For the direct GriddedGP
+    (features == cell integrals on the same mesh) this reduces to q(u).
+    """
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
+    )  # per-axis Kvu_i F_i⁻ᵀ ... (g_i, m_i)
+    R = kron_dense(r_blocks)            # (g, m)
+    T = tri_solve(LB, R.T).T            # (g, m)
+    mean = T @ c
+    if full_cov:
+        kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
+        cov = kvv - R @ R.T + T @ T.T
+        return Gaussian(mean=mean, cov=cov)
+    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+    from vggp_tpu.ops import kron_diag
+
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+@common.highest_precision
+def p_v_u(
+    spec: SGPRSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+) -> Gaussian:
+    """p(v | u = E_q[u]) (reference ``gridded_univariate_structure.py:462-473``)."""
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    R = kron_dense(r_blocks)
+    # mean = Kvu Kuu⁻¹ m_u with m_u = L L_B⁻ᵀ c  →  R L_B⁻ᵀ c
+    mean = tri_solve(LB, R.T).T @ c
+    kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
+    cov = kvv - R @ R.T
+    return Gaussian(mean=mean, cov=cov)

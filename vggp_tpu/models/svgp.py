@@ -1,0 +1,253 @@
+"""Whitened, uncollapsed, minibatchable SVGP — the scalable TPU path.
+
+The reference's collapsed ELBO is O(n³) and not minibatchable (SURVEY.md §3a).
+This model provides the standard whitened parameterization u = L w,
+q(w) = N(μ, S), giving
+
+    ELBO = (n/|b|) Σ_{i∈b} E_{q(f_i)}[log N(y_i | f_i, σ²)] - KL[q(w) ‖ N(0,I)]
+
+with q(f(x)) = N(aᵀμ, k_ff - ‖a‖² + aᵀS a), a = L⁻¹ k_uf(x).
+
+For Kronecker-structured features (separable kernel, per-axis features) the
+per-point whitened feature factorizes: a = a₁ ⊗ a₂ with a_i = L_i⁻¹ k_uf,i.
+With a Kronecker-factored variational covariance S = S₁ ⊗ S₂ every ELBO term
+is computable from per-axis (m_i × m_i) matrices and batched (n × m_i)
+matmuls — an m = m₁·m₂ = 512² = 262 144 inducing grid never materializes any
+m-sized matrix. This is the architecture the BASELINE.json north star asks
+for; all heavy ops are MXU matmuls.
+
+Variational families:
+- ``variational="full"``: dense lower-triangular S factor (any ndim, small m)
+- ``variational="kron"``: S = S₁ ⊗ S₂ (ndim == 2, huge m)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from vggp_tpu.features import AxisFeature, CellIntegralFeature
+from vggp_tpu.models import common
+from vggp_tpu.models.common import Gaussian
+from vggp_tpu.ops import tri_solve, kron_dense, kron_diag
+
+Params = Dict
+
+
+def chol_from_raw(raw: jnp.ndarray) -> jnp.ndarray:
+    """Unconstrained (m, m) → lower-triangular with positive (softplus) diag."""
+    lower = jnp.tril(raw, -1)
+    diag = jnp.logaddexp(jnp.diagonal(raw), 0.0)  # softplus
+    return lower + jnp.diag(diag)
+
+
+def raw_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`chol_from_raw` (for initialization)."""
+    d = jnp.diagonal(L)
+    inv_softplus = jnp.log(jnp.expm1(d))
+    return jnp.tril(L, -1) + jnp.diag(inv_softplus)
+
+
+@dataclass(frozen=True)
+class SVGPSpec:
+    kinds: Tuple[str, ...]
+    features: Tuple[AxisFeature, ...]
+    num_data: int                     # n_total, for minibatch scaling
+    variational: str = "full"         # "full" | "kron"
+    jitter: float = 1e-6
+    factor_method: str = "chol"       # Kuu factorization: "chol" | "eigh"
+
+    def __post_init__(self):
+        if self.variational not in ("full", "kron"):
+            raise ValueError(self.variational)
+        if self.variational == "kron" and len(self.features) != 2:
+            raise ValueError("kron variational family requires exactly 2 axes")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.kinds)
+
+    @property
+    def axis_m(self) -> Tuple[int, ...]:
+        return tuple(f.m for f in self.features)
+
+    @property
+    def num_inducing(self) -> int:
+        m = 1
+        for f in self.features:
+            m *= f.m
+        return m
+
+    def init_params(self, dtype=jnp.float32) -> Params:
+        axes = []
+        for f in self.features:
+            p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
+            p.update(f.init_params(dtype))
+            axes.append(p)
+        if self.variational == "full":
+            m = self.num_inducing
+            q = {
+                "mu": jnp.zeros((m,), dtype),
+                "raw_L": raw_from_chol(jnp.eye(m, dtype=dtype)),
+            }
+        else:
+            m1, m2 = self.axis_m
+            q = {
+                "mu": jnp.zeros((m1, m2), dtype),
+                "raw_L1": raw_from_chol(jnp.eye(m1, dtype=dtype)),
+                "raw_L2": raw_from_chol(jnp.eye(m2, dtype=dtype)),
+            }
+        return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype), "q": q}
+
+
+def _whitened_blocks(spec: SVGPSpec, params: Params, x: jnp.ndarray):
+    chols = common.axis_chol_kuu(spec, params)
+    blocks = common.axis_whitened_kuf(spec, params, chols, x)
+    return chols, blocks
+
+
+def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Marginal q(f) mean/variance at the points whose whitened features are
+    ``blocks`` (per-axis (m_i, n))."""
+    q = params["q"]
+    if spec.variational == "full":
+        a = common.khatri_rao_all(blocks)  # (m, n)
+        Ls = chol_from_raw(q["raw_L"])
+        mean = a.T @ q["mu"]
+        sa = Ls.T @ a
+        var_red = jnp.sum(a * a, axis=0)
+        var_add = jnp.sum(sa * sa, axis=0)
+    else:
+        a1, a2 = blocks                    # (m1, n), (m2, n)
+        L1 = chol_from_raw(q["raw_L1"])
+        L2 = chol_from_raw(q["raw_L2"])
+        mean = jnp.einsum("in,ij,jn->n", a1, q["mu"], a2)
+        t1 = L1.T @ a1                     # (m1, n)
+        t2 = L2.T @ a2
+        var_red = jnp.sum(a1 * a1, axis=0) * jnp.sum(a2 * a2, axis=0)
+        var_add = jnp.sum(t1 * t1, axis=0) * jnp.sum(t2 * t2, axis=0)
+    return mean, var_red, var_add
+
+
+@common.highest_precision
+def kl(spec: SVGPSpec, params: Params) -> jnp.ndarray:
+    """KL[q(w) ‖ N(0, I)] in whitened coordinates."""
+    q = params["q"]
+    if spec.variational == "full":
+        Ls = chol_from_raw(q["raw_L"])
+        m = Ls.shape[0]
+        tr = jnp.sum(Ls * Ls)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
+        quad = jnp.sum(q["mu"] ** 2)
+        return 0.5 * (quad + tr - m - logdet)
+    L1 = chol_from_raw(q["raw_L1"])
+    L2 = chol_from_raw(q["raw_L2"])
+    m1, m2 = L1.shape[0], L2.shape[0]
+    tr = jnp.sum(L1 * L1) * jnp.sum(L2 * L2)
+    logdet = 2.0 * (m2 * jnp.sum(jnp.log(jnp.diagonal(L1))) + m1 * jnp.sum(jnp.log(jnp.diagonal(L2))))
+    quad = jnp.sum(q["mu"] ** 2)
+    return 0.5 * (quad + tr - (m1 * m2) - logdet)
+
+
+@common.highest_precision
+def elbo(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jnp.ndarray:
+    """Minibatch ELBO estimate (scaled to the full dataset)."""
+    yb = jnp.reshape(yb, (-1,))
+    nb = yb.shape[0]
+    noise = params["noise"]
+    _, blocks = _whitened_blocks(spec, params, xb)
+    mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
+    kff = common.kdiag(spec, params, xb)
+    var_f = jnp.maximum(kff - var_red, 0.0) + var_add
+    ell_i = -0.5 * jnp.log(2.0 * jnp.pi * noise) - ((yb - mean) ** 2 + var_f) / (2.0 * noise)
+    scale = spec.num_data / nb
+    return scale * jnp.sum(ell_i) - kl(spec, params)
+
+
+def loss(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jnp.ndarray:
+    return -elbo(spec, params, xb, yb)
+
+
+@common.highest_precision
+def posterior(
+    spec: SVGPSpec, params: Params, xstar: jnp.ndarray,
+    full_cov: bool = False, predictive: bool = False,
+) -> Gaussian:
+    chols, blocks = _whitened_blocks(spec, params, xstar)
+    mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
+    noise = params["noise"] if predictive else 0.0
+    if not full_cov:
+        kss = common.kdiag(spec, params, xstar)
+        var = jnp.maximum(kss - var_red, 0.0) + var_add + noise
+        return Gaussian(mean=mean, var=var)
+    # full covariance: materialize a (m, n*) whitened block (small n* only)
+    a = common.khatri_rao_all(blocks)
+    kss = common.gram_full(spec, params, xstar, xstar)
+    q = params["q"]
+    if spec.variational == "full":
+        Ls = chol_from_raw(q["raw_L"])
+        sa = Ls.T @ a
+    else:
+        L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
+        sa = common.khatri_rao_all((L1.T @ blocks[0], L2.T @ blocks[1]))
+    cov = kss - a.T @ a + sa.T @ sa
+    if predictive:
+        cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return Gaussian(mean=mean, cov=cov)
+
+
+def posterior_predictive(spec, params, xstar, full_cov: bool = False) -> Gaussian:
+    return posterior(spec, params, xstar, full_cov=full_cov, predictive=True)
+
+
+@common.highest_precision
+def q_v(
+    spec: SVGPSpec,
+    params: Params,
+    grid_axes: Sequence[CellIntegralFeature],
+    full_cov: bool = False,
+) -> Gaussian:
+    """Gridded posterior q(v) from the (whitened) variational distribution.
+
+    R_i = Kvu_i L_i⁻ᵀ per axis. mean = (R₁ ⊗ R₂) μ; covariance
+    Kvv - R Rᵀ + (R L_S)(R L_S)ᵀ. For ``full_cov=False`` only per-cell
+    variances are formed (kron-diagonals — O(g) memory), which is the gridded
+    data product's uncertainty field.
+    """
+    chols = common.axis_chol_kuu(spec, params)
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
+    )  # R_i = Kvu_i F_i⁻ᵀ  (g_i, m_i)
+    q = params["q"]
+    if spec.variational == "full":
+        R = r_blocks[0] if spec.ndim == 1 else kron_dense(r_blocks)
+        Ls = chol_from_raw(q["raw_L"])
+        mean = R @ q["mu"]
+        RS = R @ Ls
+        kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+        if full_cov:
+            kvv = kron_dense(kvv_blocks)
+            return Gaussian(mean=mean, cov=kvv - R @ R.T + RS @ RS.T)
+        kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+        var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(RS * RS, axis=1)
+        return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+    # kron family
+    R1, R2 = r_blocks
+    L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
+    mean = (R1 @ q["mu"] @ R2.T).reshape(-1)
+    RS1, RS2 = R1 @ L1, R2 @ L2
+    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+    if full_cov:
+        kvv = kron_dense(kvv_blocks)
+        cov = kvv - kron_dense((R1 @ R1.T, R2 @ R2.T)) + kron_dense((RS1 @ RS1.T, RS2 @ RS2.T))
+        return Gaussian(mean=mean, cov=cov)
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    var = (
+        kvv_diag
+        - kron_diag((jnp.sum(R1 * R1, axis=1), jnp.sum(R2 * R2, axis=1)))
+        + kron_diag((jnp.sum(RS1 * RS1, axis=1), jnp.sum(RS2 * RS2, axis=1)))
+    )
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))

@@ -1,0 +1,131 @@
+"""PSD-safe Cholesky and triangular-solve helpers.
+
+The reference papers over PSD fragility with symmetrize + 1e-6 jitter
+fallbacks (``gridded_kronecker_structure.py:187-191,436-438,913-915``).
+Here the numerics policy is explicit: symmetrize once, add a jitter scaled to
+the mean diagonal, and propagate Cholesky factors instead of forming explicit
+inverses anywhere downstream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_JITTER = 1e-6
+# float32 has ~7 decimal digits; gridded Kuu matrices run condition numbers of
+# 1e5-1e7 when the lengthscale spans many cells, so the relative jitter floor
+# must sit well above f32 eps (SURVEY.md §7 "Precision" hard part).
+F32_MIN_JITTER = 1e-4
+
+
+def safe_cholesky(a: jnp.ndarray, jitter: float = DEFAULT_JITTER) -> jnp.ndarray:
+    """Lower Cholesky of ``(a + aᵀ)/2 + jitter·mean(diag)·I``.
+
+    The relative jitter is floored per dtype: float64 uses ``jitter`` as
+    given; float32 uses at least :data:`F32_MIN_JITTER` so near-singular
+    structured Kuu blocks stay factorizable on TPU.
+    """
+    a = 0.5 * (a + a.T)
+    n = a.shape[-1]
+    rel = jitter if a.dtype == jnp.float64 else max(jitter, F32_MIN_JITTER)
+    scale = jnp.mean(jnp.diagonal(a)) * rel + rel * 1e-2
+    return jnp.linalg.cholesky(a + scale * jnp.eye(n, dtype=a.dtype))
+
+
+def tri_solve(chol: jnp.ndarray, b: jnp.ndarray, lower: bool = True, trans: bool = False) -> jnp.ndarray:
+    """Solve ``L x = b`` (or ``Lᵀ x = b`` with ``trans``) for triangular L."""
+    return jax.scipy.linalg.solve_triangular(chol, b, lower=lower, trans=1 if trans else 0)
+
+
+def solve_psd(chol: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``A x = b`` given lower Cholesky factor of A."""
+    return tri_solve(chol, tri_solve(chol, b), trans=True)
+
+
+def logdet_from_chol(chol: jnp.ndarray) -> jnp.ndarray:
+    """log|A| from its lower Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+
+
+# --------------------------------------------------------------------------- #
+# clamped-eigh PSD factors — the robust path for structured Kuu blocks
+# --------------------------------------------------------------------------- #
+
+# Relative eigenvalue floor per dtype. Gridded / VFF / spline Kuu blocks run
+# condition numbers that grow exponentially in lengthscale/cell-size; past
+# ~1e6 a float32 Cholesky on TPU silently produces NaN (observed: GriddedGP
+# ELBO fit NaNs at ℓ/δ ≈ 40 on v5e). Eigenvalue clamping caps the condition
+# number instead of failing — equivalent to jitter applied only in the
+# deficient eigendirections.
+EIG_FLOOR_F32 = 1e-6
+EIG_FLOOR_F64 = 1e-12
+
+
+class PSDFactor:
+    """Factor of a PSD matrix A ≈ F Fᵀ, with a whitening solve.
+
+    Two flavors (``tri`` is static pytree aux data):
+
+    - Cholesky (``tri=True``): F = L lower-triangular; ``whiten`` is a
+      triangular solve. Cheap, differentiable, the default on the training
+      hot path.
+    - clamped-eigh (``tri=False``): F = Q Λ^{1/2} with eigenvalues floored at
+      a relative threshold, ``Finv = Λ^{-1/2} Qᵀ`` stored explicitly;
+      ``whiten`` is an MXU matmul and is NaN-free for any symmetric input.
+      Used on non-differentiated prediction paths where Kuu conditioning is
+      extreme. (Not for training: grad-of-eigh carries 1/(λi−λj) terms that
+      blow up on the clustered spectra these Kuu blocks have.)
+    """
+
+    __slots__ = ("F", "Finv", "tri")
+
+    def __init__(self, F, Finv=None, tri=True):
+        self.F = F          # (m, m), A = F @ F.T
+        self.Finv = Finv    # (m, m) explicit F⁻¹, only for tri=False
+        self.tri = tri
+
+    def whiten(self, b: jnp.ndarray) -> jnp.ndarray:
+        """F⁻¹ b — the whitening solve."""
+        if self.tri:
+            return jax.scipy.linalg.solve_triangular(self.F, b, lower=True)
+        return self.Finv @ b
+
+    @property
+    def logdet(self) -> jnp.ndarray:
+        """log|A| = 2 log|F|."""
+        if self.tri:
+            return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.F)))
+        # F = QΛ^{1/2}: |A| = |Λ|; diag of Finv @ F is I so use F columns
+        return 2.0 * jnp.sum(jnp.log(jnp.linalg.norm(self.F, axis=0)))
+
+
+jax.tree_util.register_pytree_node(
+    PSDFactor,
+    lambda f: ((f.F, f.Finv), f.tri),
+    lambda tri, c: PSDFactor(c[0], c[1], tri),
+)
+
+
+def psd_factor(a: jnp.ndarray, method: str = "chol", jitter: float = DEFAULT_JITTER) -> PSDFactor:
+    """PSD factor of ``(a + aᵀ)/2`` by the chosen method."""
+    if method == "chol":
+        return PSDFactor(safe_cholesky(a, jitter), tri=True)
+    if method == "eigh":
+        return psd_factor_eigh(a)
+    raise ValueError(f"unknown factor method {method!r}")
+
+
+def psd_factor_eigh(a: jnp.ndarray, rel_floor: float | None = None) -> PSDFactor:
+    """Clamped-eigh PSD factor of ``(a + aᵀ)/2``.
+
+    Eigenvalues are floored at ``rel_floor * max(λ)`` (dtype-dependent
+    default), capping the condition number; no failure mode exists.
+    """
+    a = 0.5 * (a + a.T)
+    if rel_floor is None:
+        rel_floor = EIG_FLOOR_F64 if a.dtype == jnp.float64 else EIG_FLOOR_F32
+    w, q = jnp.linalg.eigh(a)
+    w = jnp.maximum(w, rel_floor * jnp.max(w))
+    sw = jnp.sqrt(w)
+    return PSDFactor(F=q * sw[None, :], Finv=(q / sw[None, :]).T, tri=False)

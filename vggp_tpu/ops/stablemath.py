@@ -1,0 +1,61 @@
+"""Accuracy-compensated transcendental helpers for TPU.
+
+TPU VPU transcendentals (exp, sinh, expm1) are fast polynomial/table
+approximations with absolute error around 1e-6 — fine for neural nets,
+fatal for the cancellation-sensitive closed forms in this library. Observed
+failure: the Matérn-1/2 cell-integral Kuu diagonal ``2σ²ℓ²(expm1(-δ/ℓ)+δ/ℓ)``
+computed with TPU ``expm1`` at δ/ℓ ≈ 0.027 carries 0.5 % relative error,
+which makes the (cond ≈ 2e3!) Toeplitz Gram *indefinite* and its Cholesky
+NaN. CPU/f64 never sees this because the host libm expm1 is exact-rounded.
+
+The helpers here evaluate the small-|x| regime with explicit Horner series
+(coefficients exact in f32), reserving the hardware op for |x| ≥ 1 where no
+cancellation occurs. All are branch-free (`jnp.where`) and jit/grad-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Series coefficients 1/k! for k = 2..12 (float64 literals; exact enough
+# for both f32 and f64 evaluation of the remainder series).
+_INV_FACT = [
+    0.5,                       # 1/2!
+    1.6666666666666666e-01,    # 1/3!
+    4.1666666666666664e-02,    # 1/4!
+    8.3333333333333332e-03,    # 1/5!
+    1.3888888888888889e-03,    # 1/6!
+    1.9841269841269841e-04,    # 1/7!
+    2.4801587301587302e-05,    # 1/8!
+    2.7557319223985893e-06,    # 1/9!
+    2.7557319223985888e-07,    # 1/10!
+    2.5052108385441720e-08,    # 1/11!
+    2.0876756987868100e-09,    # 1/12!
+]
+
+
+def _series_expm1mx(x: jnp.ndarray) -> jnp.ndarray:
+    """Σ_{k≥2} x^k / k!  (= e^x - 1 - x), Horner form, |x| ≲ 1."""
+    acc = jnp.zeros_like(x) + _INV_FACT[-1]
+    for c in reversed(_INV_FACT[:-1]):
+        acc = acc * x + c
+    return acc * x * x
+
+
+def expm1mx(x: jnp.ndarray) -> jnp.ndarray:
+    """e^x − 1 − x, accurate for all x (series for |x| < 1).
+
+    This is the quantity behind the Matérn-1/2 integral Gram diagonal;
+    evaluating ``jnp.expm1(x) - x`` directly loses ~2 significant digits per
+    decade of smallness of x on TPU.
+    """
+    small = jnp.abs(x) < 1.0
+    xs = jnp.where(small, x, 0.0)  # keep series argument bounded
+    return jnp.where(small, _series_expm1mx(xs), jnp.expm1(x) - x)
+
+
+def expm1s(x: jnp.ndarray) -> jnp.ndarray:
+    """e^x − 1 with series evaluation for |x| < 1 (TPU expm1 is inexact)."""
+    small = jnp.abs(x) < 1.0
+    xs = jnp.where(small, x, 0.0)
+    return jnp.where(small, _series_expm1mx(xs) + xs, jnp.expm1(x))

@@ -1,0 +1,44 @@
+"""Symmetric Toeplitz operators.
+
+The reference builds dense Toeplitz matrices through
+``linear_operator.operators.ToeplitzLinearOperator`` (e.g.
+``src/models/sparse/univariate_structure.py:823``). Here:
+
+- ``sym_toeplitz_dense`` materializes via a single gather ``first_row[|i-j|]``
+  (one fused XLA op, no Python loops) — used when an O(m²) factorization is
+  needed anyway (Cholesky of a per-axis Kuu).
+- ``sym_toeplitz_matvec`` is the O(m log m) FFT circulant-embedding matvec for
+  iterative paths and very large axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sym_toeplitz_dense(first_row: jnp.ndarray) -> jnp.ndarray:
+    """Dense symmetric Toeplitz matrix T[i, j] = first_row[|i - j|]."""
+    m = first_row.shape[0]
+    idx = jnp.abs(jnp.arange(m)[:, None] - jnp.arange(m)[None, :])
+    return first_row[idx]
+
+
+def sym_toeplitz_matvec(first_row: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Matvec T @ v via circulant embedding + FFT, O(m log m).
+
+    ``v`` may be (m,) or (m, k); the product is applied down the first axis.
+    """
+    m = first_row.shape[0]
+    # circulant embedding of length 2m: [r0, r1, ..., r_{m-1}, 0, r_{m-1}, ..., r1]
+    c = jnp.concatenate(
+        [first_row, jnp.zeros((1,), dtype=first_row.dtype), first_row[1:][::-1]]
+    )
+    fc = jnp.fft.rfft(c)
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    vpad = jnp.concatenate([v, jnp.zeros((m, v.shape[1]), dtype=v.dtype)], axis=0)
+    fv = jnp.fft.rfft(vpad, axis=0)
+    out = jnp.fft.irfft(fc[:, None] * fv, n=2 * m, axis=0)[:m]
+    out = out.astype(v.dtype)
+    return out[:, 0] if squeeze else out

@@ -1,0 +1,283 @@
+"""Training loops, parameter transforms, init heuristics, checkpointing.
+
+Replaces the reference's hand-rolled notebook Adam loops (e.g. nb61 cell 35:
+``for i in range(N_ITER): loss = -model._elbo(); loss.backward(); step()``)
+with a single jit-compiled ``lax.scan`` over optimizer steps — one XLA
+program for the whole fit, no per-step Python dispatch.
+
+Positivity constraints (variance, lengthscale, noise) use a softplus
+bijector; models always see constrained values. History dicts mirror the
+reference's per-iteration records ``{elbo, scale_sigma_i, lengthscale_i,
+noise}`` (nb61 cells 28/35/42).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+POSITIVE_KEYS = ("variance", "lengthscale", "noise")
+
+# Positivity floors added under the softplus bijector. The noise floor is
+# load-bearing on TPU float32: without it the collapsed ELBO's cancellation
+# error (~ε·‖y‖²/σ²) becomes a spurious reward as σ²→0 and Adam drives the
+# likelihood noise to 1e-17 (observed on v5e). 1e-6 matches GPflow's default
+# positive_minimum; data is assumed roughly unit-scaled (the experiment
+# pipelines min-max/z-scale, as the reference's notebooks do).
+FLOORS = {"noise": 1e-6, "variance": 1e-8, "lengthscale": 1e-8}
+
+
+# --------------------------------------------------------------------------- #
+# softplus bijector for positive hyperparameters
+# --------------------------------------------------------------------------- #
+
+def softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def inv_softplus(y):
+    # log(e^y - 1), stable for large y
+    y = jnp.asarray(y)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def _map_positive(tree, fn):
+    """Apply ``fn(key, value)`` to values stored under POSITIVE_KEYS anywhere
+    in a nested dict/tuple/list structure; leave everything else untouched."""
+    if isinstance(tree, dict):
+        return {
+            k: (fn(k, v) if k in POSITIVE_KEYS else _map_positive(v, fn))
+            for k, v in tree.items()
+        }
+    if isinstance(tree, (tuple, list)):
+        t = type(tree)
+        return t(_map_positive(v, fn) for v in tree)
+    return tree
+
+
+def unconstrain(params: Dict) -> Dict:
+    """Constrained → unconstrained (softplus⁻¹ on positive leaves, floored)."""
+    return _map_positive(
+        params,
+        lambda k, v: inv_softplus(jnp.maximum(v - FLOORS[k], 1e-10)),
+    )
+
+
+def constrain(raw_params: Dict) -> Dict:
+    """Unconstrained → constrained (floor + softplus on positive leaves)."""
+    return _map_positive(raw_params, lambda k, v: FLOORS[k] + softplus(v))
+
+
+# --------------------------------------------------------------------------- #
+# init heuristics (reference univariate_structure.py:45-87,
+# kronecker_structure.py:34-88 semantics)
+# --------------------------------------------------------------------------- #
+
+def non_informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
+                         lmbda: float = 1.0, kappa: float = 2.0) -> Dict:
+    """variance ← var(y); noise ← variance/κ²; lengthscale_i ← std(x_i)/λ."""
+    if X.ndim == 1:
+        X = X[:, None]
+    y = jnp.reshape(y, (-1,))
+    yvar = jnp.var(y)
+    axes = []
+    for i, p in enumerate(params["axes"]):
+        q = dict(p)
+        q["variance"] = yvar.astype(p["variance"].dtype)
+        q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
+        axes.append(q)
+    out = dict(params)
+    out["axes"] = tuple(axes)
+    out["noise"] = (yvar / (kappa**2)).astype(params["noise"].dtype)
+    return out
+
+
+def informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
+                     prior_amplitude: float, lmbda: float = 1.0) -> Dict:
+    """variance ← (amplitude/2)²; noise ← var(y) − variance; ls_i ← std(x_i)/λ."""
+    if X.ndim == 1:
+        X = X[:, None]
+    y = jnp.reshape(y, (-1,))
+    var = jnp.asarray((prior_amplitude / 2.0) ** 2)
+    axes = []
+    for i, p in enumerate(params["axes"]):
+        q = dict(p)
+        q["variance"] = var.astype(p["variance"].dtype)
+        q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
+        axes.append(q)
+    out = dict(params)
+    out["axes"] = tuple(axes)
+    out["noise"] = jnp.maximum(jnp.var(y) - var, 1e-6 * jnp.var(y)).astype(params["noise"].dtype)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# fit loops
+# --------------------------------------------------------------------------- #
+
+def guarded_update(opt, raw, opt_state, val, grads):
+    """Apply an optimizer update only when loss and grads are all finite.
+
+    The NaN/PSD guard SURVEY.md §5 calls for: a non-finite step (e.g. a
+    transiently ill-conditioned Kuu during hyperparameter optimization) is
+    skipped instead of poisoning the parameters for every later iteration.
+    Branch-free (jnp.where) so it jits inside lax.scan.
+    """
+    finite = jax.tree.reduce(
+        lambda a, leaf: a & jnp.all(jnp.isfinite(leaf)), grads, jnp.isfinite(val)
+    )
+    updates, new_state = opt.update(grads, opt_state, raw)
+    new_raw = optax.apply_updates(raw, updates)
+    sel = lambda n, o: jnp.where(finite, n, o)
+    return jax.tree.map(sel, new_raw, raw), jax.tree.map(sel, new_state, opt_state)
+
+
+def _history_entry(params: Dict, loss_val) -> Dict:
+    h = {"loss": loss_val, "elbo": -loss_val, "noise": params["noise"]}
+    for i, p in enumerate(params["axes"]):
+        h[f"scale_sigma_{i + 1}"] = p["variance"]
+        h[f"lengthscale_{i + 1}"] = p["lengthscale"]
+    return h
+
+
+def fit(
+    loss_fn: Callable[[Dict], jnp.ndarray],
+    params: Dict,
+    n_iters: int,
+    learning_rate: float = 0.1,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    trainable: Optional[Callable[[Dict], Dict]] = None,
+) -> Tuple[Dict, Dict]:
+    """Full-batch fit: jitted lax.scan over Adam steps.
+
+    ``loss_fn(params)`` takes *constrained* params. Returns (final constrained
+    params, history dict of per-iteration arrays).
+    """
+    opt = optimizer or optax.adam(learning_rate)
+    raw = unconstrain(params)
+    opt_state = opt.init(raw)
+
+    def raw_loss(raw_p):
+        return loss_fn(constrain(raw_p))
+
+    @jax.jit
+    def run(raw, opt_state):
+        def step(carry, _):
+            raw, opt_state = carry
+            val, grads = jax.value_and_grad(raw_loss)(raw)
+            raw, opt_state = guarded_update(opt, raw, opt_state, val, grads)
+            return (raw, opt_state), _history_entry(constrain(raw), val)
+
+        (raw, opt_state), hist = jax.lax.scan(step, (raw, opt_state), None, length=n_iters)
+        return raw, opt_state, hist
+
+    raw, opt_state, hist = run(raw, opt_state)
+    return constrain(raw), jax.tree.map(jnp.asarray, hist)
+
+
+def fit_minibatch(
+    loss_fn: Callable[[Dict, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    params: Dict,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    n_iters: int,
+    batch_size: int,
+    learning_rate: float = 0.01,
+    seed: int = 0,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> Tuple[Dict, Dict]:
+    """Stochastic fit: each step draws a uniform minibatch (with replacement)
+    inside the jitted scan — the scalable SVGP path the reference lacks."""
+    opt = optimizer or optax.adam(learning_rate)
+    raw = unconstrain(params)
+    opt_state = opt.init(raw)
+    y = jnp.reshape(y, (-1,))
+    n = y.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    def raw_loss(raw_p, xb, yb):
+        return loss_fn(constrain(raw_p), xb, yb)
+
+    @jax.jit
+    def run(raw, opt_state, key):
+        def step(carry, _):
+            raw, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            idx = jax.random.randint(sub, (batch_size,), 0, n)
+            xb = X[idx] if X.ndim > 1 else X[idx]
+            yb = y[idx]
+            val, grads = jax.value_and_grad(raw_loss)(raw, xb, yb)
+            raw, opt_state = guarded_update(opt, raw, opt_state, val, grads)
+            return (raw, opt_state, key), _history_entry(constrain(raw), val)
+
+        (raw, opt_state, key), hist = jax.lax.scan(step, (raw, opt_state, key), None, length=n_iters)
+        return raw, opt_state, hist
+
+    raw, opt_state, hist = run(raw, opt_state, key)
+    return constrain(raw), jax.tree.map(jnp.asarray, hist)
+
+
+def make_step_fn(loss_fn, optimizer: optax.GradientTransformation):
+    """Return a jitted single train step over raw params — building block for
+    custom loops, benchmarking, and the multi-chip path."""
+
+    def raw_loss(raw_p, *args):
+        return loss_fn(constrain(raw_p), *args)
+
+    @jax.jit
+    def step(raw, opt_state, *args):
+        val, grads = jax.value_and_grad(raw_loss)(raw, *args)
+        raw, opt_state = guarded_update(optimizer, raw, opt_state, val, grads)
+        return raw, opt_state, val
+
+    return step
+
+
+# --------------------------------------------------------------------------- #
+# checkpointing (orbax) and metrics logging
+# --------------------------------------------------------------------------- #
+
+def save_checkpoint(path: str, params: Dict, step: int = 0) -> None:
+    """Save a param pytree with orbax (reference has no checkpointing —
+    SURVEY.md §5)."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, str(step)), params, force=True)
+
+
+def load_checkpoint(path: str, step: int = 0) -> Dict:
+    import orbax.checkpoint as ocp
+    import os
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(path), str(step)))
+
+
+class MetricsLogger:
+    """Minimal structured metrics logger (jsonl) with optional profiler hooks."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.records = []
+
+    def log(self, step: int, **metrics) -> None:
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            rec[k] = float(v)
+        self.records.append(rec)
+        if self.path:
+            import json
+
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+
+def profile_trace(log_dir: str):
+    """Context manager emitting a jax.profiler trace (SURVEY.md §5 tracing)."""
+    return jax.profiler.trace(log_dir)

@@ -1,0 +1,93 @@
+"""Evaluation metrics.
+
+mse/mae/rmse/r² mirror reference ``src/utils/evaluationmetrics.py:6-54``
+(including the 2D-shape contract). nlpd and msll are the two metrics the
+reference imports from a missing module (SURVEY.md §1 "missing-but-referenced"):
+their behavior is recovered from nb61 call sites — an evaluation row is
+``[mse, mae, rmse, r2, nlpd, msll]``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _check(true, pred):
+    if true.ndim != 2 or pred.ndim != 2:
+        raise AssertionError(
+            f"tensors must be 2D, got {true.ndim}D and {pred.ndim}D"
+        )
+    if true.shape != pred.shape:
+        raise AssertionError(f"shape mismatch: {true.shape} vs {pred.shape}")
+
+
+def mean_squared_error(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    _check(true, pred)
+    return jnp.mean((true - pred) ** 2)
+
+
+def mean_absolute_error(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    _check(true, pred)
+    return jnp.mean(jnp.abs(true - pred))
+
+
+def root_mean_squared_error(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    _check(true, pred)
+    return jnp.sqrt(jnp.mean((true - pred) ** 2))
+
+
+def r_squared(true: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    _check(true, pred)
+    rss = jnp.sum((true - pred) ** 2)
+    tss = jnp.sum((true - jnp.mean(true)) ** 2)
+    return 1.0 - rss / tss
+
+
+def negative_log_predictive_density(
+    true: jnp.ndarray, pred_mean: jnp.ndarray, pred_var: jnp.ndarray
+) -> jnp.ndarray:
+    """NLPD = −mean log N(y* | μ*, σ*²) under the predictive marginals."""
+    true = jnp.reshape(true, (-1,))
+    mu = jnp.reshape(pred_mean, (-1,))
+    var = jnp.reshape(pred_var, (-1,))
+    logp = -0.5 * jnp.log(2.0 * jnp.pi * var) - (true - mu) ** 2 / (2.0 * var)
+    return -jnp.mean(logp)
+
+
+def mean_standardized_log_loss(
+    true: jnp.ndarray,
+    pred_mean: jnp.ndarray,
+    pred_var: jnp.ndarray,
+    train_y: jnp.ndarray,
+) -> jnp.ndarray:
+    """MSLL: NLPD minus the NLPD of the trivial N(mean(y_train), var(y_train))."""
+    true = jnp.reshape(true, (-1,))
+    ty = jnp.reshape(train_y, (-1,))
+    mu0, var0 = jnp.mean(ty), jnp.var(ty)
+    nlpd_model = negative_log_predictive_density(true, pred_mean, pred_var)
+    logp0 = -0.5 * jnp.log(2.0 * jnp.pi * var0) - (true - mu0) ** 2 / (2.0 * var0)
+    return nlpd_model - (-jnp.mean(logp0))
+
+
+# nb61 imports the name `mean_squared_log_loss`; its printed values are
+# standardized log losses — alias accordingly.
+mean_squared_log_loss = mean_standardized_log_loss
+
+
+def evaluation_metric_row(
+    true: jnp.ndarray,
+    pred_mean: jnp.ndarray,
+    pred_var: jnp.ndarray,
+    train_y: jnp.ndarray,
+):
+    """[mse, mae, rmse, r2, nlpd, msll] — nb61 cell 65 row layout."""
+    t2 = jnp.reshape(true, (-1, 1))
+    p2 = jnp.reshape(pred_mean, (-1, 1))
+    return [
+        float(mean_squared_error(t2, p2)),
+        float(mean_absolute_error(t2, p2)),
+        float(root_mean_squared_error(t2, p2)),
+        float(r_squared(t2, p2)),
+        float(negative_log_predictive_density(true, pred_mean, pred_var)),
+        float(mean_standardized_log_loss(true, pred_mean, pred_var, train_y)),
+    ]

@@ -1,0 +1,298 @@
+"""Model-level tests: factored implementations vs brute-force dense math.
+
+Strategy (SURVEY.md §4): every factored/structured computation is
+cross-checked against a dense float64 oracle built from the same blocks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggp_tpu import kernels
+from vggp_tpu.features import (
+    B1SplineFeature,
+    CellIntegralFeature,
+    FourierFeature,
+    PointFeature,
+)
+from vggp_tpu.models import exact, sgpr, svgp
+from vggp_tpu.utils import gen_1d, gen_2d, integrate_1d
+
+
+def _data_1d(n=20, noise=0.05, seed=0):
+    f = lambda x: np.sin(2 * x) + np.cos(5 * x)
+    X, y = gen_1d(f, 0.0, 1.0, n)
+    y = y + noise * np.random.default_rng(seed).standard_normal(n)
+    return jnp.asarray(X), jnp.asarray(y), f
+
+
+def _data_2d(n_side=12, noise=0.05, seed=0):
+    f = lambda a, b: np.sin(3 * a) * np.cos(3 * b)
+    X, y = gen_2d(f, (0, 1), (0, 1), n_side)
+    y = y + noise * np.random.default_rng(seed).standard_normal(y.shape)
+    return jnp.asarray(X), jnp.asarray(y), f
+
+
+def _params_1d(feat, ls=0.3, var=1.2, noise=0.01):
+    p = {"variance": jnp.asarray(var), "lengthscale": jnp.asarray(ls)}
+    p.update(feat.init_params(jnp.float64))
+    return {"axes": (p,), "noise": jnp.asarray(noise)}
+
+
+def _params_2d(f1, f2, ls=0.3, var=1.2, noise=0.01):
+    ps = []
+    for f in (f1, f2):
+        p = {"variance": jnp.asarray(var), "lengthscale": jnp.asarray(ls)}
+        p.update(f.init_params(jnp.float64))
+        ps.append(p)
+    return {"axes": tuple(ps), "noise": jnp.asarray(noise)}
+
+
+def _dense_collapsed_elbo(Kuu, Kuf, kff_diag, y, noise):
+    """Reference Titsias bound, dense f64 (univariate_structure.py:234-263)."""
+    Kuu, Kuf, y = np.asarray(Kuu), np.asarray(Kuf), np.asarray(y)
+    n = y.shape[0]
+    Qff = Kuf.T @ np.linalg.solve(Kuu + 1e-12 * np.eye(Kuu.shape[0]), Kuf)
+    S = Qff + noise * np.eye(n)
+    sign, logdet = np.linalg.slogdet(S)
+    quad = y @ np.linalg.solve(S, y)
+    logp = -0.5 * (n * np.log(2 * np.pi) + logdet + quad)
+    trace = np.sum(np.asarray(kff_diag)) - np.trace(Qff)
+    return logp - trace / (2 * noise)
+
+
+FEATURES_1D = [
+    ("gridded", lambda: CellIntegralFeature.from_lims(10, 0.0, 1.0)),
+    ("points", lambda: PointFeature(8, np.linspace(0.05, 0.95, 8))),
+    ("vff", lambda: FourierFeature(4, 0.0, 1.0)),
+    ("b1", lambda: B1SplineFeature(np.linspace(0.0, 1.0, 9))),
+]
+
+
+@pytest.mark.parametrize("name,make", FEATURES_1D)
+def test_sgpr_elbo_matches_dense_1d(name, make):
+    feat = make()
+    X, y, _ = _data_1d()
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = _params_1d(feat)
+    got = float(sgpr.elbo(spec, p, X, y))
+    kuu = feat.Kuu("matern12", p["axes"][0])
+    kuf = feat.Kuf("matern12", p["axes"][0], X)
+    kff = kernels.kdiag_1d("matern12", X, p["axes"][0]["variance"], p["axes"][0]["lengthscale"])
+    want = _dense_collapsed_elbo(kuu, kuf, kff, y, float(p["noise"]))
+    assert got == pytest.approx(want, rel=1e-6), name
+
+
+def test_sgpr_elbo_matches_dense_2d_kron():
+    g1 = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(5, 0.0, 1.0)
+    X, y, _ = _data_2d()
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=(g1, g2), jitter=1e-12)
+    p = _params_2d(g1, g2)
+    got = float(sgpr.elbo(spec, p, X, y))
+    kuu = np.kron(
+        np.asarray(g1.Kuu("matern12", p["axes"][0])),
+        np.asarray(g2.Kuu("matern12", p["axes"][1])),
+    )
+    k1 = np.asarray(g1.Kuf("matern12", p["axes"][0], X[:, 0]))
+    k2 = np.asarray(g2.Kuf("matern12", p["axes"][1], X[:, 1]))
+    kuf = np.einsum("in,jn->ijn", k1, k2).reshape(-1, X.shape[0])
+    kff = np.full(X.shape[0], float(p["axes"][0]["variance"] * p["axes"][1]["variance"]))
+    want = _dense_collapsed_elbo(kuu, kuf, kff, y, float(p["noise"]))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_sgpr_elbo_below_exact_mll():
+    """Titsias bound never exceeds the exact log marginal likelihood."""
+    X, y, _ = _data_1d()
+    grid = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    spec_s = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    spec_e = exact.ExactGPSpec(kinds=("matern12",))
+    p = _params_1d(grid)
+    assert float(sgpr.elbo(spec_s, p, X, y)) <= float(exact.mll(spec_e, p, X, y)) + 1e-8
+
+
+def test_exact_posterior_matches_dense():
+    X, y, _ = _data_1d()
+    xs = jnp.linspace(0.0, 1.0, 33)
+    spec = exact.ExactGPSpec(kinds=("matern12",), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.2), "lengthscale": jnp.asarray(0.3)},),
+         "noise": jnp.asarray(0.01)}
+    post = exact.posterior(spec, p, X, y, xs, full_cov=True)
+    kxx = np.asarray(kernels.gram_1d("matern12", X, X, 1.2, 0.3)) + 0.01 * np.eye(X.shape[0])
+    kxs = np.asarray(kernels.gram_1d("matern12", X, xs, 1.2, 0.3))
+    kss = np.asarray(kernels.gram_1d("matern12", xs, xs, 1.2, 0.3))
+    mean = kxs.T @ np.linalg.solve(kxx, np.asarray(y))
+    cov = kss - kxs.T @ np.linalg.solve(kxx, kxs)
+    np.testing.assert_allclose(np.asarray(post.mean), mean, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(post.cov), cov, rtol=1e-4, atol=1e-7)
+
+
+def test_sgpr_posterior_matches_dense():
+    """q(f*) mean/cov vs the dense optimal-q formulas."""
+    X, y, _ = _data_1d()
+    xs = jnp.linspace(0.0, 1.0, 17)
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,), jitter=1e-12)
+    p = _params_1d(grid)
+    post = sgpr.posterior(spec, p, X, y, xs, full_cov=True)
+    noise = float(p["noise"])
+    kuu = np.asarray(grid.Kuu("matern12", p["axes"][0]))
+    kuf = np.asarray(grid.Kuf("matern12", p["axes"][0], X))
+    kus = np.asarray(grid.Kuf("matern12", p["axes"][0], xs))
+    kss = np.asarray(kernels.gram_1d("matern12", xs, xs, 1.2, 0.3))
+    sigma = kuu + kuf @ kuf.T / noise
+    mean = kus.T @ np.linalg.solve(sigma, kuf @ np.asarray(y)) / noise
+    cov = kss - kus.T @ np.linalg.solve(kuu, kus) + kus.T @ np.linalg.solve(sigma, kus)
+    np.testing.assert_allclose(np.asarray(post.mean), mean, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(post.cov), cov, rtol=1e-4, atol=1e-7)
+
+
+def test_gridded_qv_equals_qu_when_grid_is_feature():
+    """Direct GriddedGP: q(v) over its own cells == q(u)."""
+    X, y, _ = _data_1d()
+    grid = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,), jitter=1e-12)
+    p = _params_1d(grid)
+    qu = sgpr.q_u(spec, p, X, y)
+    qv = sgpr.q_v(spec, p, X, y, (grid,), full_cov=True)
+    np.testing.assert_allclose(np.asarray(qv.mean), np.asarray(qu.mean), rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qv.cov), np.asarray(qu.cov), rtol=1e-3, atol=1e-9)
+
+
+def test_qv_mean_matches_quadrature_after_good_fit():
+    """q(v) cell means track true integrals (nb4 validation pattern)."""
+    X, y, f = _data_1d(n=60, noise=0.01)
+    grid = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    p = _params_1d(grid, ls=0.25, var=1.0, noise=0.001)
+    qv = sgpr.q_v(spec, p, X, y, (grid,), full_cov=False)
+    truth, _ = integrate_1d(f, grid.mesh)
+    assert np.abs(np.asarray(qv.mean) - truth).max() < 0.02
+    assert np.asarray(qv.var).min() > 0
+
+
+def test_exact_qv_matches_dense():
+    X, y, _ = _data_1d()
+    grid = CellIntegralFeature.from_lims(9, 0.0, 1.0)
+    spec = exact.ExactGPSpec(kinds=("matern12",), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.2), "lengthscale": jnp.asarray(0.3)},),
+         "noise": jnp.asarray(0.01)}
+    qv = exact.q_v(spec, p, X, y, (grid,), full_cov=True)
+    ax = p["axes"][0]
+    kxx = np.asarray(kernels.gram_1d("matern12", X, X, 1.2, 0.3)) + 0.01 * np.eye(X.shape[0])
+    kvx = np.asarray(grid.Kuf("matern12", ax, X))
+    kvv = np.asarray(grid.Kuu("matern12", ax))
+    mean = kvx @ np.linalg.solve(kxx, np.asarray(y))
+    cov = kvv - kvx @ np.linalg.solve(kxx, kvx.T)
+    np.testing.assert_allclose(np.asarray(qv.mean), mean, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qv.cov), cov, rtol=1e-4, atol=1e-8)
+
+
+# ---------------------------------------------------------------------- #
+# whitened SVGP
+# ---------------------------------------------------------------------- #
+
+def test_svgp_kl_zero_at_prior():
+    grid = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12",), features=(grid,), num_data=10)
+    p = spec.init_params(jnp.float64)
+    assert float(svgp.kl(spec, p)) == pytest.approx(0.0, abs=1e-10)
+
+
+def test_svgp_kron_kl_matches_full():
+    """Kron-factored KL equals the full KL of the kron'd covariance."""
+    g1 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(3, 0.0, 1.0)
+    spec_k = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=10, variational="kron")
+    spec_f = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=10, variational="full")
+    rng = np.random.default_rng(1)
+    L1 = np.tril(rng.standard_normal((4, 4))) * 0.2 + np.eye(4)
+    L2 = np.tril(rng.standard_normal((3, 3))) * 0.2 + np.eye(3)
+    mu = rng.standard_normal((4, 3)) * 0.3
+    pk = spec_k.init_params(jnp.float64)
+    pk["q"] = {
+        "mu": jnp.asarray(mu),
+        "raw_L1": svgp.raw_from_chol(jnp.asarray(L1)),
+        "raw_L2": svgp.raw_from_chol(jnp.asarray(L2)),
+    }
+    pf = spec_f.init_params(jnp.float64)
+    Lk = np.kron(L1, L2)
+    # kron(L1,L2) is lower-triangular with positive diag: a valid factor of S1⊗S2
+    pf["q"] = {"mu": jnp.asarray(mu.reshape(-1)), "raw_L": svgp.raw_from_chol(jnp.asarray(Lk))}
+    assert float(svgp.kl(spec_k, pk)) == pytest.approx(float(svgp.kl(spec_f, pf)), rel=1e-9)
+
+
+def test_svgp_kron_elbo_matches_full():
+    """Kron variational family == full family when S = S1 ⊗ S2."""
+    g1 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(3, 0.0, 1.0)
+    X, y, _ = _data_2d(n_side=7)
+    rng = np.random.default_rng(2)
+    L1 = np.tril(rng.standard_normal((4, 4))) * 0.2 + np.eye(4)
+    L2 = np.tril(rng.standard_normal((3, 3))) * 0.2 + np.eye(3)
+    mu = rng.standard_normal((4, 3)) * 0.3
+    spec_k = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=X.shape[0], variational="kron")
+    spec_f = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=X.shape[0], variational="full")
+    pk = _params_2d(g1, g2)
+    pk["q"] = {"mu": jnp.asarray(mu), "raw_L1": svgp.raw_from_chol(jnp.asarray(L1)),
+               "raw_L2": svgp.raw_from_chol(jnp.asarray(L2))}
+    pf = _params_2d(g1, g2)
+    pf["q"] = {"mu": jnp.asarray(mu.reshape(-1)),
+               "raw_L": svgp.raw_from_chol(jnp.asarray(np.kron(L1, L2)))}
+    ek = float(svgp.elbo(spec_k, pk, X, y))
+    ef = float(svgp.elbo(spec_f, pf, X, y))
+    assert ek == pytest.approx(ef, rel=1e-8)
+
+
+def test_svgp_elbo_below_exact_mll():
+    """Uncollapsed ELBO ≤ exact MLL for any q."""
+    X, y, _ = _data_1d()
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12",), features=(grid,), num_data=X.shape[0])
+    p = _params_1d(grid)
+    p["q"] = spec.init_params(jnp.float64)["q"]
+    spec_e = exact.ExactGPSpec(kinds=("matern12",))
+    assert float(svgp.elbo(spec, p, X, y)) <= float(exact.mll(spec_e, p, X, y)) + 1e-8
+
+
+def test_svgp_posterior_full_vs_diag_consistent():
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12",), features=(grid,), num_data=10)
+    p = _params_1d(grid)
+    p["q"] = spec.init_params(jnp.float64)["q"]
+    xs = jnp.linspace(0.0, 1.0, 13)
+    d = svgp.posterior(spec, p, xs, full_cov=False)
+    f = svgp.posterior(spec, p, xs, full_cov=True)
+    np.testing.assert_allclose(np.asarray(d.mean), np.asarray(f.mean), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(d.variance()), np.asarray(f.variance()),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_svgp_qv_full_vs_kron_family():
+    """q(v) under the kron family == full family when S = S1 ⊗ S2."""
+    g1 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(3, 0.0, 1.0)
+    rng = np.random.default_rng(3)
+    L1 = np.tril(rng.standard_normal((4, 4))) * 0.2 + np.eye(4)
+    L2 = np.tril(rng.standard_normal((3, 3))) * 0.2 + np.eye(3)
+    mu = rng.standard_normal((4, 3)) * 0.3
+    spec_k = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=10, variational="kron")
+    spec_f = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                           num_data=10, variational="full")
+    pk = _params_2d(g1, g2)
+    pk["q"] = {"mu": jnp.asarray(mu), "raw_L1": svgp.raw_from_chol(jnp.asarray(L1)),
+               "raw_L2": svgp.raw_from_chol(jnp.asarray(L2))}
+    pf = _params_2d(g1, g2)
+    pf["q"] = {"mu": jnp.asarray(mu.reshape(-1)),
+               "raw_L": svgp.raw_from_chol(jnp.asarray(np.kron(L1, L2)))}
+    qk = svgp.q_v(spec_k, pk, (g1, g2), full_cov=False)
+    qf = svgp.q_v(spec_f, pf, (g1, g2), full_cov=False)
+    np.testing.assert_allclose(np.asarray(qk.mean), np.asarray(qf.mean), rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qk.var), np.asarray(qf.var), rtol=1e-5, atol=1e-12)

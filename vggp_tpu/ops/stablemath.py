@@ -17,8 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Series coefficients 1/k! for k = 2..12 (float64 literals; exact enough
-# for both f32 and f64 evaluation of the remainder series).
+# Series coefficients 1/k! for k = 2..18 (float64 literals; enough terms
+# that the truncation error at |x| = 1 is below f64 eps).
 _INV_FACT = [
     0.5,                       # 1/2!
     1.6666666666666666e-01,    # 1/3!
@@ -31,6 +31,12 @@ _INV_FACT = [
     2.7557319223985888e-07,    # 1/10!
     2.5052108385441720e-08,    # 1/11!
     2.0876756987868100e-09,    # 1/12!
+    1.6059043836821613e-10,    # 1/13!
+    1.1470745597729725e-11,    # 1/14!
+    7.6471637318198164e-13,    # 1/15!
+    4.7794773323873853e-14,    # 1/16!
+    2.8114572543455206e-15,    # 1/17!
+    1.5619206968586226e-16,    # 1/18!
 ]
 
 

@@ -70,6 +70,14 @@ def make_sharded_svgp_step(
         model_axis = None
     if model_axis is not None and mesh.shape.get(model_axis, 1) == 1:
         model_axis = None
+    if (
+        model_axis is not None
+        and spec.variational == "kron"
+        and spec.axis_m[1] % mesh.shape[model_axis] != 0
+    ):
+        # GSPMD needs the sharded dim divisible by the axis size; fall back
+        # to replicating the variational state (DP still applies).
+        model_axis = None
 
     def raw_loss(raw, xb, yb):
         return svgp.loss(spec, vtrain.constrain(raw), xb, yb)

@@ -1,0 +1,96 @@
+"""Data-layer tests: track generator, synthetic field, Gulf Stream interface,
+grid integrators."""
+
+import numpy as np
+import pytest
+
+from vggp_tpu.data import (
+    SyntheticGulfStream,
+    generate_track,
+    synthetic_ssh_field,
+)
+from vggp_tpu.data.missions import MissionData
+from vggp_tpu.utils.integrators import average_grid_2d, simpson_grid_2d, trapz_grid_2d
+
+
+def test_synthetic_field_shape_and_scale():
+    field, lons, lats = synthetic_ssh_field(n=300, seed=1)
+    assert field.shape == (300, 300)
+    assert lons.shape == (300,) and lats.shape == (300,)
+    # Gulf-Stream-like SSH amplitude, O(±1) m
+    assert 0.2 < np.abs(field).max() < 2.0
+    # deterministic in seed
+    f2, _, _ = synthetic_ssh_field(n=300, seed=1)
+    np.testing.assert_array_equal(field, f2)
+
+
+def test_generate_track_geometry():
+    field, lons, lats = synthetic_ssh_field(n=120, seed=0)
+    lon, lat, val = generate_track(field, lons, lats, trajectory_gradient=2,
+                                   track_sparsity=2.0, observation_sparsity=0)
+    assert len(lon) == len(lat) == len(val) > 100
+    # observations come from the field: check a few samples exactly
+    lon_idx = np.searchsorted(lons, lon[:50])
+    lat_idx = np.searchsorted(lats, lat[:50])
+    np.testing.assert_allclose(val[:50], field[lat_idx, lon_idx])
+    # sparsity subsamples
+    lon_s, _, _ = generate_track(field, lons, lats, 2, 2.0, 5)
+    assert len(lon_s) == int(np.ceil(len(lon) / 5))
+
+
+def test_generate_track_validates_sparsity():
+    field, lons, lats = synthetic_ssh_field(n=60)
+    with pytest.raises(ValueError):
+        generate_track(field, lons, lats, 1, 0.0, 0)
+    with pytest.raises(ValueError):
+        generate_track(field, lons, lats, 1, 11.0, 0)
+
+
+def test_synthetic_gulfstream_interface():
+    ds = SyntheticGulfStream(seed=4, n=240)
+    X, y = ds.obs_train_data(3)
+    assert X.ndim == 2 and X.shape[1] == 2 and len(y) == X.shape[0]
+    assert X.min() >= 0.0 and X.max() <= 1.0
+    g_avg = ds.grid_ref_data_average(12)
+    g_trapz = ds.grid_ref_data_trapz(12)
+    g_simp = ds.grid_ref_data_simpson(12)
+    assert g_avg.shape == g_trapz.shape == g_simp.shape == (12, 12)
+    # integral ≈ mean × cell area in scaled coords
+    cell_area = (1.0 / 12) ** 2
+    np.testing.assert_allclose(g_trapz, g_avg * cell_area, rtol=0.15, atol=2e-4)
+    np.testing.assert_allclose(g_simp, g_trapz, rtol=0.05, atol=2e-4)
+
+
+def test_synthetic_gulfstream_different_seeds_differ():
+    a = SyntheticGulfStream(seed=1, n=120).grid_ref_data_average(6)
+    b = SyntheticGulfStream(seed=2, n=120).grid_ref_data_average(6)
+    assert np.abs(a - b).max() > 1e-3
+
+
+def test_grid_integrators_constant_field():
+    """On a constant field every gridding rule gives value × cell area."""
+    n = 120
+    xs = np.linspace(0, 1, n)
+    field = np.full((n, n), 2.5)
+    for fn in (trapz_grid_2d, simpson_grid_2d):
+        out = fn(field, xs, ys=xs, n_grids=6)
+        np.testing.assert_allclose(out, 2.5 * ((xs[19] - xs[0])) ** 2, rtol=1e-6)
+    np.testing.assert_allclose(average_grid_2d(field, 6), 2.5)
+
+
+def test_mission_data_rejects_bad_name(tmp_path):
+    with pytest.raises(ValueError):
+        MissionData(str(tmp_path), "not-a-mission", ["2013"], ["04"])
+
+
+def test_mission_data_requires_xarray_or_loads(tmp_path):
+    """Without xarray installed the loader raises the documented ImportError;
+    with it, missing directories yield an empty dataset."""
+    try:
+        import xarray  # noqa: F401
+
+        md = MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)
+        assert not len(md.mission_data.data_vars)
+    except ImportError:
+        with pytest.raises(ImportError, match="xarray"):
+            MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)

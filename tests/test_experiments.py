@@ -1,0 +1,71 @@
+"""Experiment-layer smoke tests (tiny iteration counts, CPU)."""
+
+import numpy as np
+import pytest
+
+from vggp_tpu.experiments import (
+    EXP_1_TRAIN,
+    check_tensors_equal,
+    cross_validation_dict,
+    load_gulf_stream_data,
+    make_training_history_dict,
+)
+from vggp_tpu.experiments import kronecker, northsea, simtracks, univariate
+
+
+def test_history_and_cv_dicts():
+    h = make_training_history_dict(10)
+    assert h["n_iter"] == 10 and h["elbo"] == []
+    cv = cross_validation_dict(3)
+    assert len(cv["setting"]) == 3
+
+
+def test_check_tensors_equal():
+    a = np.arange(5.0)
+    check_tensors_equal(a, a.copy())
+    with pytest.raises(AssertionError):
+        check_tensors_equal(a, a + 1e-3)
+
+
+def test_load_gulf_stream_data_synthetic_fallback(tmp_path):
+    ds = load_gulf_stream_data(str(tmp_path), str(tmp_path), EXP_1_TRAIN)
+    X, y = ds.obs_train_data(5)
+    assert X.shape[1] == 2 and len(y) == len(X)
+    g = ds.grid_ref_data_simpson(EXP_1_TRAIN["N_SPLINES"])
+    assert g.shape == (20, 20)
+
+
+def test_univariate_experiment_smoke(tmp_path):
+    res = univariate.run(n_iters=30, outdir=str(tmp_path))
+    assert set(res["models"]) == {"exactgp", "svgp", "vffgp", "asvgp", "griddedgp"}
+    for r in res["models"].values():
+        assert np.isfinite(r["final_loss"])
+        assert len(r["metrics"]) == 6
+    assert (tmp_path / "metrics.json").exists()
+    assert (tmp_path / "posterior_griddedgp.png").exists()
+
+
+def test_kronecker_experiment_smoke(tmp_path):
+    res = kronecker.run(n_side=10, n_iters=20, n_grid=5, outdir=str(tmp_path),
+                        include_exact=False)
+    assert set(res["models"]) == {"svgp", "vffgp", "asvgp", "griddedgp"}
+    for r in res["models"].values():
+        assert np.isfinite(r["final_loss"])
+        assert r["qv_grid"].shape == (5, 5)
+    assert (tmp_path / "qv_means.png").exists()
+
+
+def test_simtracks_experiment_smoke(tmp_path):
+    res = simtracks.run(n_iters=15, n_grid=8, observation_sparsity=40,
+                        outdir=str(tmp_path))
+    assert res["n_obs"] > 50
+    assert "griddedgp" in res["models"]
+    assert (tmp_path / "metrics.json").exists()
+
+
+def test_northsea_experiment_smoke(tmp_path):
+    res = northsea.run(n_iters=15, n_grid=8, max_obs=800, outdir=str(tmp_path))
+    for r in res["models"].values():
+        assert np.isfinite(r["final_loss"])
+        assert r["qv_mean"].shape == (8, 8)
+        assert r["qv_var"].min() > 0

@@ -1,0 +1,94 @@
+"""Experiment bookkeeping helpers.
+
+Equivalents of the reference's missing ``src.utils.misc`` module, with
+behavior recovered from nb61 call sites (SURVEY.md §1): per-iteration
+training-history dicts (cells 27-30), per-setting cross-validation dicts
+(cells 32, 39), and the 6-metric evaluation row ``[mse, mae, rmse, r2,
+nlpd, msll]`` (cell 65).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vggp_tpu.models.common import Gaussian
+
+
+def make_training_history_dict(n_iter: int) -> Dict:
+    """Pre-sized history record for an ``n_iter`` fit (nb61 cell 27)."""
+    return {
+        "n_iter": n_iter,
+        "learning_rate": None,
+        "elbo": [],
+        "loss": [],
+        "noise": [],
+        "scale_sigma_1": [],
+        "scale_sigma_2": [],
+        "lengthscale_1": [],
+        "lengthscale_2": [],
+    }
+
+
+def record_history(history: Dict, fit_history: Dict) -> Dict:
+    """Fill a training-history dict from a :func:`vggp_tpu.train.fit` result."""
+    for k in history:
+        if k in ("n_iter", "learning_rate"):
+            continue
+        if k in fit_history:
+            history[k] = list(np.asarray(fit_history[k]).astype(float))
+    return history
+
+
+def cross_validation_dict(n_settings: int) -> Dict:
+    """Per-setting CV record (nb61 cells 32/39)."""
+    return {
+        "setting": [None] * n_settings,
+        "train_metrics": [None] * n_settings,
+        "val_metrics": [None] * n_settings,
+        "train_elbo": [None] * n_settings,
+        "val_elbo": [None] * n_settings,
+    }
+
+
+def evaluation_metric_row(
+    true_grid: np.ndarray,
+    grid_pred: Gaussian,
+    train_y: Optional[np.ndarray] = None,
+) -> List[float]:
+    """``[mse, mae, rmse, r2, nlpd, msll]`` of a gridded prediction vs truth
+    (nb61 cell 65 row layout).
+
+    ``true_grid`` is the (g1, g2) or flat ground-truth integral grid;
+    ``grid_pred`` a q(v) Gaussian. MSLL's trivial-model baseline uses
+    ``train_y`` when given, else the truth grid itself.
+    """
+    truth = np.asarray(true_grid, dtype=np.float64).reshape(-1)
+    mean = np.asarray(grid_pred.mean, dtype=np.float64).reshape(-1)
+    var = np.asarray(grid_pred.variance(), dtype=np.float64).reshape(-1)
+    ty = truth if train_y is None else np.asarray(train_y, dtype=np.float64).reshape(-1)
+    # pure numpy (host): on remote-TPU backends eager jnp pays a network
+    # round-trip per op, which dwarfs this tiny computation
+    err = truth - mean
+    mse = float(np.mean(err**2))
+    mae = float(np.mean(np.abs(err)))
+    rmse = float(np.sqrt(mse))
+    r2 = float(1.0 - np.sum(err**2) / np.sum((truth - truth.mean()) ** 2))
+    logp = -0.5 * np.log(2 * np.pi * var) - err**2 / (2 * var)
+    nlpd = float(-np.mean(logp))
+    mu0, var0 = ty.mean(), ty.var()
+    logp0 = -0.5 * np.log(2 * np.pi * var0) - (truth - mu0) ** 2 / (2 * var0)
+    msll = nlpd - float(-np.mean(logp0))
+    return [mse, mae, rmse, r2, nlpd, msll]
+
+
+def check_tensors_equal(*arrays, atol: float = 0.0) -> bool:
+    """Assert all arrays are elementwise equal (nb4 cell 24 mesh-consistency
+    check). Returns True; raises AssertionError with the first offender."""
+    ref = np.asarray(arrays[0])
+    for i, a in enumerate(arrays[1:], start=1):
+        a = np.asarray(a)
+        if a.shape != ref.shape or not np.allclose(ref, a, atol=atol, rtol=0.0):
+            raise AssertionError(f"array {i} differs from array 0")
+    return True

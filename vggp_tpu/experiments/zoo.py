@@ -1,0 +1,90 @@
+"""Model-zoo constructors shared by the experiment scripts.
+
+One SGPR spec per reference model family (SVGP / VFF / ASVGP / GriddedGP are
+feature choices here — SURVEY.md §7), 1D or 2D, plus the exact GP.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from vggp_tpu.features import (
+    B1SplineFeature,
+    CellIntegralFeature,
+    FourierFeature,
+    PointFeature,
+)
+from vggp_tpu.models import exact, sgpr
+
+KIND = "matern12"
+
+
+def exact_spec(ndim: int) -> exact.ExactGPSpec:
+    return exact.ExactGPSpec(kinds=(KIND,) * ndim)
+
+
+def sgpr_specs_1d(
+    lims: Tuple[float, float] = (0.0, 1.0),
+    n_inducing: int = 10,
+    n_frequencies: int = 10,
+    n_knots: int = 15,
+    n_cells: int = 10,
+) -> Dict[str, sgpr.SGPRSpec]:
+    """The nb1 model zoo: SVGP(10 Z), VFF(10 freq), ASVGP(15 knots),
+    GriddedGP(10 cells)."""
+    a, b = lims
+    pad = 0.05 * (b - a)
+    return {
+        "svgp": sgpr.SGPRSpec(
+            kinds=(KIND,),
+            features=(PointFeature(n_inducing, np.linspace(a + pad, b - pad, n_inducing)),),
+        ),
+        "vffgp": sgpr.SGPRSpec(
+            kinds=(KIND,), features=(FourierFeature(n_frequencies, a, b),)
+        ),
+        "asvgp": sgpr.SGPRSpec(
+            kinds=(KIND,), features=(B1SplineFeature(np.linspace(a, b, n_knots)),)
+        ),
+        "griddedgp": sgpr.SGPRSpec(
+            kinds=(KIND,), features=(CellIntegralFeature.from_lims(n_cells, a, b),)
+        ),
+    }
+
+
+def sgpr_specs_2d(
+    lims1: Tuple[float, float] = (0.0, 1.0),
+    lims2: Tuple[float, float] = (0.0, 1.0),
+    n_inducing: int = 10,
+    n_frequencies: int = 15,
+    n_knots: int = 15,
+    n_cells: int = 15,
+) -> Dict[str, sgpr.SGPRSpec]:
+    """The nb3 Kronecker model zoo (per-axis features)."""
+    (a1, b1), (a2, b2) = lims1, lims2
+
+    def points(a, b):
+        pad = 0.05 * (b - a)
+        return PointFeature(n_inducing, np.linspace(a + pad, b - pad, n_inducing))
+
+    return {
+        "svgp": sgpr.SGPRSpec(
+            kinds=(KIND, KIND), features=(points(a1, b1), points(a2, b2))
+        ),
+        "vffgp": sgpr.SGPRSpec(
+            kinds=(KIND, KIND),
+            features=(FourierFeature(n_frequencies, a1, b1),
+                      FourierFeature(n_frequencies, a2, b2)),
+        ),
+        "asvgp": sgpr.SGPRSpec(
+            kinds=(KIND, KIND),
+            features=(B1SplineFeature(np.linspace(a1, b1, n_knots)),
+                      B1SplineFeature(np.linspace(a2, b2, n_knots))),
+        ),
+        "griddedgp": sgpr.SGPRSpec(
+            kinds=(KIND, KIND),
+            features=(CellIntegralFeature.from_lims(n_cells, a1, b1),
+                      CellIntegralFeature.from_lims(n_cells, a2, b2)),
+        ),
+    }

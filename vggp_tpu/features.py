@@ -441,6 +441,13 @@ class CellIntegralFeature(AxisFeature):
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         if kind != "matern12":
             raise NotImplementedError("cell-integral Kuf closed form only for matern12")
+        x = jnp.reshape(x, (-1,))
+        from vggp_tpu import config
+
+        if config.pallas_kuf_enabled(self.m, x.shape[0]):
+            from vggp_tpu.ops.pallas_kernels import cell_kuf_op
+
+            return cell_kuf_op(self.mesh_j(p), x, p["variance"], p["lengthscale"])
         return _m12_cell_point_cov(self.mesh_j(p), x, p["variance"], p["lengthscale"])
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:

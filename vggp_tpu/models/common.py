@@ -36,7 +36,12 @@ def highest_precision(fn):
 
 @dataclass
 class Gaussian:
-    """A multivariate normal result (mean, covariance or variance diag)."""
+    """A multivariate normal result (mean, covariance or variance diag).
+
+    Registered as a pytree so prediction functions returning it can be
+    jit-compiled (essential on remote-TPU backends where eager dispatch pays
+    a network round-trip per op).
+    """
 
     mean: jnp.ndarray
     cov: jnp.ndarray = None  # (n, n) when materialized
@@ -47,6 +52,13 @@ class Gaussian:
 
     def stddev(self) -> jnp.ndarray:
         return jnp.sqrt(self.variance())
+
+
+jax.tree_util.register_pytree_node(
+    Gaussian,
+    lambda g: ((g.mean, g.cov, g.var), None),
+    lambda _, c: Gaussian(*c),
+)
 
 
 def axis_params(params: Params, i: int) -> Params:

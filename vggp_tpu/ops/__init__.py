@@ -31,6 +31,8 @@ from vggp_tpu.ops.diag_lowrank import (
     diag_rank1_logdet,
     diag_rank1_matvec,
 )
+from vggp_tpu.ops.banded import banded_to_dense, dense_to_banded, banded_matvec
+from vggp_tpu.ops.stablemath import expm1mx, expm1s
 
 __all__ = [
     "safe_cholesky",
@@ -50,4 +52,9 @@ __all__ = [
     "diag_rank1_solve",
     "diag_rank1_logdet",
     "diag_rank1_matvec",
+    "banded_to_dense",
+    "dense_to_banded",
+    "banded_matvec",
+    "expm1mx",
+    "expm1s",
 ]

@@ -1,0 +1,127 @@
+"""Pallas TPU kernels for the hot structured-covariance ops.
+
+The library's hottest construction is the Matérn-1/2 B0 cell-integral
+cross-covariance Kuf (reference ``univariate_structure.py:740-787`` — the
+3-case closed form evaluated for every (cell, point) pair, each ELBO step,
+per axis). Here it is a tiled Pallas kernel: cell edges ride along the
+sublane axis, points along the lane axis, and each (TM, TN) tile is one
+fused VPU pass (two exp, a select — no gather, no branch). The jnp
+reference implementation lives in :mod:`vggp_tpu.features`
+(``_m12_cell_point_cov``); this kernel computes the same compensated math
+(see ops.stablemath for why the naive forms are not TPU-safe).
+
+All kernels fall back to ``interpret=True`` off-TPU so the CPU test suite
+exercises identical code paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# series coefficients for expm1(x) ≈ x + x²/2 + ... (|x| < 1): reuse the
+# stablemath Horner core inside kernels (plain jnp — Pallas lowers it fine)
+from vggp_tpu.ops.stablemath import expm1s
+
+_TM = 128  # cells per tile (sublanes)
+_TN = 128  # points per tile (lanes)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _cell_kuf_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref):
+    """One (TM, TN) tile of σℓ·Cov[∫_cell f, f(x)].
+
+    a_ref/b_ref: (TM, 1) cell edges; x_ref: (1, TN) points;
+    scal_ref: (1, 2) [variance, lengthscale] in SMEM.
+    """
+    variance = scal_ref[0, 0]
+    lengthscale = scal_ref[0, 1]
+    a = a_ref[:]          # (TM, 1)
+    b = b_ref[:]
+    x = x_ref[:]          # (1, TN)
+    u = jnp.abs(x - a) / lengthscale          # (TM, TN)
+    w = jnp.abs(x - b) / lengthscale
+    inside = (x >= a) & (x <= b)
+    near = jnp.minimum(u, w)
+    dd = (b - a) / lengthscale
+    outside_val = jnp.exp(-near) * (-expm1s(-dd))
+    inside_val = -(expm1s(-u) + expm1s(-w))
+    out_ref[:] = variance * lengthscale * jnp.where(inside, inside_val, outside_val)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cell_kuf(mesh: jnp.ndarray, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """(m, n) Matérn-1/2 cell-integral Kuf via a tiled Pallas kernel.
+
+    ``mesh``: (m+1,) cell edges; ``x``: (n,) points. Equals
+    ``features._m12_cell_point_cov`` to roundoff.
+    """
+    x = jnp.reshape(x, (-1,))
+    m = mesh.shape[0] - 1
+    n = x.shape[0]
+    dtype = jnp.result_type(x, mesh)
+
+    mp = _round_up(max(m, 1), _TM)
+    np_ = _round_up(max(n, 1), _TN)
+    # pad edges with a harmless dummy cell far away; pad x by edge-repeat
+    a = jnp.full((mp, 1), mesh[0] - 1e6, dtype).at[:m, 0].set(mesh[:-1])
+    b = jnp.full((mp, 1), mesh[0] - 1e6 + 1.0, dtype).at[:m, 0].set(mesh[1:])
+    xp = jnp.zeros((1, np_), dtype).at[0, :n].set(x)
+    scal = jnp.stack([jnp.asarray(variance, dtype), jnp.asarray(lengthscale, dtype)]
+                     ).reshape(1, 2)
+
+    out = pl.pallas_call(
+        _cell_kuf_kernel,
+        grid=(mp // _TM, np_ // _TN),
+        in_specs=[
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, _TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), dtype),
+        interpret=_interpret(),
+    )(a, b, xp, scal)
+    return out[:m, :n]
+
+
+@jax.custom_vjp
+def cell_kuf_op(mesh, x, variance, lengthscale):
+    """Differentiable wrapper: Pallas forward, analytic jnp backward.
+
+    ``pallas_call`` has no automatic transpose rule; the cotangents w.r.t.
+    (variance, lengthscale) — the only trained inputs — are taken through
+    the jnp reference implementation, which XLA fuses into one VPU pass of
+    its own. mesh/x receive zero cotangents (static geometry / data).
+    """
+    return cell_kuf(mesh, x, variance, lengthscale)
+
+
+def _cell_kuf_fwd(mesh, x, variance, lengthscale):
+    return cell_kuf(mesh, x, variance, lengthscale), (mesh, x, variance, lengthscale)
+
+
+def _cell_kuf_bwd(res, g):
+    mesh, x, variance, lengthscale = res
+    from vggp_tpu.features import _m12_cell_point_cov
+
+    _, vjp = jax.vjp(
+        lambda v, l: _m12_cell_point_cov(mesh, x, v, l), variance, lengthscale
+    )
+    dv, dl = vjp(g)
+    return jnp.zeros_like(mesh), jnp.zeros_like(x), dv, dl
+
+
+cell_kuf_op.defvjp(_cell_kuf_fwd, _cell_kuf_bwd)

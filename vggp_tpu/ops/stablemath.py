@@ -53,15 +53,17 @@ def expm1mx(x: jnp.ndarray) -> jnp.ndarray:
 
     This is the quantity behind the Matérn-1/2 integral Gram diagonal;
     evaluating ``jnp.expm1(x) - x`` directly loses ~2 significant digits per
-    decade of smallness of x on TPU.
+    decade of smallness of x on TPU. The |x| ≥ 1 branch uses plain
+    ``exp(x) − 1 − x`` (cancellation-free there), which also keeps these
+    helpers lowerable inside Pallas kernels (Mosaic has no expm1).
     """
     small = jnp.abs(x) < 1.0
     xs = jnp.where(small, x, 0.0)  # keep series argument bounded
-    return jnp.where(small, _series_expm1mx(xs), jnp.expm1(x) - x)
+    return jnp.where(small, _series_expm1mx(xs), jnp.exp(x) - 1.0 - x)
 
 
 def expm1s(x: jnp.ndarray) -> jnp.ndarray:
     """e^x − 1 with series evaluation for |x| < 1 (TPU expm1 is inexact)."""
     small = jnp.abs(x) < 1.0
     xs = jnp.where(small, x, 0.0)
-    return jnp.where(small, _series_expm1mx(xs) + xs, jnp.expm1(x))
+    return jnp.where(small, _series_expm1mx(xs) + xs, jnp.exp(x) - 1.0)

@@ -56,23 +56,32 @@ def main():
     )
 
     opt = optax.adam(1e-2)
-    step = train.make_step_fn(lambda p, x, y: svgp.loss(spec, p, x, y), opt)
     raw = train.unconstrain(params)
     opt_state = opt.init(raw)
 
-    # compile + warmup
-    raw, opt_state, val = step(raw, opt_state, xb, yb)
-    val = jax.block_until_ready(val)
-    assert np.isfinite(float(val)), f"warmup loss not finite: {val}"
-    for _ in range(3):
-        raw, opt_state, val = step(raw, opt_state, xb, yb)
-    jax.block_until_ready(val)
+    # One jit-compiled scan over optimizer steps — exactly how train.fit
+    # executes — so the measurement reflects device throughput, not the
+    # per-dispatch RPC latency of the remote-TPU tunnel.
+    n_timed = 200
 
-    n_timed = 30
+    def one_step(carry, _):
+        r, st = carry
+        val, grads = jax.value_and_grad(
+            lambda q: svgp.loss(spec, train.constrain(q), xb, yb)
+        )(r)
+        r, st = train.guarded_update(opt, r, st, val, grads)
+        return (r, st), val
+
+    @jax.jit
+    def run(r, st):
+        (r, st), vals = jax.lax.scan(one_step, (r, st), None, length=n_timed)
+        return vals
+
+    vals = run(raw, opt_state)  # compile + warmup
+    assert np.isfinite(float(vals[-1])), f"warmup loss not finite: {vals[-1]}"
     t0 = time.perf_counter()
-    for _ in range(n_timed):
-        raw, opt_state, val = step(raw, opt_state, xb, yb)
-    jax.block_until_ready(val)
+    vals = run(raw, opt_state)
+    float(vals[-1])  # force completion through a real transfer
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_timed / dt

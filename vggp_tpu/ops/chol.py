@@ -86,8 +86,22 @@ class PSDFactor:
         self.tri = tri
 
     def whiten(self, b: jnp.ndarray) -> jnp.ndarray:
-        """F⁻¹ b — the whitening solve."""
+        """F⁻¹ b — the whitening solve.
+
+        TPU's blocked triangular solve is sequential in the RHS-independent
+        direction and dominates the whole ELBO step when b is wide (measured:
+        ~7 ms of a 12 ms 512²-grid step). When b has more columns than F has
+        rows, invert L once (a narrow m-RHS solve, CSE'd across uses inside
+        one program) and apply it as a single MXU matmul instead.
+        """
         if self.tri:
+            m = self.F.shape[0]
+            cols = 1 if b.ndim == 1 else b.shape[-1]
+            if cols > m:
+                finv = jax.scipy.linalg.solve_triangular(
+                    self.F, jnp.eye(m, dtype=self.F.dtype), lower=True
+                )
+                return finv @ b
             return jax.scipy.linalg.solve_triangular(self.F, b, lower=True)
         return self.Finv @ b
 

@@ -274,6 +274,51 @@ def test_svgp_posterior_full_vs_diag_consistent():
                                rtol=1e-6, atol=1e-10)
 
 
+def test_svgp_qu_pvu_api():
+    """q_u / p_v_u / prior parity surface on the whitened SVGP."""
+    g1 = CellIntegralFeature.from_lims(5, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12",), features=(g1,), num_data=10)
+    p = _params_1d(g1)
+    p["q"] = spec.init_params(jnp.float64)["q"]
+    qu = svgp.q_u(spec, p)
+    # at q(w) = N(0, I): q(u) must equal the prior over u: N(0, Kuu)
+    kuu = np.asarray(g1.Kuu("matern12", p["axes"][0]))
+    np.testing.assert_allclose(np.asarray(qu.mean), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qu.cov), kuu, rtol=1e-4, atol=1e-10)
+    pv = svgp.p_v_u(spec, p, (g1,))
+    # grid == features: p(v | u = 0) has mean 0, cov = Kvv - Kvu Kuu^-1 Kvu^T ≈ 0
+    np.testing.assert_allclose(np.asarray(pv.mean), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pv.cov), 0.0, atol=1e-6)
+    pr = svgp.prior(spec, p, jnp.linspace(0, 1, 7))
+    assert pr.cov.shape == (7, 7)
+
+
+def test_cross_model_posterior_consistency():
+    """All sparse families + exact GP agree on a well-resolved 1D problem
+    (nb1 cell 35 / nb4 visual-consistency pattern, made numeric)."""
+    X, y, f = _data_1d(n=60, noise=0.01)
+    xs = jnp.linspace(0.05, 0.95, 40)
+    p_noise = 0.001
+
+    spec_e = exact.ExactGPSpec(kinds=("matern12",))
+    pe = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.25)},),
+          "noise": jnp.asarray(p_noise)}
+    mean_e = np.asarray(exact.posterior(spec_e, pe, X, y, xs, full_cov=False).mean)
+
+    feats = {
+        "points": PointFeature(25, np.linspace(0.02, 0.98, 25)),
+        "gridded": CellIntegralFeature.from_lims(25, 0.0, 1.0),
+        "b1": B1SplineFeature(np.linspace(0.0, 1.0, 26)),
+        "vff": FourierFeature(12, -0.2, 1.2),
+    }
+    for name, feat in feats.items():
+        spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,))
+        p = _params_1d(feat, ls=0.25, var=1.0, noise=p_noise)
+        mean_s = np.asarray(sgpr.posterior(spec, p, X, y, xs, full_cov=False).mean)
+        err = np.abs(mean_s - mean_e).max()
+        assert err < 0.06, (name, err)
+
+
 def test_svgp_qv_full_vs_kron_family():
     """q(v) under the kron family == full family when S = S1 ⊗ S2."""
     g1 = CellIntegralFeature.from_lims(4, 0.0, 1.0)

@@ -202,6 +202,53 @@ def posterior_predictive(spec, params, xstar, full_cov: bool = False) -> Gaussia
     return posterior(spec, params, xstar, full_cov=full_cov, predictive=True)
 
 
+def prior(spec: SVGPSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
+    """Prior N(0, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
+    cov = common.gram_full(spec, params, xstar, xstar)
+    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+
+
+@common.highest_precision
+def q_u(spec: SVGPSpec, params: Params) -> Gaussian:
+    """q(u) = N(F μ, F S Fᵀ) — the variational distribution unwhitened
+    (reference ``univariate_structure.py:693-717`` exposes the optimal q(u);
+    here q is free-form and this is its image under u = F w)."""
+    chols = common.axis_chol_kuu(spec, params)
+    q = params["q"]
+    if spec.variational == "full":
+        F = chols[0].F if spec.ndim == 1 else kron_dense([c.F for c in chols])
+        Ls = chol_from_raw(q["raw_L"])
+        half = F @ Ls
+        return Gaussian(mean=F @ q["mu"], cov=half @ half.T)
+    F1, F2 = chols[0].F, chols[1].F
+    L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
+    mean = (F1 @ q["mu"] @ F2.T).reshape(-1)
+    h1, h2 = F1 @ L1, F2 @ L2
+    return Gaussian(mean=mean, cov=kron_dense((h1 @ h1.T, h2 @ h2.T)))
+
+
+@common.highest_precision
+def p_v_u(
+    spec: SVGPSpec, params: Params, grid_axes: Sequence[CellIntegralFeature]
+) -> Gaussian:
+    """p(v | u = E_q[u]): conditional of the cell integrals on the mean
+    inducing state (reference ``gridded_univariate_structure.py:462-473``)."""
+    chols = common.axis_chol_kuu(spec, params)
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    q = params["q"]
+    if spec.variational == "full":
+        R = r_blocks[0] if spec.ndim == 1 else kron_dense(r_blocks)
+        mean = R @ q["mu"]
+        RR = R @ R.T
+    else:
+        R1, R2 = r_blocks
+        mean = (R1 @ q["mu"] @ R2.T).reshape(-1)
+        RR = kron_dense((R1 @ R1.T, R2 @ R2.T))
+    kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
+    return Gaussian(mean=mean, cov=kvv - RR)
+
+
 @common.highest_precision
 def q_v(
     spec: SVGPSpec,

@@ -194,6 +194,24 @@ def test_exact_qv_matches_dense():
 # whitened SVGP
 # ---------------------------------------------------------------------- #
 
+def test_sgpr_precompute_state_matches_direct():
+    """Serving path: cached-state predictions == direct predictions."""
+    X, y, _ = _data_1d()
+    xs = jnp.linspace(0.0, 1.0, 23)
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    p = _params_1d(grid)
+    state = sgpr.precompute(spec, p, X, y)
+    a = sgpr.posterior_from_state(spec, p, state, xs, full_cov=False)
+    b = sgpr.posterior(spec, p, X, y, xs, full_cov=False)
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.var), np.asarray(b.var), rtol=1e-12)
+    qa = sgpr.q_v_from_state(spec, p, state, (grid,), full_cov=False)
+    qb = sgpr.q_v(spec, p, X, y, (grid,), full_cov=False)
+    np.testing.assert_allclose(np.asarray(qa.mean), np.asarray(qb.mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(qa.var), np.asarray(qb.var), rtol=1e-12)
+
+
 def test_svgp_kl_zero_at_prior():
     grid = CellIntegralFeature.from_lims(6, 0.0, 1.0)
     spec = svgp.SVGPSpec(kinds=("matern12",), features=(grid,), num_data=10)

@@ -67,6 +67,64 @@ class SGPRSpec:
         return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype)}
 
 
+def precompute(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
+    """Cache the training-set factored state for repeated predictions.
+
+    The serving-path equivalent of gpytorch's ``fast_pred_var`` caches: one
+    O(n·m²) pass over the training data; every subsequent
+    :func:`posterior_from_state` / :func:`q_v_from_state` call is O(n*·m²)
+    in the query size only. The returned tuple is a pytree — jit it, ship it
+    across devices, or checkpoint it.
+    """
+    return _factored_state(spec, params, X, y)[:4]
+
+
+@common.highest_precision
+def posterior_from_state(
+    spec: SGPRSpec, params: Params, state, xstar: jnp.ndarray,
+    full_cov: bool = False, predictive: bool = False,
+) -> Gaussian:
+    """q(f*) from a :func:`precompute` state — no training-data pass."""
+    chols, A, LB, c = state
+    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
+    w = common.khatri_rao_all(blocks_star)
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    noise = params["noise"] if predictive else 0.0
+    if full_cov:
+        kss = common.gram_full(spec, params, xstar, xstar)
+        cov = kss - w.T @ w + tmp.T @ tmp
+        if predictive:
+            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return Gaussian(mean=mean, cov=cov)
+    kss = common.kdiag(spec, params, xstar)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=common.floor_var(var, kss) + noise)
+
+
+@common.highest_precision
+def q_v_from_state(
+    spec: SGPRSpec, params: Params, state,
+    grid_axes: Sequence[CellIntegralFeature], full_cov: bool = False,
+) -> Gaussian:
+    """q(v) from a :func:`precompute` state."""
+    chols, A, LB, c = state
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    R = kron_dense(r_blocks)
+    T = tri_solve(LB, R.T).T
+    mean = T @ c
+    if full_cov:
+        kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
+        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
+    from vggp_tpu.ops import kron_diag
+
+    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
 def _factored_state(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
     """Compute (Ls, A, L_B, c, y) — everything downstream needs."""
     y = jnp.reshape(y, (-1,))

@@ -50,7 +50,95 @@ Params = Dict[str, jnp.ndarray]
 
 
 # --------------------------------------------------------------------------- #
-# Matérn-1/2 closed-form building blocks
+# Matérn closed-form building blocks
+#
+# For k(r) = σ² p(λr) e^{-λr} (p polynomial), the once- and twice-integrated
+# kernels are again poly·exp + linear terms:
+#
+#   G(R) = ∫₀ᴿ k(r) dr  = σ² [ (g0/λ)(1 − e^{-λR}) − e^{-λR}(g1 R + g2 λR²) ]
+#   P(r) = ∫₀ʳ G(u) du  = σ² [ c_lin r/λ + (c0/λ²) expm1(−λr)
+#                              + e^{-λr}(c1 r/λ + c2 r²) ]
+#
+# with per-order coefficients below (λ = 1/ℓ, √3/ℓ, √5/ℓ). Cell/point and
+# cell/cell covariances follow by telescoping; every difference of nearby
+# exponentials is evaluated through ops.stablemath (TPU transcendentals are
+# too inexact for the naive forms — see that module). The Matérn-1/2 case
+# reproduces the reference closed forms (``univariate_structure.py:740-825``);
+# 3/2 and 5/2 gridded features are an extension the reference lacks.
+# --------------------------------------------------------------------------- #
+
+#                 c_lin   c0    c1     c2     g0     g1     g2
+_CELL_COEFFS = {
+    "matern12": (1.0,    1.0,  0.0,   0.0,   1.0,   0.0,   0.0),
+    "matern32": (2.0,    3.0,  1.0,   0.0,   2.0,   1.0,   0.0),
+    "matern52": (8/3,    5.0,  7/3,   1/3,   8/3,   5/3,   1/3),
+}
+
+
+def _lam_of(kind: str, lengthscale):
+    return kernels.lam(kind, lengthscale)
+
+
+def _cell_point_cov(kind: str, mesh: jnp.ndarray, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Cov[v_i, f(x_j)] = ∫_cell_i k(|x_j − t|) dt for any Matérn order. (m, n)."""
+    c_lin, c0, c1, c2, g0, g1, g2 = _CELL_COEFFS[kind]
+    lam = _lam_of(kind, lengthscale)
+    x = jnp.reshape(x, (-1,))
+    a = mesh[:-1][:, None]
+    b = mesh[1:][:, None]
+    u = jnp.abs(x[None, :] - a)
+    w = jnp.abs(x[None, :] - b)
+    inside = (x[None, :] >= a) & (x[None, :] <= b)
+
+    def G(R):
+        z = lam * R
+        return (g0 / lam) * (-expm1s(-z)) - jnp.exp(-z) * (g1 * R + g2 * lam * R * R)
+
+    inside_val = G(u) + G(w)
+    # outside: G(far) − G(near), far − near = cell width, compensated
+    near = jnp.minimum(u, w)
+    far = jnp.maximum(u, w)
+    d = b - a
+    zd = lam * d
+    outside_val = jnp.exp(-lam * near) * (
+        -(g0 / lam + g1 * near + g2 * lam * near * near) * expm1s(-zd)
+        - jnp.exp(-zd) * d * (g1 + g2 * lam * (far + near))
+    )
+    return variance * jnp.where(inside, inside_val, outside_val)
+
+
+def _cell_cell_cov(kind: str, mesh_a: jnp.ndarray, mesh_b: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """Cov[∫_{A_i} f, ∫_{B_j} f] for any Matérn order, compensated. (ga, gb).
+
+    ``∬ k = Σ± P(|u|)`` over the four corner differences; the linear part of
+    P telescopes exactly to ``(c_lin/λ)·2·overlap`` and the decaying part is
+    grouped into two compensated nearby-exponential differences.
+    """
+    c_lin, c0, c1, c2, g0, g1, g2 = _CELL_COEFFS[kind]
+    lam = _lam_of(kind, lengthscale)
+    a1, b1 = mesh_a[:-1][:, None], mesh_a[1:][:, None]
+    a2, b2 = mesh_b[:-1][None, :], mesh_b[1:][None, :]
+
+    def fdiff(u_pos, u_neg):
+        """f(|u_pos|) − f(|u_neg|) where f is P's decaying part, compensated."""
+        ap, an = jnp.abs(u_pos), jnp.abs(u_neg)
+        mx, mn = jnp.maximum(ap, an), jnp.minimum(ap, an)
+        s = jnp.where(ap >= an, 1.0, -1.0)
+        d = mx - mn
+        zd = lam * d
+        val = jnp.exp(-lam * mn) * (
+            (c0 / (lam * lam) + c1 * mn / lam + c2 * mn * mn) * expm1s(-zd)
+            + jnp.exp(-zd) * d * (c1 / lam + c2 * (mx + mn))
+        )
+        return s * val
+
+    epart = fdiff(b1 - a2, a1 - a2) + fdiff(a1 - b2, b1 - b2)
+    overlap = jnp.maximum(jnp.minimum(b1, b2) - jnp.maximum(a1, a2), 0.0)
+    return variance * (epart + (c_lin / lam) * 2.0 * overlap)
+
+
+# --------------------------------------------------------------------------- #
+# Matérn-1/2 specializations (reference parity; also used by Pallas kernels)
 # --------------------------------------------------------------------------- #
 
 def _m12_cell_point_cov(mesh: jnp.ndarray, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
@@ -180,9 +268,7 @@ class PointFeature(AxisFeature):
         return kernels.gram_1d(kind, p["z"], x, p["variance"], p["lengthscale"])
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
-        if kind != "matern12":
-            raise NotImplementedError("closed-form cell integrals only for matern12")
-        return _m12_cell_point_cov(grid.mesh_j(p), p["z"], p["variance"], p["lengthscale"])
+        return _cell_point_cov(kind, grid.mesh_j(p), p["z"], p["variance"], p["lengthscale"])
 
 
 @dataclass(frozen=True)
@@ -427,33 +513,32 @@ class CellIntegralFeature(AxisFeature):
         return jnp.asarray(self.mesh, dtype=jnp.result_type(p["lengthscale"]))
 
     def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
-        if kind != "matern12":
-            raise NotImplementedError("cell-integral Kuu closed form only for matern12")
         row = self.kuu_first_row(kind, p)
         return toeplitz.sym_toeplitz_dense(row)
 
     def kuu_first_row(self, kind: str, p: Params) -> jnp.ndarray:
-        if kind != "matern12":
-            raise NotImplementedError
-        dtype = jnp.result_type(p["lengthscale"])
-        return _m12_toeplitz_first_row(self.m, self.delta, p["variance"], p["lengthscale"], dtype)
+        if kind == "matern12":
+            dtype = jnp.result_type(p["lengthscale"])
+            return _m12_toeplitz_first_row(self.m, self.delta, p["variance"], p["lengthscale"], dtype)
+        # uniform mesh: the Gram is Toeplitz; build its first row as
+        # Cov[cell_0, cell_k] via the generic compensated cell/cell form
+        mesh = self.mesh_j(p)
+        col = _cell_cell_cov(kind, mesh, mesh[:2], p["variance"], p["lengthscale"])
+        return col[:, 0]
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
-        if kind != "matern12":
-            raise NotImplementedError("cell-integral Kuf closed form only for matern12")
         x = jnp.reshape(x, (-1,))
-        from vggp_tpu import config
+        if kind == "matern12":
+            from vggp_tpu import config
 
-        if config.pallas_kuf_enabled(self.m, x.shape[0]):
-            from vggp_tpu.ops.pallas_kernels import cell_kuf_op
+            if config.pallas_kuf_enabled(self.m, x.shape[0]):
+                from vggp_tpu.ops.pallas_kernels import cell_kuf_op
 
-            return cell_kuf_op(self.mesh_j(p), x, p["variance"], p["lengthscale"])
-        return _m12_cell_point_cov(self.mesh_j(p), x, p["variance"], p["lengthscale"])
+                return cell_kuf_op(self.mesh_j(p), x, p["variance"], p["lengthscale"])
+        return _cell_point_cov(kind, self.mesh_j(p), x, p["variance"], p["lengthscale"])
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
-        if kind != "matern12":
-            raise NotImplementedError
-        return _m12_cell_cell_cov(grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])
+        return _cell_cell_cov(kind, grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])
 
     def basis_eval(self, x: jnp.ndarray) -> jnp.ndarray:
         """B0 indicator basis evaluation (reference ``bspline.py:4-20,97-103``).

@@ -76,10 +76,19 @@ def floor_var(var: jnp.ndarray, ref_diag: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(var, 1e-6 * ref_diag)
 
 
+# float32 Kuu jitter floors by kernel smoothness: smoother Matérn orders
+# have exponentially faster eigendecay of the cell-integral / point Grams, so
+# the f32 Cholesky needs a larger relative nugget (measured on v5e: gridded
+# Matérn-3/2 and 5/2 training NaNs below 1e-4; Matérn-1/2 is fine at 1e-6,
+# and larger values measurably bias its converged ELBO).
+KIND_JITTER_F32 = {"matern12": 1e-6, "matern32": 1e-4, "matern52": 1e-4, "rbf": 1e-4}
+
+
 def axis_chol_kuu(spec, params: Params, method: str | None = None) -> Tuple[PSDFactor, ...]:
     """Per-axis PSD factors of Kuu.
 
-    Default is jittered Cholesky (differentiable, cheap). Specs may set
+    Default is jittered Cholesky (differentiable, cheap) with a per-kernel
+    float32 jitter floor (see :data:`KIND_JITTER_F32`). Specs may set
     ``factor_method="eigh"`` for the clamped-eigendecomposition factor on
     non-differentiated prediction paths (see ops.chol.PSDFactor).
     """
@@ -88,7 +97,10 @@ def axis_chol_kuu(spec, params: Params, method: str | None = None) -> Tuple[PSDF
     out = []
     for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
         kuu = feat.Kuu(kind, axis_params(params, i))
-        out.append(psd_factor(kuu, method=method, jitter=spec.jitter))
+        jitter = spec.jitter
+        if kuu.dtype != jnp.float64:
+            jitter = max(jitter, KIND_JITTER_F32.get(kind, 1e-4))
+        out.append(psd_factor(kuu, method=method, jitter=jitter))
     return tuple(out)
 
 

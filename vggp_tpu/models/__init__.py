@@ -5,6 +5,8 @@
 - :mod:`vggp_tpu.models.sgpr`   — collapsed-ELBO sparse GP (Titsias) over any
   inducing-feature family, 1D and Kronecker 2D. This covers the reference's
   SVGP / VFF / ASVGP / GriddedGP model zoo via feature choice.
+- :mod:`vggp_tpu.models.additive` — additive-structure sparse GP (the family
+  the reference left as an empty placeholder).
 - :mod:`vggp_tpu.models.svgp`   — whitened, uncollapsed, minibatchable SVGP
   with full or Kronecker-factored variational covariance: the scalable path
   the reference lacks (SURVEY.md §3a note), sized for 512×512 inducing grids.
@@ -18,6 +20,8 @@ parameter pytrees and data arrays are traced.
 from vggp_tpu.models.exact import ExactGPSpec
 from vggp_tpu.models.sgpr import SGPRSpec
 from vggp_tpu.models.svgp import SVGPSpec
-from vggp_tpu.models import exact, sgpr, svgp  # noqa: F401
+from vggp_tpu.models.additive import AdditiveSGPRSpec
+from vggp_tpu.models import exact, sgpr, svgp, additive  # noqa: F401
 
-__all__ = ["ExactGPSpec", "SGPRSpec", "SVGPSpec", "exact", "sgpr", "svgp"]
+__all__ = ["ExactGPSpec", "SGPRSpec", "SVGPSpec", "AdditiveSGPRSpec",
+           "exact", "sgpr", "svgp", "additive"]

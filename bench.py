@@ -98,4 +98,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-TPU tunnel occasionally throws transient INTERNAL errors on
+    # transfer; one retry keeps the driver's benchmark record intact.
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        import sys, traceback
+
+        traceback.print_exc()
+        print("bench: retrying once after transient failure", file=sys.stderr)
+        main()

@@ -60,3 +60,13 @@ def test_fourier_basis_continuous_at_boundary(maker):
     inside = np.asarray(basis(jnp.asarray([0.0 + eps, 1.0 - eps])))
     outside = np.asarray(basis(jnp.asarray([0.0 - eps, 1.0 + eps])))
     np.testing.assert_allclose(inside, outside, atol=1e-4)
+    if maker is not FourierBasisMatern12:
+        # C¹ (mean-square differentiable orders): the one-sided slopes of the
+        # sin features must agree through each edge (regression: the sign of
+        # the outside continuation was flipped, leaving a derivative kink)
+        for edge in (0.0, 1.0):
+            lo = np.asarray(basis(jnp.asarray([edge - 2 * eps, edge - eps])))
+            hi = np.asarray(basis(jnp.asarray([edge + eps, edge + 2 * eps])))
+            slope_out = (lo[:, 1] - lo[:, 0]) / eps if edge == 0.0 else (hi[:, 1] - hi[:, 0]) / eps
+            slope_in = (hi[:, 1] - hi[:, 0]) / eps if edge == 0.0 else (lo[:, 1] - lo[:, 0]) / eps
+            np.testing.assert_allclose(slope_out, slope_in, rtol=1e-3, atol=1e-3)

@@ -68,14 +68,39 @@ def test_synthetic_gulfstream_different_seeds_differ():
 
 
 def test_grid_integrators_constant_field():
-    """On a constant field every gridding rule gives value × cell area."""
+    """On a constant field every cell integral is value × its exact area, and
+    the cells tile the domain (shared edges — no dropped strips)."""
     n = 120
     xs = np.linspace(0, 1, n)
     field = np.full((n, n), 2.5)
     for fn in (trapz_grid_2d, simpson_grid_2d):
         out = fn(field, xs, ys=xs, n_grids=6)
-        np.testing.assert_allclose(out, 2.5 * ((xs[19] - xs[0])) ** 2, rtol=1e-6)
+        # total integral over the full domain is exact
+        np.testing.assert_allclose(out.sum(), 2.5 * (xs[-1] - xs[0]) ** 2, rtol=1e-12)
+        # every cell ≈ value × (1/6)² up to the sample-snap of cell edges
+        # (119 steps / 6 cells → widths of 19 or 20 samples: up to ~8.5% area
+        # deviation per cell, exactly tiling in total)
+        np.testing.assert_allclose(out, 2.5 / 36, rtol=0.09)
     np.testing.assert_allclose(average_grid_2d(field, 6), 2.5)
+
+
+def test_grid_integrators_rectangular_spacing():
+    """Per-axis spacings are honored (regression: dx/dy were swapped)."""
+    nx, ny = 91, 61
+    xs = np.linspace(0, 2.0, nx)   # dx larger
+    ys = np.linspace(0, 0.5, ny)
+    # f(x, y) = x + 10y, integral over [x0,x1]×[y0,y1] computable exactly
+    field = xs[:, None] + 10.0 * ys[None, :]
+    out = trapz_grid_2d(field, xs, ys, 3)
+    from vggp_tpu.utils.integrators import _cell_slices
+    sx = _cell_slices(nx, 3)
+    sy = _cell_slices(ny, 3)
+    for i in range(3):
+        for j in range(3):
+            x0, x1 = xs[sx[i]][0], xs[sx[i]][-1]
+            y0, y1 = ys[sy[j]][0], ys[sy[j]][-1]
+            want = 0.5 * (x1**2 - x0**2) * (y1 - y0) + 10.0 * 0.5 * (y1**2 - y0**2) * (x1 - x0)
+            np.testing.assert_allclose(out[i, j], want, rtol=1e-10)
 
 
 def test_mission_data_rejects_bad_name(tmp_path):

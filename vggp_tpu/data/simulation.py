@@ -135,11 +135,14 @@ def generate_track(
         start = int(j * lat_shift_size)
         fwd_lat = np.arange(start, dim)
         bwd_lat = np.arange(-start, -dim, -1)
-        lat_idx_parts.append(np.concatenate([fwd_lat, bwd_lat]))
         lon_rep = np.repeat(np.arange(0, max_lon_idx), trajectory_gradient)
-        lon_idx_parts.append(
-            np.concatenate([lon_rep[: len(fwd_lat)], lon_rep[: len(bwd_lat)]])
-        )
+        # lon_rep has max_lon_idx*gradient entries, which is < dim when the
+        # gradient does not divide the field size — truncate the pass lengths
+        # to whichever runs out first so the index arrays stay aligned.
+        kf = min(len(fwd_lat), len(lon_rep))
+        kb = min(len(bwd_lat), len(lon_rep))
+        lat_idx_parts.append(np.concatenate([fwd_lat[:kf], bwd_lat[:kb]]))
+        lon_idx_parts.append(np.concatenate([lon_rep[:kf], lon_rep[:kb]]))
 
     lon_idx = np.concatenate(lon_idx_parts).astype(int)
     lat_idx = np.concatenate(lat_idx_parts).astype(int)

@@ -14,6 +14,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from vggp_tpu.models.common import Gaussian
+from vggp_tpu.utils import metrics as M
 
 
 def make_training_history_dict(n_iter: int) -> Dict:
@@ -65,22 +66,10 @@ def evaluation_metric_row(
     ``train_y`` when given, else the truth grid itself.
     """
     truth = np.asarray(true_grid, dtype=np.float64).reshape(-1)
-    mean = np.asarray(grid_pred.mean, dtype=np.float64).reshape(-1)
-    var = np.asarray(grid_pred.variance(), dtype=np.float64).reshape(-1)
-    ty = truth if train_y is None else np.asarray(train_y, dtype=np.float64).reshape(-1)
-    # pure numpy (host): on remote-TPU backends eager jnp pays a network
-    # round-trip per op, which dwarfs this tiny computation
-    err = truth - mean
-    mse = float(np.mean(err**2))
-    mae = float(np.mean(np.abs(err)))
-    rmse = float(np.sqrt(mse))
-    r2 = float(1.0 - np.sum(err**2) / np.sum((truth - truth.mean()) ** 2))
-    logp = -0.5 * np.log(2 * np.pi * var) - err**2 / (2 * var)
-    nlpd = float(-np.mean(logp))
-    mu0, var0 = ty.mean(), ty.var()
-    logp0 = -0.5 * np.log(2 * np.pi * var0) - (truth - mu0) ** 2 / (2 * var0)
-    msll = nlpd - float(-np.mean(logp0))
-    return [mse, mae, rmse, r2, nlpd, msll]
+    mean = np.asarray(grid_pred.mean)
+    var = np.asarray(grid_pred.variance())
+    ty = truth if train_y is None else np.asarray(train_y)
+    return M.evaluation_metric_row(truth, mean, var, ty)
 
 
 def check_tensors_equal(*arrays, atol: float = 0.0) -> bool:

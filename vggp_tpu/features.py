@@ -328,7 +328,13 @@ class FourierFeature(AxisFeature):
         sin_in = jnp.sin(om[1:, None] * xr[None, :])          # (M, n)
 
         r = jnp.minimum(jnp.abs(x - self.a), jnp.abs(x - self.b))
-        s = jnp.where(x < self.a, 1.0, -1.0)
+        # Markov continuation sign for the sin features: at the right edge
+        # φ'(b) = +ω (cos(ω(b−a)) = 1) so φ(b+r) carries +ωr e^{-λr}; at the
+        # left edge the extrapolation runs backwards in t, flipping the
+        # derivative term: φ(a−r) carries −ωr e^{-λr}. (The reference's
+        # fourier.py uses the opposite sign — a C¹-discontinuity bug at the
+        # domain boundary, not replicated.)
+        s = jnp.where(x < self.a, -1.0, 1.0)
         lmbda = kernels.lam(kind, p["lengthscale"])
         e = jnp.exp(-lmbda * r)
         if kind == "matern12":
@@ -433,9 +439,10 @@ class B1SplineFeature(AxisFeature):
         """Hat-function evaluations Φ(x) — (m, n), vectorized Cox–de Boor."""
         x = jnp.reshape(x, (-1,))
         dtype = jnp.result_type(x)
-        tl, tc, tr = (jnp.asarray(t, dtype) for t in _b1_segments(self.mesh))
-        has_up = jnp.asarray(_b1_segments(self.mesh)[1] > _b1_segments(self.mesh)[0])
-        has_down = jnp.asarray(_b1_segments(self.mesh)[2] > _b1_segments(self.mesh)[1])
+        tl_np, tc_np, tr_np = _b1_segments(self.mesh)
+        tl, tc, tr = (jnp.asarray(t, dtype) for t in (tl_np, tc_np, tr_np))
+        has_up = jnp.asarray(tc_np > tl_np)
+        has_down = jnp.asarray(tr_np > tc_np)
         xt = x[None, :]
         up_den = jnp.where(has_up, tc - tl, 1.0)[:, None]
         down_den = jnp.where(has_down, tr - tc, 1.0)[:, None]

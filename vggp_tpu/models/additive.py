@@ -179,9 +179,12 @@ def q_v(
     kvv1 = g1.Kuu(spec.kinds[0], common.axis_params(params, 0)) * d2 * d2
     kvv2 = g2.Kuu(spec.kinds[1], common.axis_params(params, 1)) * d1 * d1
     if full_cov:
-        eye1 = jnp.eye(G1, dtype=kvv1.dtype)
-        eye2 = jnp.eye(G2, dtype=kvv2.dtype)
-        kvv = jnp.kron(kvv1, eye2) + jnp.kron(eye1, kvv2)
+        # Cov[v_ij, v_kl] = d2² Kvv1[i,k] + d1² Kvv2[j,l] for ALL (j,l)/(i,k):
+        # the cross-axis blocks are all-ones, not identity (each component is
+        # constant across the other axis's cell index).
+        ones1 = jnp.ones((G1, G1), dtype=kvv1.dtype)
+        ones2 = jnp.ones((G2, G2), dtype=kvv2.dtype)
+        kvv = jnp.kron(kvv1, ones2) + jnp.kron(ones1, kvv2)
         return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
     kvv_diag = (
         jnp.repeat(jnp.diagonal(kvv1), G2) + jnp.tile(jnp.diagonal(kvv2), G1)

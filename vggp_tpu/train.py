@@ -207,7 +207,7 @@ def fit_minibatch(
             raw, opt_state, key = carry
             key, sub = jax.random.split(key)
             idx = jax.random.randint(sub, (batch_size,), 0, n)
-            xb = X[idx] if X.ndim > 1 else X[idx]
+            xb = X[idx]
             yb = y[idx]
             val, grads = jax.value_and_grad(raw_loss)(raw, xb, yb)
             raw, opt_state = guarded_update(opt, raw, opt_state, val, grads)

@@ -75,19 +75,32 @@ mean_squared_log_loss = mean_standardized_log_loss
 
 
 def evaluation_metric_row(
-    true: jnp.ndarray,
-    pred_mean: jnp.ndarray,
-    pred_var: jnp.ndarray,
-    train_y: jnp.ndarray,
+    true,
+    pred_mean,
+    pred_var,
+    train_y,
 ):
-    """[mse, mae, rmse, r2, nlpd, msll] — nb61 cell 65 row layout."""
-    t2 = jnp.reshape(true, (-1, 1))
-    p2 = jnp.reshape(pred_mean, (-1, 1))
-    return [
-        float(mean_squared_error(t2, p2)),
-        float(mean_absolute_error(t2, p2)),
-        float(root_mean_squared_error(t2, p2)),
-        float(r_squared(t2, p2)),
-        float(negative_log_predictive_density(true, pred_mean, pred_var)),
-        float(mean_standardized_log_loss(true, pred_mean, pred_var, train_y)),
-    ]
+    """[mse, mae, rmse, r2, nlpd, msll] — nb61 cell 65 row layout.
+
+    Computed with host numpy: this runs in experiment bookkeeping loops where
+    eager per-op dispatch on remote-TPU backends costs a network round trip
+    per op. The single source of these six formulas — the experiments layer
+    delegates here.
+    """
+    import numpy as np
+
+    truth = np.asarray(true, dtype=np.float64).reshape(-1)
+    mean = np.asarray(pred_mean, dtype=np.float64).reshape(-1)
+    var = np.asarray(pred_var, dtype=np.float64).reshape(-1)
+    ty = np.asarray(train_y, dtype=np.float64).reshape(-1)
+    err = truth - mean
+    mse = float(np.mean(err**2))
+    mae = float(np.mean(np.abs(err)))
+    rmse = float(np.sqrt(mse))
+    r2 = float(1.0 - np.sum(err**2) / np.sum((truth - truth.mean()) ** 2))
+    logp = -0.5 * np.log(2 * np.pi * var) - err**2 / (2 * var)
+    nlpd = float(-np.mean(logp))
+    mu0, var0 = ty.mean(), ty.var()
+    logp0 = -0.5 * np.log(2 * np.pi * var0) - (truth - mu0) ** 2 / (2 * var0)
+    msll = nlpd - float(-np.mean(logp0))
+    return [mse, mae, rmse, r2, nlpd, msll]

@@ -69,4 +69,7 @@ def test_fourier_basis_continuous_at_boundary(maker):
             hi = np.asarray(basis(jnp.asarray([edge + eps, edge + 2 * eps])))
             slope_out = (lo[:, 1] - lo[:, 0]) / eps if edge == 0.0 else (hi[:, 1] - hi[:, 0]) / eps
             slope_in = (hi[:, 1] - hi[:, 0]) / eps if edge == 0.0 else (lo[:, 1] - lo[:, 0]) / eps
-            np.testing.assert_allclose(slope_out, slope_in, rtol=1e-3, atol=1e-3)
+            # atol covers the O(ω²ε) curvature term picked up by the finite
+            # difference (features are C¹, not C²); the regression this
+            # guards against was a slope flip of size 2ω ≈ 12.6
+            np.testing.assert_allclose(slope_out, slope_in, rtol=1e-3, atol=5e-3)

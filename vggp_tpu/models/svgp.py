@@ -171,6 +171,42 @@ def loss(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jn
 
 
 @common.highest_precision
+def elbo_muS(
+    spec: SVGPSpec,
+    params: Params,
+    mu: jnp.ndarray,
+    S: jnp.ndarray,
+    xb: jnp.ndarray,
+    yb: jnp.ndarray,
+) -> jnp.ndarray:
+    """ELBO with the variational distribution given explicitly as q(w)=N(μ, S).
+
+    The (μ, S) parameterization is what natural-gradient updates differentiate
+    against (``train.fit_natgrad``); ``params["q"]`` is ignored. Full
+    variational family only.
+    """
+    if spec.variational != "full":
+        raise ValueError("elbo_muS supports the full variational family")
+    yb = jnp.reshape(yb, (-1,))
+    nb = yb.shape[0]
+    noise = params["noise"]
+    _, blocks = _whitened_blocks(spec, params, xb)
+    a = common.khatri_rao_all(blocks)             # (m, n)
+    mean = a.T @ mu
+    var_red = jnp.sum(a * a, axis=0)
+    var_add = jnp.sum(a * (S @ a), axis=0)
+    kff = common.kdiag(spec, params, xb)
+    var_f = jnp.maximum(kff - var_red, 0.0) + var_add
+    ell_i = -0.5 * jnp.log(2.0 * jnp.pi * noise) - ((yb - mean) ** 2 + var_f) / (2.0 * noise)
+    m = S.shape[0]
+    Ls = jnp.linalg.cholesky(S)
+    kl_val = 0.5 * (
+        jnp.sum(mu * mu) + jnp.trace(S) - m - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
+    )
+    return (spec.num_data / nb) * jnp.sum(ell_i) - kl_val
+
+
+@common.highest_precision
 def posterior(
     spec: SVGPSpec, params: Params, xstar: jnp.ndarray,
     full_cov: bool = False, predictive: bool = False,

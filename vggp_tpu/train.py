@@ -236,6 +236,107 @@ def make_step_fn(loss_fn, optimizer: optax.GradientTransformation):
     return step
 
 
+def fit_natgrad(
+    spec,
+    params: Dict,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    n_iters: int,
+    gamma: float = 0.5,
+    hyper_lr: float = 0.01,
+    batch_size: Optional[int] = None,
+    seed: int = 0,
+) -> Tuple[Dict, Dict]:
+    """Hybrid trainer for the full-family whitened SVGP: natural-gradient
+    steps on the variational parameters, Adam on the hyperparameters.
+
+    Natural params of q(w)=N(μ, S): θ₁ = S⁻¹μ, θ₂ = −½S⁻¹; expectation
+    params ξ₁ = μ, ξ₂ = S + μμᵀ. The natural-gradient step is
+    θ ← θ − γ · dL/dξ with dL/dξ₁ = ∇_μL − 2(∇_S L)μ, dL/dξ₂ = ∇_S L
+    (Hensman/Salimbeni recipe). For a Gaussian likelihood and full batch,
+    γ = 1 jumps to the optimal q(u) in a single step — the collapsed-SGPR
+    bound — so convergence is limited only by the hyperparameters. The
+    reference's Adam-on-everything loops (nb61 cell 35) have no analogue.
+
+    A guarded update skips steps that would make −2θ₂ non-PD or non-finite.
+    """
+    from vggp_tpu.models import svgp as _svgp
+
+    opt = optax.adam(hyper_lr)
+    y = jnp.reshape(y, (-1,))
+    n = y.shape[0]
+    m = spec.num_inducing
+    dtype = params["noise"].dtype
+
+    q0 = params["q"]
+    S0 = (lambda L: L @ L.T)(_svgp.chol_from_raw(q0["raw_L"]))
+    hyp = {k: v for k, v in params.items() if k != "q"}
+    raw = unconstrain(hyp)
+    opt_state = opt.init(raw)
+    theta1 = jnp.linalg.solve(S0, q0["mu"])
+    theta2 = -0.5 * jnp.linalg.inv(S0)
+    key = jax.random.PRNGKey(seed)
+
+    def neg_elbo(raw_h, mu, S, xb, yb):
+        p = dict(constrain(raw_h))
+        p["q"] = None  # unused by elbo_muS
+        return -_svgp.elbo_muS(spec, p, mu, S, xb, yb)
+
+    @jax.jit
+    def run(raw, opt_state, theta1, theta2, key):
+        def step(carry, _):
+            raw, opt_state, th1, th2, key = carry
+            # recover (μ, S) from natural params
+            Sinv = -2.0 * th2
+            Ls_inv = jnp.linalg.cholesky(0.5 * (Sinv + Sinv.T))
+            S = jax.scipy.linalg.cho_solve((Ls_inv, True), jnp.eye(m, dtype=dtype))
+            S = 0.5 * (S + S.T)
+            mu = S @ th1
+            if batch_size is None:
+                xb, yb = X, y
+            else:
+                key, sub = jax.random.split(key)
+                idx = jax.random.randint(sub, (batch_size,), 0, n)
+                xb, yb = X[idx], y[idx]
+            val, (g_h, g_mu, g_S) = jax.value_and_grad(neg_elbo, argnums=(0, 1, 2))(
+                raw, mu, S, xb, yb
+            )
+            g_S = 0.5 * (g_S + g_S.T)
+            dxi1 = g_mu - 2.0 * (g_S @ mu)
+            new_th1 = th1 - gamma * dxi1
+            new_th2 = th2 - gamma * g_S
+            # guard: keep the step only if finite and -2θ₂ stays PD
+            probe = jnp.linalg.cholesky(-2.0 * 0.5 * (new_th2 + new_th2.T))
+            ok = (
+                jnp.isfinite(val)
+                & jnp.all(jnp.isfinite(new_th1))
+                & jnp.all(jnp.isfinite(probe))
+            )
+            th1 = jnp.where(ok, new_th1, th1)
+            th2 = jnp.where(ok, new_th2, th2)
+            raw, opt_state = guarded_update(opt, raw, opt_state, val, g_h)
+            return (raw, opt_state, th1, th2, key), val
+
+        (raw, opt_state, th1, th2, key), losses = jax.lax.scan(
+            step, (raw, opt_state, theta1, theta2, key), None, length=n_iters
+        )
+        # final (μ, raw_L) back in the standard parameterization
+        Sinv = -2.0 * th2
+        Ls_inv = jnp.linalg.cholesky(0.5 * (Sinv + Sinv.T))
+        S = jax.scipy.linalg.cho_solve((Ls_inv, True), jnp.eye(m, dtype=dtype))
+        S = 0.5 * (S + S.T)
+        mu = S @ th1
+        return raw, S, mu, losses
+
+    raw, S, mu, losses = run(raw, opt_state, theta1, theta2, key)
+    out = constrain(raw)
+    from vggp_tpu.models.svgp import raw_from_chol
+    from vggp_tpu.ops import safe_cholesky
+
+    out["q"] = {"mu": mu, "raw_L": raw_from_chol(safe_cholesky(S, 1e-10))}
+    return out, {"loss": losses, "elbo": -losses}
+
+
 # --------------------------------------------------------------------------- #
 # checkpointing (orbax) and metrics logging
 # --------------------------------------------------------------------------- #

@@ -198,7 +198,7 @@ class SyntheticGulfStream(_GulfStreamAPI):
         n: int = 600,
         extent: Tuple[float, float, float, float] = DEFAULT_EXTENT,
         trajectory_gradient: int = 2,
-        track_sparsity: float = 0.5,
+        track_sparsity: float = 1.0,
         noise_std: float = 0.01,
     ):
         if satellite_name not in AVAILABLE_SATELLITES:

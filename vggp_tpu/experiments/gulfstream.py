@@ -87,7 +87,7 @@ def run(
     }.items():
         Xj, yj = jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32)
         for name, (spec, mod) in zoo_2d().items():
-            if name == "exactgp" and X.shape[0] > 4000:
+            if name == "exactgp" and X.shape[0] > 5000:
                 continue  # dense n³ beyond sensible size
             results[split][name] = _fit_and_score(
                 name, spec, Xj, yj, grids, truth, n_iters, learning_rate, mod)

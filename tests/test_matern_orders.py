@@ -21,7 +21,7 @@ from vggp_tpu.features import (
 )
 
 VAR, LS = 1.3, 0.27
-KINDS = ("matern12", "matern32", "matern52")
+KINDS = ("matern12", "matern32", "matern52", "rbf")
 
 
 def _k(kind, r):
@@ -78,7 +78,7 @@ def test_gridded_kuu_psd_and_toeplitz(kind):
     np.testing.assert_allclose(kuu, dense, rtol=1e-8, atol=1e-12)
 
 
-@pytest.mark.parametrize("kind", ("matern32", "matern52"))
+@pytest.mark.parametrize("kind", ("matern32", "matern52", "rbf"))
 def test_gridded_sgpr_trains_matern_higher_orders(kind):
     """End-to-end: gridded SGPR with Matérn-3/2 / 5/2 features fits data and
     its q(v) tracks quadrature integrals of the truth."""

@@ -79,8 +79,75 @@ def _lam_of(kind: str, lengthscale):
     return kernels.lam(kind, lengthscale)
 
 
+# --- RBF (squared-exponential): erf-based integrated kernels ---------------- #
+#
+#   k(r) = σ² e^{-r²/(2ℓ²)}
+#   G(R) = ∫₀ᴿ k  = σ² ℓ √(π/2) · erf(R/(ℓ√2))
+#   P(r) = ∫₀ʳ G  = σ² [ ℓ √(π/2) · r · erf(r/(ℓ√2)) + ℓ² (e^{-r²/(2ℓ²)} − 1) ]
+#
+# Differences of nearby values use erfc (tail-accurate) and expm1.
+
+_SQRT_HALF_PI = math.sqrt(math.pi / 2.0)
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _rbf_cell_point_cov(mesh, x, variance, lengthscale):
+    from jax.scipy.special import erf, erfc
+
+    x = jnp.reshape(x, (-1,))
+    a = mesh[:-1][:, None]
+    b = mesh[1:][:, None]
+    u = jnp.abs(x[None, :] - a)
+    w = jnp.abs(x[None, :] - b)
+    inside = (x[None, :] >= a) & (x[None, :] <= b)
+    c = lengthscale * _SQRT_HALF_PI
+
+    def G(R):
+        return c * erf(R * _INV_SQRT2 / lengthscale)
+
+    inside_val = G(u) + G(w)
+    near = jnp.minimum(u, w)
+    far = jnp.maximum(u, w)
+    # G(far) − G(near) = c·(erfc(near') − erfc(far')) — tail-accurate
+    outside_val = c * (erfc(near * _INV_SQRT2 / lengthscale)
+                       - erfc(far * _INV_SQRT2 / lengthscale))
+    return variance * jnp.where(inside, inside_val, outside_val)
+
+
+def _rbf_cell_cell_cov(mesh_a, mesh_b, variance, lengthscale):
+    from jax.scipy.special import erf, erfc
+
+    a1, b1 = mesh_a[:-1][:, None], mesh_a[1:][:, None]
+    a2, b2 = mesh_b[:-1][None, :], mesh_b[1:][None, :]
+    ell2 = lengthscale * lengthscale
+    A = lengthscale * _SQRT_HALF_PI
+
+    def pdiff(u_pos, u_neg):
+        """P(|u_pos|) − P(|u_neg|), compensated."""
+        ap, an = jnp.abs(u_pos), jnp.abs(u_neg)
+        mx, mn = jnp.maximum(ap, an), jnp.minimum(ap, an)
+        s = jnp.where(ap >= an, 1.0, -1.0)
+        d = mx - mn
+        zmx = mx * _INV_SQRT2 / lengthscale
+        zmn = mn * _INV_SQRT2 / lengthscale
+        # M·erf(M') − m·erf(m') = d·erf(M') + m·(erfc(m') − erfc(M'))
+        t1 = d * erf(zmx) + mn * (erfc(zmn) - erfc(zmx))
+        # e^{-M²/2ℓ²} − e^{-m²/2ℓ²} = e^{-m²/2ℓ²}·expm1(−d(M+m)/(2ℓ²))
+        t2 = jnp.exp(-0.5 * mn * mn / ell2) * expm1s(-0.5 * d * (mx + mn) / ell2)
+        return s * (A * t1 + ell2 * t2)
+
+    val = pdiff(b1 - a2, a1 - a2) + pdiff(a1 - b2, b1 - b2)
+    return variance * val
+
+
 def _cell_point_cov(kind: str, mesh: jnp.ndarray, x: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
-    """Cov[v_i, f(x_j)] = ∫_cell_i k(|x_j − t|) dt for any Matérn order. (m, n)."""
+    """Cov[v_i, f(x_j)] = ∫_cell_i k(|x_j − t|) dt. (m, n).
+
+    Matérn 1/2, 3/2, 5/2 via the poly-exponential antiderivatives; RBF via
+    the erf forms above.
+    """
+    if kind == "rbf":
+        return _rbf_cell_point_cov(mesh, x, variance, lengthscale)
     c_lin, c0, c1, c2, g0, g1, g2 = _CELL_COEFFS[kind]
     lam = _lam_of(kind, lengthscale)
     x = jnp.reshape(x, (-1,))
@@ -114,6 +181,8 @@ def _cell_cell_cov(kind: str, mesh_a: jnp.ndarray, mesh_b: jnp.ndarray, variance
     P telescopes exactly to ``(c_lin/λ)·2·overlap`` and the decaying part is
     grouped into two compensated nearby-exponential differences.
     """
+    if kind == "rbf":
+        return _rbf_cell_cell_cov(mesh_a, mesh_b, variance, lengthscale)
     c_lin, c0, c1, c2, g0, g1, g2 = _CELL_COEFFS[kind]
     lam = _lam_of(kind, lengthscale)
     a1, b1 = mesh_a[:-1][:, None], mesh_a[1:][:, None]

@@ -105,6 +105,8 @@ if __name__ == "__main__":
     except Exception as e:  # pragma: no cover
         import sys, traceback
 
+        if "INTERNAL" not in str(e):
+            raise  # deterministic failure — don't mask it with a retry
         traceback.print_exc()
-        print("bench: retrying once after transient failure", file=sys.stderr)
+        print("bench: retrying once after transient tunnel error", file=sys.stderr)
         main()

@@ -99,6 +99,45 @@ def test_additive_fit_and_gridded_product():
     assert err < 0.01, err
 
 
+def test_additive_qv_full_cov_matches_oracle():
+    """full_cov q(v): prior-limit covariance equals the Kronecker-sum oracle
+    built cell-by-cell (the cross-axis blocks are all-ones, not identity)."""
+    X, y = _data()
+    spec = _spec(m=6)
+    p = _params(spec, noise=1e6)  # huge noise → q(v) ≈ prior over v
+    grids = (CellIntegralFeature.from_lims(3, 0.0, 1.0),
+             CellIntegralFeature.from_lims(3, 0.0, 1.0))
+    qv = additive.q_v(spec, p, X, y, grids, full_cov=True)
+    from vggp_tpu.features import _cell_cell_cov
+    mesh = jnp.asarray(grids[0].mesh)
+    K1 = np.asarray(_cell_cell_cov("matern12", mesh, mesh, 0.8, 0.3))
+    d = 1.0 / 3
+    want = np.zeros((9, 9))
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                for l in range(3):
+                    want[i * 3 + j, k * 3 + l] = d * d * (K1[i, k] + K1[j, l])
+    np.testing.assert_allclose(np.asarray(qv.cov), want, rtol=5e-4, atol=1e-7)
+    # diagonal consistent with the var path
+    qd = additive.q_v(spec, p, X, y, grids, full_cov=False)
+    np.testing.assert_allclose(np.diagonal(np.asarray(qv.cov)), np.asarray(qd.var),
+                               rtol=1e-6)
+
+
+def test_additive_posterior_full_cov_matches_diag():
+    X, y = _data()
+    spec = _spec(m=6)
+    p = _params(spec)
+    xs = jnp.asarray(np.stack([np.linspace(0.1, 0.9, 9),
+                               np.linspace(0.8, 0.2, 9)], axis=1))
+    full = additive.posterior(spec, p, X, y, xs, full_cov=True)
+    diag = additive.posterior(spec, p, X, y, xs, full_cov=False)
+    np.testing.assert_allclose(np.asarray(full.mean), np.asarray(diag.mean), rtol=1e-10)
+    np.testing.assert_allclose(np.diagonal(np.asarray(full.cov)),
+                               np.asarray(diag.var), rtol=1e-6, atol=1e-12)
+
+
 def test_additive_posterior_mean_tracks_truth():
     X, y = _data(n_side=20, noise=0.01)
     spec = _spec(m=12)

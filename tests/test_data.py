@@ -119,3 +119,10 @@ def test_mission_data_requires_xarray_or_loads(tmp_path):
     except ImportError:
         with pytest.raises(ImportError, match="xarray"):
             MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)
+
+
+def test_grid_integrators_reject_degenerate_cells():
+    xs = np.linspace(0, 1, 10)
+    field = np.ones((10, 10))
+    with pytest.raises(ValueError, match="cells"):
+        trapz_grid_2d(field, xs, xs, 12)

@@ -78,3 +78,12 @@ def test_elbo_muS_consistent_with_elbo():
     a = float(svgp.elbo_muS(spec_v, params, q["mu"], S, X, y))
     b = float(svgp.elbo(spec_v, params, X, y))
     assert a == pytest.approx(b, rel=1e-10)
+
+
+def test_natgrad_rejects_kron_family():
+    grid = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(grid, grid),
+                         num_data=10, variational="kron")
+    params = spec.init_params(jnp.float64)
+    with pytest.raises(ValueError, match="full variational family"):
+        train.fit_natgrad(spec, params, jnp.zeros((4, 2)), jnp.zeros(4), 1)

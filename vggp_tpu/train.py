@@ -262,6 +262,13 @@ def fit_natgrad(
     """
     from vggp_tpu.models import svgp as _svgp
 
+    if getattr(spec, "variational", "full") != "full":
+        raise ValueError(
+            "fit_natgrad requires the full variational family (the Kronecker-"
+            "factored covariance is not an exponential family, so the natural-"
+            "gradient step has no closed form); use train.fit_minibatch for "
+            "variational='kron'"
+        )
     opt = optax.adam(hyper_lr)
     y = jnp.reshape(y, (-1,))
     n = y.shape[0]

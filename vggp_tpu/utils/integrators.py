@@ -37,6 +37,11 @@ def _cell_slices(npts: int, n_grids: int):
     biases every cell integral low by ~1/k — a bug not replicated; its
     20×20 gridding of 600-point fields loses 2/30 of each cell.)
     """
+    if npts - 1 < n_grids:
+        raise ValueError(
+            f"{npts} samples cannot form {n_grids} cells (need at least "
+            f"{n_grids + 1}; one-sample cells would integrate to zero)"
+        )
     edges = np.rint(np.arange(n_grids + 1) * (npts - 1) / n_grids).astype(int)
     return [slice(edges[i], edges[i + 1] + 1) for i in range(n_grids)]
 

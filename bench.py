@@ -15,6 +15,12 @@ apples-to-anything number: vs_baseline > 1 means we take ELBO steps on a
 655×-larger inducing grid faster than the reference steps on its largest.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Before timing, :func:`smoke` runs an on-device numerics check (closed-form
+covariances vs float64 goldens, Pallas vs jnp Kuf, a tiny fit + q_v) and
+writes ``SMOKE.json`` — CPU float64 tests provably cannot catch TPU
+transcendental/Mosaic regressions (CLAUDE.md), so they are checked here on
+the real chip every benchmark run; any failure aborts the bench loudly.
 """
 
 import json
@@ -27,8 +33,105 @@ BATCH = 4096
 NUM_DATA = 1_000_000
 REFERENCE_2D_GRIDDED_IT_S = 25.1  # BASELINE.md, nb61 cell 54 (20×20 grid)
 
+# float64 goldens (CPU, x64) for the on-device numerics smoke: 128-cell B0
+# grid on [0,1], variance 1.3, lengthscale 0.27. Catches TPU-transcendental /
+# stablemath / Mosaic-lowering regressions that CPU tests cannot.
+_GOLD_P = {"variance": 1.3, "lengthscale": 0.27}
+_GOLD_M12_ROW4 = [7.85859130e-05, 7.70880966e-05, 7.48895000e-05, 7.27536087e-05]
+_GOLD_M32_ROW3 = [7.93294240e-05, 7.92343147e-05, 7.89592508e-05]
+_GOLD_M52_ROW3 = [7.93364803e-05, 7.92812306e-05, 7.91161120e-05]
+_GOLD_KUF_SAMPLES = {  # (cell, point-index on linspace(0.013, 0.987, 256))
+    (0, 0): 0.009820220820605961,
+    (64, 128): 0.010064219468069275,
+    (127, 255): 0.009820220820605961,
+    (30, 200): 0.0013814864006452521,
+}
+_GOLD_KUF_SUM = 133.36001797326242
 
-def main():
+
+def smoke() -> dict:
+    """On-device numerics smoke; returns the record written to SMOKE.json."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vggp_tpu import train
+    from vggp_tpu.features import CellIntegralFeature, _m12_cell_point_cov
+    from vggp_tpu.models import svgp
+
+    rec = {"backend": jax.default_backend()}
+    p = {k: jnp.asarray(v, jnp.float32) for k, v in _GOLD_P.items()}
+    g = CellIntegralFeature.from_lims(128, 0.0, 1.0)
+    x = jnp.asarray(np.linspace(0.013, 0.987, 256), jnp.float32)
+
+    @jax.jit
+    def covs():
+        rows = {kind: g.kuu_first_row(kind, p)
+                for kind in ("matern12", "matern32", "matern52")}
+        kuf_pallas = g.Kuf("matern12", p, x)          # Pallas on TPU (m,n ≥ mins)
+        kuf_ref = _m12_cell_point_cov(jnp.asarray(g.mesh, jnp.float32), x,
+                                      p["variance"], p["lengthscale"])
+        return rows, kuf_pallas, kuf_ref
+
+    rows, kuf_pallas, kuf_ref = jax.device_get(covs())
+    checks = {
+        "m12_row_err": float(np.abs(rows["matern12"][:4] - _GOLD_M12_ROW4).max()
+                             / np.abs(_GOLD_M12_ROW4).max()),
+        "m32_row_err": float(np.abs(rows["matern32"][:3] - _GOLD_M32_ROW3).max()
+                             / np.abs(_GOLD_M32_ROW3).max()),
+        "m52_row_err": float(np.abs(rows["matern52"][:3] - _GOLD_M52_ROW3).max()
+                             / np.abs(_GOLD_M52_ROW3).max()),
+        "kuf_sample_err": max(
+            abs(float(kuf_pallas[i, j]) - v) / abs(v)
+            for (i, j), v in _GOLD_KUF_SAMPLES.items()
+        ),
+        "kuf_sum_err": abs(float(np.sum(np.asarray(kuf_pallas, np.float64)))
+                           - _GOLD_KUF_SUM) / _GOLD_KUF_SUM,
+        "pallas_vs_jnp_max_abs": float(np.abs(kuf_pallas - kuf_ref).max()),
+    }
+    rec.update(checks)
+    for k, v in checks.items():
+        assert v < 2e-4, f"smoke numerics check failed: {k} = {v}"
+
+    # tiny gridded Kronecker SVGP fit + q_v on-device
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"),
+                         features=(g, CellIntegralFeature.from_lims(128, 0.0, 1.0)),
+                         num_data=4096, variational="kron")
+    params = spec.init_params(jnp.float32)
+    rng = np.random.default_rng(1)
+    xb = jnp.asarray(rng.random((512, 2)), jnp.float32)
+    yb = jnp.asarray(np.sin(5 * np.asarray(xb[:, 0])) * np.asarray(xb[:, 1])
+                     + 0.05 * rng.standard_normal(512), jnp.float32)
+    opt = optax.adam(1e-2)
+    raw = train.unconstrain(params)
+
+    def one(carry, _):
+        r, st = carry
+        val, grads = jax.value_and_grad(
+            lambda q: svgp.loss(spec, train.constrain(q), xb, yb))(r)
+        r, st = train.guarded_update(opt, r, st, val, grads)
+        return (r, st), val
+
+    grids = (CellIntegralFeature.from_lims(20, 0.0, 1.0),
+             CellIntegralFeature.from_lims(20, 0.0, 1.0))
+
+    @jax.jit
+    def fit_and_qv(r):
+        (r, _), vals = jax.lax.scan(one, (r, opt.init(r)), None, length=60)
+        qv = svgp.q_v(spec, train.constrain(r), grids, full_cov=False)
+        return vals, qv
+
+    vals, qv = jax.device_get(fit_and_qv(raw))
+    rec["fit_losses_finite"] = bool(np.all(np.isfinite(vals)))
+    rec["fit_loss_decreased"] = bool(vals[-1] < vals[0])
+    rec["qv_finite"] = bool(np.all(np.isfinite(qv.mean)) and np.all(np.isfinite(qv.var)))
+    rec["qv_var_positive"] = bool(np.min(qv.var) > 0)
+    for k in ("fit_losses_finite", "fit_loss_decreased", "qv_finite", "qv_var_positive"):
+        assert rec[k], f"smoke fit check failed: {k}"
+    return rec
+
+
+def main(sharded: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,6 +139,11 @@ def main():
     from vggp_tpu import train
     from vggp_tpu.features import CellIntegralFeature
     from vggp_tpu.models import svgp
+
+    if not sharded:
+        smoke_rec = smoke()
+        with open("SMOKE.json", "w") as fh:
+            json.dump(smoke_rec, fh, indent=1)
 
     g1 = CellIntegralFeature.from_lims(M_AXIS, 0.0, 1.0)
     g2 = CellIntegralFeature.from_lims(M_AXIS, 0.0, 1.0)
@@ -56,39 +164,89 @@ def main():
     )
 
     opt = optax.adam(1e-2)
-    raw = train.unconstrain(params)
-    opt_state = opt.init(raw)
 
-    # One jit-compiled scan over optimizer steps — exactly how train.fit
-    # executes — so the measurement reflects device throughput, not the
-    # per-dispatch RPC latency of the remote-TPU tunnel.
-    n_timed = 200
+    if sharded:
+        # Sharded-program rate on however many devices are attached: the
+        # exact GSPMD step a v5e-8 pod would run ('data' × 'model1' ×
+        # 'model2' mesh — on one chip all axes are 1, so this measures the
+        # partitioned program's overhead; on a pod it measures the real
+        # multi-chip rate). `python bench.py --sharded` is the one-flag
+        # v5e-8 run.
+        from vggp_tpu.parallel import make_mesh, make_sharded_svgp_step, shard_batch
 
-    def one_step(carry, _):
-        r, st = carry
-        val, grads = jax.value_and_grad(
-            lambda q: svgp.loss(spec, train.constrain(q), xb, yb)
-        )(r)
-        r, st = train.guarded_update(opt, r, st, val, grads)
-        return (r, st), val
+        n_dev = len(jax.devices())
+        m2_par = 2 if n_dev % 2 == 0 else 1
+        m1_par = 2 if n_dev % 4 == 0 else 1
+        mesh = make_mesh(
+            ("data", "model1", "model2"),
+            (n_dev // (m1_par * m2_par), m1_par, m2_par),
+        )
+        init_fn, _ = make_sharded_svgp_step(
+            spec, opt, mesh, model_axes=("model1", "model2")
+        )
+        raw, opt_state = init_fn(params)
+        xb, yb = shard_batch(xb, yb, mesh)
+        metric_suffix = f"_sharded_{n_dev}dev"
+        n_timed = 200
 
-    @jax.jit
-    def run(r, st):
-        (r, st), vals = jax.lax.scan(one_step, (r, st), None, length=n_timed)
-        return vals
+        def one_step(carry, _):
+            r, st = carry
+            val, grads = jax.value_and_grad(
+                lambda q: svgp.loss(spec, train.constrain(q), xb, yb)
+            )(r)
+            r, st = train.guarded_update(opt, r, st, val, grads)
+            return (r, st), val
 
-    vals = run(raw, opt_state)  # compile + warmup
-    assert np.isfinite(float(vals[-1])), f"warmup loss not finite: {vals[-1]}"
-    t0 = time.perf_counter()
-    vals = run(raw, opt_state)
-    float(vals[-1])  # force completion through a real transfer
-    dt = time.perf_counter() - t0
+        # One scanned program; GSPMD propagates the input shardings through
+        # the scan (never measure step-by-step over the remote tunnel).
+        @jax.jit
+        def run(r, st):
+            (r, st), vals = jax.lax.scan(one_step, (r, st), None, length=n_timed)
+            return vals
 
-    steps_per_sec = n_timed / dt
+        vals = run(raw, opt_state)
+        assert np.isfinite(float(vals[-1]))
+        t0 = time.perf_counter()
+        vals = run(raw, opt_state)
+        float(vals[-1])
+        dt = time.perf_counter() - t0
+        steps_per_sec = n_timed / dt
+    else:
+        raw = train.unconstrain(params)
+        opt_state = opt.init(raw)
+        metric_suffix = ""
+
+        # One jit-compiled scan over optimizer steps — exactly how train.fit
+        # executes — so the measurement reflects device throughput, not the
+        # per-dispatch RPC latency of the remote-TPU tunnel.
+        n_timed = 200
+
+        def one_step(carry, _):
+            r, st = carry
+            val, grads = jax.value_and_grad(
+                lambda q: svgp.loss(spec, train.constrain(q), xb, yb)
+            )(r)
+            r, st = train.guarded_update(opt, r, st, val, grads)
+            return (r, st), val
+
+        @jax.jit
+        def run(r, st):
+            (r, st), vals = jax.lax.scan(one_step, (r, st), None, length=n_timed)
+            return vals
+
+        vals = run(raw, opt_state)  # compile + warmup
+        assert np.isfinite(float(vals[-1])), f"warmup loss not finite: {vals[-1]}"
+        t0 = time.perf_counter()
+        vals = run(raw, opt_state)
+        float(vals[-1])  # force completion through a real transfer
+        dt = time.perf_counter() - t0
+        steps_per_sec = n_timed / dt
+
     print(
         json.dumps(
             {
-                "metric": "elbo_steps_per_sec_512x512_gridded_kron_svgp_batch4096",
+                "metric": "elbo_steps_per_sec_512x512_gridded_kron_svgp_batch4096"
+                + metric_suffix,
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / REFERENCE_2D_GRIDDED_IT_S, 3),
@@ -98,15 +256,18 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
+    _sharded = "--sharded" in sys.argv
     # The remote-TPU tunnel occasionally throws transient INTERNAL errors on
     # transfer; one retry keeps the driver's benchmark record intact.
     try:
-        main()
+        main(sharded=_sharded)
     except Exception as e:  # pragma: no cover
-        import sys, traceback
+        import traceback
 
         if "INTERNAL" not in str(e):
             raise  # deterministic failure — don't mask it with a retry
         traceback.print_exc()
         print("bench: retrying once after transient tunnel error", file=sys.stderr)
-        main()
+        main(sharded=_sharded)

@@ -138,6 +138,80 @@ def test_additive_posterior_full_cov_matches_diag():
                                np.asarray(diag.var), rtol=1e-6, atol=1e-12)
 
 
+def test_additive_prior():
+    X, y = _data()
+    spec = _spec(m=6)
+    p = _params(spec)
+    xs = jnp.asarray(np.stack([np.linspace(0.1, 0.9, 7),
+                               np.linspace(0.8, 0.2, 7)], axis=1))
+    pr = additive.prior(spec, p, xs)
+    from vggp_tpu import kernels
+    want = (np.asarray(kernels.gram_1d("matern12", xs[:, 0], xs[:, 0], 0.8, 0.3))
+            + np.asarray(kernels.gram_1d("matern12", xs[:, 1], xs[:, 1], 0.8, 0.3)))
+    np.testing.assert_allclose(np.asarray(pr.cov), want, rtol=1e-10)
+    assert np.all(np.asarray(pr.mean) == 0)
+
+
+def test_additive_qu_matches_dense_oracle():
+    """q(u) = N(Kuu Σ⁻¹ Kuf y/σ², Kuu Σ⁻¹ Kuu), Σ = Kuu + Kuf Kufᵀ/σ²."""
+    X, y = _data()
+    spec = _spec(m=6)
+    p = _params(spec)
+    qu = additive.q_u(spec, p, X, y)
+    g1, g2 = spec.features
+    kuu1 = np.asarray(g1.Kuu("matern12", p["axes"][0]))
+    kuu2 = np.asarray(g2.Kuu("matern12", p["axes"][1]))
+    kuu = np.block([[kuu1, np.zeros((6, 6))], [np.zeros((6, 6)), kuu2]])
+    kuf = np.vstack([np.asarray(g1.Kuf("matern12", p["axes"][0], X[:, 0])),
+                     np.asarray(g2.Kuf("matern12", p["axes"][1], X[:, 1]))])
+    noise = float(p["noise"])
+    sigma_mat = kuu + kuf @ kuf.T / noise
+    mean = kuu @ np.linalg.solve(sigma_mat, kuf @ np.asarray(y)) / noise
+    cov = kuu @ np.linalg.solve(sigma_mat, kuu)
+    np.testing.assert_allclose(np.asarray(qu.mean), mean, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qu.cov), cov, rtol=1e-5, atol=1e-10)
+
+
+def test_additive_p_v_u_matches_dense_oracle():
+    """p(v|u): mean equals q_v's, cov = Kvv − Kvu Kuu⁻¹ Kvuᵀ (dense oracle)."""
+    X, y = _data()
+    spec = _spec(m=6)
+    p = _params(spec)
+    grids = (CellIntegralFeature.from_lims(3, 0.0, 1.0),
+             CellIntegralFeature.from_lims(3, 0.0, 1.0))
+    pv = additive.p_v_u(spec, p, X, y, grids)
+    qv = additive.q_v(spec, p, X, y, grids, full_cov=True)
+    np.testing.assert_allclose(np.asarray(pv.mean), np.asarray(qv.mean), rtol=1e-8)
+    g1, g2 = spec.features
+    kuu1 = np.asarray(g1.Kuu("matern12", p["axes"][0]))
+    kuu2 = np.asarray(g2.Kuu("matern12", p["axes"][1]))
+    kuu = np.block([[kuu1, np.zeros((6, 6))], [np.zeros((6, 6)), kuu2]])
+    # v_ij = δ₂ V¹_i + δ₁ V²_j over the stacked feature space
+    d = 1.0 / 3
+    kvu = np.hstack([
+        np.repeat(d * _kvu_feat(spec, p, grids, 0), 3, axis=0),
+        np.tile(d * _kvu_feat(spec, p, grids, 1), (3, 1)),
+    ])
+    from vggp_tpu.features import _cell_cell_cov
+    mesh = jnp.asarray(grids[0].mesh)
+    K1 = np.asarray(_cell_cell_cov("matern12", mesh, mesh, 0.8, 0.3))
+    want_kvv = np.zeros((9, 9))
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                for l in range(3):
+                    want_kvv[i * 3 + j, k * 3 + l] = d * d * (K1[i, k] + K1[j, l])
+    want_cov = want_kvv - kvu @ np.linalg.solve(kuu, kvu.T)
+    np.testing.assert_allclose(np.asarray(pv.cov), want_cov, rtol=1e-4, atol=1e-8)
+
+
+def _kvu_feat(spec, p, grids, i):
+    """(g_i, m_i) grid-cell × model-feature cross-covariance for axis i."""
+    return np.asarray(
+        spec.features[i].Kvu(spec.kinds[i], p["axes"][i], grids[i])
+    )
+
+
 def test_additive_posterior_mean_tracks_truth():
     X, y = _data(n_side=20, noise=0.01)
     spec = _spec(m=12)

@@ -113,6 +113,25 @@ def test_sgpr_elbo_below_exact_mll():
     assert float(sgpr.elbo(spec_s, p, X, y)) <= float(exact.mll(spec_e, p, X, y)) + 1e-8
 
 
+@pytest.mark.parametrize("kind", ["matern32", "matern52"])
+def test_sgpr_vff_higher_order_elbo(kind):
+    """VFF with Matérn-3/2 / 5/2 Kuu (rank-2/3 closed forms the reference
+    lacks): bound matches the dense oracle AND stays below the exact MLL —
+    a wrong Kuu Gram would violate the Titsias inequality."""
+    feat = FourierFeature(6, -0.5, 1.5)
+    X, y, _ = _data_1d()
+    spec = sgpr.SGPRSpec(kinds=(kind,), features=(feat,), jitter=1e-12)
+    p = _params_1d(feat)
+    got = float(sgpr.elbo(spec, p, X, y))
+    kuu = feat.Kuu(kind, p["axes"][0])
+    kuf = feat.Kuf(kind, p["axes"][0], X)
+    kff = kernels.kdiag_1d(kind, X, p["axes"][0]["variance"], p["axes"][0]["lengthscale"])
+    want = _dense_collapsed_elbo(kuu, kuf, kff, y, float(p["noise"]))
+    assert got == pytest.approx(want, rel=1e-6)
+    spec_e = exact.ExactGPSpec(kinds=(kind,))
+    assert got <= float(exact.mll(spec_e, p, X, y)) + 1e-8
+
+
 def test_exact_posterior_matches_dense():
     X, y, _ = _data_1d()
     xs = jnp.linspace(0.0, 1.0, 33)

@@ -62,6 +62,31 @@ def test_diag_rank1(rng):
     np.testing.assert_allclose(mv, dense @ b, rtol=1e-10)
 
 
+def test_diag_lowrank_rank_r(rng):
+    from vggp_tpu.ops import diag_lowrank as dl
+
+    alpha = np.abs(rng.normal(size=7)) + 0.5
+    W = rng.normal(size=(7, 3))
+    dense = np.diag(alpha) + W @ W.T
+    np.testing.assert_allclose(
+        np.asarray(dl.diag_lowrank_dense(jnp.asarray(alpha), jnp.asarray(W))), dense)
+    b = rng.normal(size=(7, 4))
+    x = np.asarray(dl.diag_lowrank_solve(jnp.asarray(alpha), jnp.asarray(W), jnp.asarray(b)))
+    np.testing.assert_allclose(dense @ x, b, rtol=1e-9, atol=1e-10)
+    x1 = np.asarray(dl.diag_lowrank_solve(jnp.asarray(alpha), jnp.asarray(W), jnp.asarray(b[:, 0])))
+    np.testing.assert_allclose(dense @ x1, b[:, 0], rtol=1e-9, atol=1e-10)
+    ld = float(dl.diag_lowrank_logdet(jnp.asarray(alpha), jnp.asarray(W)))
+    np.testing.assert_allclose(ld, np.linalg.slogdet(dense)[1], rtol=1e-10)
+    mv = np.asarray(dl.diag_lowrank_matvec(jnp.asarray(alpha), jnp.asarray(W), jnp.asarray(b)))
+    np.testing.assert_allclose(mv, dense @ b, rtol=1e-10)
+    # rank-1 consistency with the Sherman–Morrison specialization
+    w1 = W[:, :1]
+    np.testing.assert_allclose(
+        np.asarray(dl.diag_lowrank_solve(jnp.asarray(alpha), jnp.asarray(w1), jnp.asarray(b))),
+        np.asarray(dl.diag_rank1_solve(jnp.asarray(alpha), jnp.asarray(w1[:, 0]), jnp.asarray(b))),
+        rtol=1e-9)
+
+
 def test_safe_cholesky_and_solves(rng):
     a = rng.normal(size=(8, 8))
     A = a @ a.T + 8 * np.eye(8)

@@ -88,6 +88,35 @@ def test_sharded_training_converges():
     assert losses[-1] < losses[0] - 1.0
 
 
+def test_sharded_step_two_model_axes_matches_single_device():
+    """DP + 2-axis tensor-model parallelism (μ sharded over BOTH Kronecker
+    axes) == unsharded step, bit-for-bit in f64."""
+    spec, X, y = _spec_and_data(m1=6, m2=4)
+    params = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    opt = optax.adam(0.05)
+
+    step0 = train.make_step_fn(lambda p, xb, yb: svgp.loss(spec, p, xb, yb), opt)
+    raw0 = train.unconstrain(params)
+    st0 = opt.init(raw0)
+    raw0, st0, val0 = step0(raw0, st0, X, y)
+
+    mesh = make_mesh(("data", "model1", "model2"), (2, 2, 2))
+    init_fn, step_fn = make_sharded_svgp_step(
+        spec, opt, mesh, model_axes=("model1", "model2"))
+    raw1, st1 = init_fn(params)
+    # both Kronecker axes must actually be sharded (divisible: 6 % 2, 4 % 2)
+    mu_shard = raw1["q"]["mu"].sharding.spec
+    assert tuple(mu_shard) == ("model1", "model2"), mu_shard
+    assert tuple(raw1["q"]["raw_L1"].sharding.spec)[0] == "model1"
+    assert tuple(raw1["q"]["raw_L2"].sharding.spec)[0] == "model2"
+    xb, yb = shard_batch(X, y, mesh)
+    raw1, st1, val1 = step_fn(raw1, st1, xb, yb)
+
+    assert float(val0) == float(val1)
+    for a, b in zip(jax.tree.leaves(raw0), jax.tree.leaves(raw1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
 def test_graft_entry_dryrun():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -97,3 +126,26 @@ def test_graft_entry_dryrun():
     val = jax.jit(fn)(*args)
     assert np.isfinite(float(val))
     g.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_16_devices():
+    """16-virtual-device mesh (4 data × 2 model1 × 2 model2) — needs its own
+    process because the host-device count is fixed at backend init."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = root
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import __graft_entry__ as g; g.dryrun_multichip(16); print('ok16')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=root,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok16" in out.stdout

@@ -4,6 +4,24 @@ from __future__ import annotations
 
 import jax
 
+# Matmul precision for model math wrapped in ``models.common.highest_precision``
+# (ELBO, predictions). TPU options: "highest" (6-pass f32 emulation), "high"
+# (3-pass bf16), "default" (single bf16 pass — unsafe for GP variance
+# cancellations). Measured on v5e at the 512² bench: "high" is 2.65× the step
+# rate of "highest", and with the whitening matmul pinned at "highest" (below)
+# the decomposed ELBO terms match a float64 oracle to ~1e-4 relative — the
+# only term bf16x3 corrupted was the Titsias trace clamp, through cancellation
+# amplified inside F⁻¹·Kuf (var_red off 0.35% → clamp off 60%). The decorator
+# reads this at trace time, so set it before the first jit of the functions
+# it should affect.
+MATMUL_PRECISION: str = "high"
+
+# Precision for the whitening apply F⁻¹·B inside ops.chol.PSDFactor.whiten —
+# the one matmul whose result is consumed through catastrophic cancellation
+# (k_ff − ‖a‖² with near-equality): keep at 6-pass f32. Costs ~2/5 of the
+# forward big matmuls; everything else rides MATMUL_PRECISION.
+WHITEN_MATMUL_PRECISION: str = "highest"
+
 # Route large structured-covariance constructions through the Pallas TPU
 # kernels (vggp_tpu.ops.pallas_kernels). Off-TPU the jnp reference
 # implementations are used regardless (interpret-mode Pallas is for tests).

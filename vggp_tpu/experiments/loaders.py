@@ -33,7 +33,13 @@ def load_gulf_stream_data(
         )
     if not allow_synthetic:
         raise FileNotFoundError(f"Gulf Stream archives not found under {obs_root_folder}")
-    # deterministic per-window seed so train/val/test windows differ
-    seed = abs(hash((sat, exp_dict["YEAR_FRAME"], exp_dict["MONTH_FRAME"],
-                     exp_dict["DAY_FRAME"]))) % (2**31)
+    # deterministic per-window seed so train/val/test windows differ.
+    # zlib.crc32 of a canonical repr — Python's hash() is salted per process
+    # (PYTHONHASHSEED), which made committed results irreproducible.
+    import zlib
+
+    key = "|".join(
+        str(exp_dict[k]) for k in ("YEAR_FRAME", "MONTH_FRAME", "DAY_FRAME")
+    )
+    seed = zlib.crc32(f"{sat}|{key}".encode()) % (2**31)
     return SyntheticGulfStream(satellite_name=sat, seed=seed)

@@ -48,8 +48,16 @@ def run(
 
     lon, lat, ssh = generate_track(field, lons, lats, trajectory_gradient,
                                    track_sparsity, observation_sparsity)
-    x1, *_ = min_max_scaling(jnp.asarray(lon, jnp.float32))
-    x2, *_ = min_max_scaling(jnp.asarray(lat, jnp.float32))
+    # Scale by the FIELD extent (not the subsampled track's own extremes):
+    # the Simpson truth grid below lives in full-field unit coordinates, and
+    # a sparse track's min/max can sit strictly inside the field, which would
+    # misalign predicted cells against truth cells.
+    x1, *_ = min_max_scaling(
+        jnp.asarray(lon, jnp.float32), min=float(lons[0]), max=float(lons[-1])
+    )
+    x2, *_ = min_max_scaling(
+        jnp.asarray(lat, jnp.float32), min=float(lats[0]), max=float(lats[-1])
+    )
     X = jnp.stack([x1, x2], axis=1)
     y = jnp.asarray(ssh, jnp.float32)
 

@@ -303,6 +303,14 @@ class AxisFeature:
         """Feature-owned learnable parameters (empty for fixed bases)."""
         return {}
 
+    def kuu_matvec(self, kind: str, p: Params, v: jnp.ndarray) -> jnp.ndarray:
+        """Kuu @ v without assuming structure (dense fallback, O(m²)).
+
+        Structured features override with O(m log m) / O(m) forms — the
+        matrix-free hook behind :mod:`vggp_tpu.models.iterative`.
+        """
+        return self.Kuu(kind, p) @ v
+
     # quadrature fallback used by tests to validate closed-form Kvu
     def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
         edges = np.asarray(grid.mesh)
@@ -363,23 +371,72 @@ class FourierFeature(AxisFeature):
         return (2.0 * jnp.pi) * jnp.arange(M + 1, dtype=dtype) / (self.b - self.a)
 
     def kuu_diag_rank1(self, kind: str, p: Params):
-        """(α, β) of Kuu = diag(α) + ββᵀ — Matérn-1/2 only (VFF paper eq. 62)."""
+        """(α, β) of Kuu = diag(α) + ββᵀ — Matérn-1/2 only (VFF paper eq. 62).
+
+        Kept for rank-1 Sherman–Morrison consumers; :meth:`kuu_diag_lowrank`
+        is the general form.
+        """
         if kind != "matern12":
-            raise NotImplementedError("VFF Kuu closed form implemented for matern12")
-        om = self.omegas(dtype=jnp.result_type(p["lengthscale"]))
+            raise NotImplementedError("rank-1 VFF Kuu only for matern12; use kuu_diag_lowrank")
+        alpha, W = self.kuu_diag_lowrank(kind, p)
+        return alpha, W[:, 0]
+
+    def kuu_diag_lowrank(self, kind: str, p: Params):
+        """(α, W) of Kuu = diag(α) + W Wᵀ for Matérn-1/2, 3/2, 5/2.
+
+        Derived from the Markov-state form of the interval RKHS inner product
+        ⟨f,g⟩_H = state_f(a)ᵀ P₀⁻¹ state_g(a) + (1/c)∫_a^b (Lf)(Lg) dt with
+        L = (d/dt + λ)^p, c the white-noise intensity of S(ω) = c/(λ²+ω²)^p,
+        and P₀ the stationary state covariance — equivalent (by integration
+        by parts) to the symmetric VFF forms, and verified numerically
+        against quadrature in tests/test_features.py. For harmonics the
+        integral term is exactly diagonal, (T/2)/S(ω_j) with the j=0 cosine
+        doubled (VFF paper eq. 62 generalized); the boundary term is the
+        low-rank part, with x_j = (ω_j/λ)²:
+
+        - 1/2: rank 1 — β = 1/σ on cos, 0 on sin              (P₀ = σ²)
+        - 3/2: rank 2 — β₁ = 1/σ on cos; β₂ = ω/(σλ) on sin   (P₀ = diag(σ², σ²λ²))
+        - 5/2: rank 3 — β₁ = (3−x)/(√8σ) and β₂ = x/σ on cos;
+               β₃ = √3·ω/(σλ) on sin
+               (P₀⁻¹ of the (f, f'') block is [[9, 3/λ²],[3/λ², 9/λ⁴]]/(8σ²),
+                f' decouples with Var f' = σ²λ²/3)
+
+        The reference ships VFF Kuu only for Matérn-1/2
+        (``univariate_structure.py:443-504``); 3/2 and 5/2 extend it.
+        """
+        dtype = jnp.result_type(p["lengthscale"])
+        om = self.omegas(dtype=dtype)
         s = kernels.spectral_density(kind, om, p["variance"], p["lengthscale"])
         s_inv = 1.0 / s
         half = (self.b - self.a) / 2.0
         alpha = half * jnp.concatenate([2.0 * s_inv[:1], s_inv[1:], s_inv[1:]])
         sigma = jnp.sqrt(p["variance"])
-        beta = jnp.concatenate(
-            [jnp.ones_like(om) / sigma, jnp.zeros_like(om[1:])]
-        )
-        return alpha, beta
+        zc = jnp.zeros_like(om)        # cos-block zeros (M+1,)
+        zs = jnp.zeros_like(om[1:])    # sin-block zeros (M,)
+        if kind == "matern12":
+            cols = [jnp.concatenate([jnp.ones_like(om) / sigma, zs])]
+        elif kind in ("matern32", "matern52"):
+            lmbda = kernels.lam(kind, p["lengthscale"])
+            b_sin = om[1:] / (sigma * lmbda)
+            if kind == "matern32":
+                cols = [
+                    jnp.concatenate([jnp.ones_like(om) / sigma, zs]),
+                    jnp.concatenate([zc, b_sin]),
+                ]
+            else:
+                x = (om / lmbda) ** 2
+                cols = [
+                    jnp.concatenate([(3.0 - x) / (sigma * math.sqrt(8.0)), zs]),
+                    jnp.concatenate([x / sigma, zs]),
+                    jnp.concatenate([zc, math.sqrt(3.0) * b_sin]),
+                ]
+        else:
+            raise NotImplementedError(f"VFF Kuu closed form for {kind}")
+        return alpha, jnp.stack(cols, axis=1)
 
     def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
-        alpha, beta = self.kuu_diag_rank1(kind, p)
-        return diag_lowrank.diag_rank1_dense(alpha, beta)
+        alpha, W = self.kuu_diag_lowrank(kind, p)
+        return diag_lowrank.diag_lowrank_dense(alpha, W)
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Basis evaluation Φ(x), branch-free over the domain mask.
@@ -433,7 +490,19 @@ class FourierFeature(AxisFeature):
         Reference ``gridded_univariate_structure.py:354-397``:
         ∫cell 1 = δ_i; ∫cell cos = (sin(ω(β-a)) - sin(ω(α-a)))/ω;
         ∫cell sin = -(cos(ω(β-a)) - cos(ω(α-a)))/ω.
+
+        These forms hold only for cells inside the Fourier domain; a grid
+        extending past [a, b] would need integrals of the decaying Markov
+        continuation instead, which silently differ — so it is rejected
+        (static numpy check; grid meshes are static data).
         """
+        g = np.asarray(grid.mesh)
+        if g[0] < self.a - 1e-12 or g[-1] > self.b + 1e-12:
+            raise NotImplementedError(
+                f"FourierFeature.Kvu: grid [{g[0]}, {g[-1]}] extends past the "
+                f"Fourier domain [{self.a}, {self.b}]; closed-form cell "
+                "integrals only cover cells inside the domain"
+            )
         mesh = grid.mesh_j(p)
         om = self.omegas(dtype=mesh.dtype)
         alpha = mesh[:-1][:, None] - self.a
@@ -443,6 +512,27 @@ class FourierFeature(AxisFeature):
         cos_int = (jnp.sin(w * beta) - jnp.sin(w * alpha)) / w
         sin_int = -(jnp.cos(w * beta) - jnp.cos(w * alpha)) / w
         return jnp.concatenate([col0, cos_int, sin_int], axis=1)
+
+
+def _require_uniform_mesh(mesh: np.ndarray, who: str) -> None:
+    """Reject non-uniform meshes whose Kuu assumes uniform spacing.
+
+    Both B1SplineFeature (delta-based mass/stiffness rows) and
+    CellIntegralFeature (Toeplitz first-row Kuu) build their Gram from the
+    first spacing only; a non-uniform mesh would silently produce a wrong
+    Kuu while Kuf/Kvu stayed correct.
+    """
+    if len(mesh) < 2:
+        raise ValueError(f"{who}: mesh needs at least 2 points, got {len(mesh)}")
+    d = np.diff(mesh)
+    if not np.all(d > 0):
+        raise ValueError(f"{who}: mesh must be strictly increasing")
+    if not np.allclose(d, d[0], rtol=1e-8, atol=1e-12 * abs(mesh[-1] - mesh[0])):
+        raise ValueError(
+            f"{who}: mesh must be uniformly spaced (Kuu is built from the "
+            "first spacing only); got spacings in "
+            f"[{d.min():.3e}, {d.max():.3e}]"
+        )
 
 
 def _b1_segments(mesh: np.ndarray):
@@ -472,7 +562,9 @@ class B1SplineFeature(AxisFeature):
     mesh: np.ndarray  # (n_knots,) uniform
 
     def __post_init__(self):
-        object.__setattr__(self, "mesh", np.asarray(self.mesh, dtype=np.float64))
+        mesh = np.asarray(self.mesh, dtype=np.float64)
+        _require_uniform_mesh(mesh, "B1SplineFeature")
+        object.__setattr__(self, "mesh", mesh)
 
     @property
     def m(self) -> int:
@@ -503,6 +595,29 @@ class B1SplineFeature(AxisFeature):
         dtype = jnp.result_type(ls)
         A, B, BC = self._mass_stiff_bc(dtype)
         return (ls * B + A / ls + BC) / (2.0 * var)
+
+    def kuu_bands(self, kind: str, p: Params) -> jnp.ndarray:
+        """(2, m) LAPACK-style bands of the tridiagonal RKHS Kuu.
+
+        Same matrix as :meth:`Kuu` (ℓ·stiffness + mass/ℓ + boundary, over
+        2σ²) kept banded for O(m) matvecs on huge knot meshes.
+        """
+        if kind != "matern12":
+            raise NotImplementedError("B1-spline RKHS Kuu implemented for matern12")
+        ls, var = p["lengthscale"], p["variance"]
+        dtype = jnp.result_type(ls)
+        m, d = self.m, self.delta
+        diag = jnp.full((m,), ls * (2.0 / d) + (2.0 * d / 3.0) / ls, dtype)
+        corr = ls * (-1.0 / d) + (-d / 3.0) / ls + 1.0
+        diag = diag.at[jnp.array([0, m - 1])].add(corr)
+        off = jnp.full((m,), ls * (-1.0 / d) + (d / 6.0) / ls, dtype).at[m - 1].set(0.0)
+        return jnp.stack([diag, off]) / (2.0 * var)
+
+    def kuu_matvec(self, kind: str, p: Params, v: jnp.ndarray) -> jnp.ndarray:
+        """Kuu @ v via the banded matvec, O(m)."""
+        from vggp_tpu.ops import banded
+
+        return banded.banded_matvec(self.kuu_bands(kind, p), v)
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Hat-function evaluations Φ(x) — (m, n), vectorized Cox–de Boor."""
@@ -571,7 +686,9 @@ class CellIntegralFeature(AxisFeature):
     mesh: np.ndarray  # (n_cells + 1,) uniform edges
 
     def __post_init__(self):
-        object.__setattr__(self, "mesh", np.asarray(self.mesh, dtype=np.float64))
+        mesh = np.asarray(self.mesh, dtype=np.float64)
+        _require_uniform_mesh(mesh, "CellIntegralFeature")
+        object.__setattr__(self, "mesh", mesh)
 
     @classmethod
     def from_lims(cls, n_cells: int, a: float, b: float) -> "CellIntegralFeature":
@@ -601,6 +718,14 @@ class CellIntegralFeature(AxisFeature):
         mesh = self.mesh_j(p)
         col = _cell_cell_cov(kind, mesh, mesh[:2], p["variance"], p["lengthscale"])
         return col[:, 0]
+
+    def kuu_matvec(self, kind: str, p: Params, v: jnp.ndarray) -> jnp.ndarray:
+        """Kuu @ v via the FFT circulant-embedding Toeplitz matvec, O(m log m).
+
+        Never materializes the (m, m) Gram — the matrix-free path for
+        very large 1D cell grids (models.iterative).
+        """
+        return toeplitz.sym_toeplitz_matvec(self.kuu_first_row(kind, p), v)
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.reshape(x, (-1,))

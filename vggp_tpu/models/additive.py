@@ -24,14 +24,20 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from vggp_tpu.features import AxisFeature, CellIntegralFeature
 from vggp_tpu.models import common
 from vggp_tpu.models.common import Gaussian
-from vggp_tpu.ops import safe_cholesky, tri_solve
+from vggp_tpu.ops import tri_solve
 
 Params = Dict
+
+
+def _concat(blocks):
+    """Additive combiner: block-diagonal Kuu → stacked whitened blocks."""
+    return jnp.concatenate(blocks, axis=0)
 
 
 @dataclass(frozen=True)
@@ -60,43 +66,23 @@ class AdditiveSGPRSpec:
         return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype)}
 
 
-def _kdiag(spec, params, n, dtype):
-    v = jnp.zeros((n,), dtype)
+def _kdiag(spec, params, X):
+    """diag K_ff = Σ_d σ_d² — sum of component variances (additive field)."""
+    n = X.shape[0]
+    v = jnp.zeros((n,), dtype=jnp.result_type(params["noise"]))
     for i in range(spec.ndim):
         v = v + common.axis_params(params, i)["variance"]
     return v
 
 
 def _factored_state(spec: AdditiveSGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
-    y = jnp.reshape(y, (-1,))
-    if X.ndim == 1:
-        X = X[:, None]
-    noise = params["noise"]
-    sigma = jnp.sqrt(noise)
-    chols = common.axis_chol_kuu(spec, params)
-    blocks = common.axis_whitened_kuf(spec, params, chols, X)
-    A = jnp.concatenate(blocks, axis=0) / sigma          # (Σ m_d, n)
-    m = A.shape[0]
-    B = jnp.eye(m, dtype=A.dtype) + A @ A.T
-    LB = safe_cholesky(B, 1e-12)
-    c = tri_solve(LB, A @ y) / sigma
-    return chols, A, LB, c, y
+    return common.factored_state(spec, params, X, y, _concat)
 
 
 @common.highest_precision
 def elbo(spec: AdditiveSGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Collapsed bound — identical form to sgpr.elbo with additive blocks."""
-    chols, A, LB, c, y = _factored_state(spec, params, X, y)
-    n = y.shape[0]
-    noise = params["noise"]
-    kff_sum = jnp.sum(_kdiag(spec, params, n, A.dtype))
-    qff_tr = noise * jnp.sum(A * A)
-    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * noise)
-    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
-    bound -= 0.5 * jnp.sum(y * y) / noise
-    bound += 0.5 * jnp.sum(c * c)
-    bound -= jnp.maximum(kff_sum - qff_tr, 0.0) / (2.0 * noise)
-    return bound
+    return common.collapsed_elbo(spec, params, X, y, _concat, _kdiag)
 
 
 def loss(spec, params, X, y):
@@ -123,26 +109,35 @@ def posterior(
     spec: AdditiveSGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     xstar: jnp.ndarray, full_cov: bool = False, predictive: bool = False,
 ) -> Gaussian:
-    chols, A, LB, c, y = _factored_state(spec, params, X, y)
-    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
-    w = jnp.concatenate(blocks_star, axis=0)
-    tmp = tri_solve(LB, w)
-    mean = tmp.T @ c
-    noise = params["noise"] if predictive else 0.0
-    if full_cov:
-        kss = _gram_add(spec, params, xstar, xstar)
-        cov = kss - w.T @ w + tmp.T @ tmp
-        if predictive:
-            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        return Gaussian(mean=mean, cov=cov)
-    n_star = w.shape[1]
-    kss = _kdiag(spec, params, n_star, w.dtype)
-    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
-    return Gaussian(mean=mean, var=common.floor_var(var, kss) + noise)
+    state = _factored_state(spec, params, X, y)
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    return common.collapsed_posterior(
+        spec, params, state, xstar, _concat, _kdiag, _gram_add,
+        full_cov=full_cov, predictive=predictive,
+    )
 
 
 def posterior_predictive(spec, params, X, y, xstar, full_cov: bool = False) -> Gaussian:
     return posterior(spec, params, X, y, xstar, full_cov=full_cov, predictive=True)
+
+
+def prior(spec: AdditiveSGPRSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
+    """Prior N(0, Σ_d k_d) at test inputs (additive analogue of
+    reference ``univariate_structure.py:169-182``)."""
+    cov = _gram_add(spec, params, xstar, xstar)
+    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+
+
+@common.highest_precision
+def q_u(spec: AdditiveSGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> Gaussian:
+    """Optimal q(u) over the stacked u = (u¹, …, u^D), N(L L_B⁻ᵀ c, L B⁻¹ Lᵀ)
+    with L = blockdiag(F_d) (additive analogue of
+    reference ``univariate_structure.py:693-717``)."""
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    L = jax.scipy.linalg.block_diag(*[f.F for f in chols])
+    half = tri_solve(LB, L.T).T  # L L_B⁻ᵀ  (m, m)
+    return Gaussian(mean=half @ c, cov=half @ half.T)
 
 
 @common.highest_precision
@@ -164,30 +159,63 @@ def q_v(
     if spec.ndim != 2:
         raise ValueError("additive q_v implemented for 2 components")
     chols, A, LB, c, y = _factored_state(spec, params, X, y)
-    g1, g2 = grid_axes
-    d1, d2 = g1.delta, g2.delta
-    kvu_blocks = common.grid_kvu(spec, params, grid_axes)   # (g_i, m_i) per axis
-    r1 = chols[0].whiten(kvu_blocks[0].T).T * d2            # (G1, m1)
-    r2 = chols[1].whiten(kvu_blocks[1].T).T * d1            # (G2, m2)
-    G1, G2 = r1.shape[0], r2.shape[0]
-    # R rows indexed (i, j) row-major: [r1_i , r2_j]
-    R = jnp.concatenate(
-        [jnp.repeat(r1, G2, axis=0), jnp.tile(r2, (G1, 1))], axis=1
-    )                                                        # (G1·G2, m1+m2)
+    R, kvv1, kvv2, G1, G2 = _grid_R_kvv(spec, params, chols, grid_axes)
     T = tri_solve(LB, R.T).T
     mean = T @ c
-    kvv1 = g1.Kuu(spec.kinds[0], common.axis_params(params, 0)) * d2 * d2
-    kvv2 = g2.Kuu(spec.kinds[1], common.axis_params(params, 1)) * d1 * d1
     if full_cov:
-        # Cov[v_ij, v_kl] = d2² Kvv1[i,k] + d1² Kvv2[j,l] for ALL (j,l)/(i,k):
-        # the cross-axis blocks are all-ones, not identity (each component is
-        # constant across the other axis's cell index).
-        ones1 = jnp.ones((G1, G1), dtype=kvv1.dtype)
-        ones2 = jnp.ones((G2, G2), dtype=kvv2.dtype)
-        kvv = jnp.kron(kvv1, ones2) + jnp.kron(ones1, kvv2)
+        kvv = _kvv_dense(kvv1, kvv2, G1, G2)
         return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
     kvv_diag = (
         jnp.repeat(jnp.diagonal(kvv1), G2) + jnp.tile(jnp.diagonal(kvv2), G1)
     )
     var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
     return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+def _grid_R_kvv(spec, params, chols, grid_axes):
+    """Whitened Kvu rows R and per-axis scaled grid covariances.
+
+    ``v_ij = δ₂ V¹_i + δ₁ V²_j`` ⇒ R rows indexed (i, j) row-major are
+    ``[δ₂·r1_i , δ₁·r2_j]`` over the block-diagonal feature space.
+    """
+    g1, g2 = grid_axes
+    d1, d2 = g1.delta, g2.delta
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)   # (g_i, m_i) per axis
+    r1 = chols[0].whiten(kvu_blocks[0].T).T * d2            # (G1, m1)
+    r2 = chols[1].whiten(kvu_blocks[1].T).T * d1            # (G2, m2)
+    G1, G2 = r1.shape[0], r2.shape[0]
+    R = jnp.concatenate(
+        [jnp.repeat(r1, G2, axis=0), jnp.tile(r2, (G1, 1))], axis=1
+    )                                                        # (G1·G2, m1+m2)
+    kvv1 = g1.Kuu(spec.kinds[0], common.axis_params(params, 0)) * d2 * d2
+    kvv2 = g2.Kuu(spec.kinds[1], common.axis_params(params, 1)) * d1 * d1
+    return R, kvv1, kvv2, G1, G2
+
+
+def _kvv_dense(kvv1, kvv2, G1, G2):
+    # Cov[v_ij, v_kl] = d2² Kvv1[i,k] + d1² Kvv2[j,l] for ALL (j,l)/(i,k):
+    # the cross-axis blocks are all-ones, not identity (each component is
+    # constant across the other axis's cell index).
+    ones1 = jnp.ones((G1, G1), dtype=kvv1.dtype)
+    ones2 = jnp.ones((G2, G2), dtype=kvv2.dtype)
+    return jnp.kron(kvv1, ones2) + jnp.kron(ones1, kvv2)
+
+
+@common.highest_precision
+def p_v_u(
+    spec: AdditiveSGPRSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+) -> Gaussian:
+    """p(v | u = E_q[u]) for the additive 2D gridded head (additive analogue
+    of reference ``gridded_univariate_structure.py:462-473``)."""
+    if spec.ndim != 2:
+        raise ValueError("additive p_v_u implemented for 2 components")
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    R, kvv1, kvv2, G1, G2 = _grid_R_kvv(spec, params, chols, grid_axes)
+    # mean = Kvu Kuu⁻¹ m_u with m_u = L L_B⁻ᵀ c  →  R L_B⁻ᵀ c
+    mean = tri_solve(LB, R.T).T @ c
+    kvv = _kvv_dense(kvv1, kvv2, G1, G2)
+    return Gaussian(mean=mean, cov=kvv - R @ R.T)

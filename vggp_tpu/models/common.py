@@ -24,11 +24,17 @@ def highest_precision(fn):
     significance at bf16. The 3/6-pass f32 MXU mode is still orders of
     magnitude faster than the reference's CPU float64 path (SURVEY.md §7
     precision strategy).
+
+    The pass count is ``config.MATMUL_PRECISION`` (read at trace time):
+    "highest" = 6-pass f32 (default), "high" = 3-pass (~1e-7 relative —
+    measured equivalent through a full 512² gridded fit, 2× MXU rate).
     """
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        from vggp_tpu import config
+
+        with jax.default_matmul_precision(config.MATMUL_PRECISION):
             return fn(*args, **kwargs)
 
     return wrapped
@@ -167,3 +173,77 @@ def grid_kvv(spec, params: Params, grid_axes, dense: bool = True):
         for i in range(len(spec.kinds))
     )
     return kron_dense(blocks) if dense else blocks
+
+
+# --------------------------------------------------------------------------- #
+# collapsed-SGPR factored pipeline, parameterized by the axis-block combiner
+#
+# The Kronecker-product models (models.sgpr) assemble the joint whitened
+# cross-covariance as a Khatri–Rao product of per-axis blocks; the additive
+# models (models.additive) concatenate them (block-diagonal Kuu). Everything
+# downstream — the Titsias bound, conditionals, the B⁻¹ factorization — is
+# identical, so it lives here once, taking ``combine(blocks) -> (m, n)``.
+# --------------------------------------------------------------------------- #
+
+def factored_state(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, combine):
+    """(chols, A, L_B, c, y) of the collapsed bound's stable factored form:
+
+    A = L⁻¹Kuf/σ, B = I + AAᵀ, L_B = chol(B), c = L_B⁻¹Ay/σ — everything
+    the bound, posteriors, and gridded heads need (sgpr.py module docstring
+    for the math; reference ``univariate_structure.py:234-263`` is the O(n³)
+    original).
+    """
+    y = jnp.reshape(y, (-1,))
+    noise = params["noise"]
+    sigma = jnp.sqrt(noise)
+    chols = axis_chol_kuu(spec, params)
+    blocks = axis_whitened_kuf(spec, params, chols, X)
+    A = combine(blocks) / sigma  # (m, n)
+    m = A.shape[0]
+    B = jnp.eye(m, dtype=A.dtype) + A @ A.T
+    LB = safe_cholesky(B, 1e-12)
+    c = tri_solve(LB, A @ y) / sigma
+    return chols, A, LB, c, y
+
+
+def collapsed_elbo(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+                   combine, kdiag_fn) -> jnp.ndarray:
+    """Collapsed (Titsias) evidence lower bound — scalar.
+
+    ``kdiag_fn(spec, params, X) -> (n,)`` supplies diag K_ff (product of axis
+    variances for separable kernels, sum for additive ones).
+    """
+    chols, A, LB, c, y = factored_state(spec, params, X, y, combine)
+    n = y.shape[0]
+    noise = params["noise"]
+    kff_sum = jnp.sum(kdiag_fn(spec, params, X))
+    qff_tr = noise * jnp.sum(A * A)
+    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * noise)
+    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
+    bound -= 0.5 * jnp.sum(y * y) / noise
+    bound += 0.5 * jnp.sum(c * c)
+    # trace gap tr(Kff - Qff) ≥ 0 always (Qff ⪯ Kff); clamp the f32
+    # cancellation error so it can never flip into a spurious reward.
+    bound -= jnp.maximum(kff_sum - qff_tr, 0.0) / (2.0 * noise)
+    return bound
+
+
+def collapsed_posterior(spec, params: Params, state, xstar: jnp.ndarray,
+                        combine, kdiag_fn, gram_fn,
+                        full_cov: bool = False, predictive: bool = False) -> Gaussian:
+    """q(f*) from a factored state (reference ``univariate_structure.py:184-232``)."""
+    chols, A, LB, c = state[:4]
+    blocks_star = axis_whitened_kuf(spec, params, chols, xstar)
+    w = combine(blocks_star)  # (m, n*) = L⁻¹ Kuf*
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    noise = params["noise"] if predictive else 0.0
+    if full_cov:
+        kss = gram_fn(spec, params, xstar, xstar)
+        cov = kss - w.T @ w + tmp.T @ tmp
+        if predictive:
+            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        return Gaussian(mean=mean, cov=cov)
+    kss = kdiag_fn(spec, params, xstar)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=floor_var(var, kss) + noise)

@@ -85,21 +85,10 @@ def posterior_from_state(
     full_cov: bool = False, predictive: bool = False,
 ) -> Gaussian:
     """q(f*) from a :func:`precompute` state — no training-data pass."""
-    chols, A, LB, c = state
-    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
-    w = common.khatri_rao_all(blocks_star)
-    tmp = tri_solve(LB, w)
-    mean = tmp.T @ c
-    noise = params["noise"] if predictive else 0.0
-    if full_cov:
-        kss = common.gram_full(spec, params, xstar, xstar)
-        cov = kss - w.T @ w + tmp.T @ tmp
-        if predictive:
-            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
-        return Gaussian(mean=mean, cov=cov)
-    kss = common.kdiag(spec, params, xstar)
-    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
-    return Gaussian(mean=mean, var=common.floor_var(var, kss) + noise)
+    return common.collapsed_posterior(
+        spec, params, state, xstar, common.khatri_rao_all,
+        common.kdiag, common.gram_full, full_cov=full_cov, predictive=predictive,
+    )
 
 
 @common.highest_precision
@@ -127,17 +116,7 @@ def q_v_from_state(
 
 def _factored_state(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
     """Compute (Ls, A, L_B, c, y) — everything downstream needs."""
-    y = jnp.reshape(y, (-1,))
-    noise = params["noise"]
-    sigma = jnp.sqrt(noise)
-    chols = common.axis_chol_kuu(spec, params)
-    blocks = common.axis_whitened_kuf(spec, params, chols, X)
-    A = common.khatri_rao_all(blocks) / sigma  # (m, n)
-    m = A.shape[0]
-    B = jnp.eye(m, dtype=A.dtype) + A @ A.T
-    LB = safe_cholesky(B, spec.jitter * 0.0 + 1e-12)
-    c = tri_solve(LB, A @ y) / sigma
-    return chols, A, LB, c, y
+    return common.factored_state(spec, params, X, y, common.khatri_rao_all)
 
 
 @common.highest_precision
@@ -147,19 +126,9 @@ def elbo(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.
     Equals the reference ``SparseGP._elbo`` (``univariate_structure.py:234-263``)
     exactly, computed in O(n m²).
     """
-    chols, A, LB, c, y = _factored_state(spec, params, X, y)
-    n = y.shape[0]
-    noise = params["noise"]
-    kff_sum = jnp.sum(common.kdiag(spec, params, X))
-    qff_tr = noise * jnp.sum(A * A)
-    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * noise)
-    bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
-    bound -= 0.5 * jnp.sum(y * y) / noise
-    bound += 0.5 * jnp.sum(c * c)
-    # trace gap tr(Kff - Qff) ≥ 0 always (Qff ⪯ Kff); clamp the f32
-    # cancellation error so it can never flip into a spurious reward.
-    bound -= jnp.maximum(kff_sum - qff_tr, 0.0) / (2.0 * noise)
-    return bound
+    return common.collapsed_elbo(
+        spec, params, X, y, common.khatri_rao_all, common.kdiag
+    )
 
 
 def loss(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -30,6 +30,10 @@ from vggp_tpu.ops.diag_lowrank import (
     diag_rank1_solve,
     diag_rank1_logdet,
     diag_rank1_matvec,
+    diag_lowrank_dense,
+    diag_lowrank_solve,
+    diag_lowrank_logdet,
+    diag_lowrank_matvec,
 )
 from vggp_tpu.ops.banded import banded_to_dense, dense_to_banded, banded_matvec
 from vggp_tpu.ops.stablemath import expm1mx, expm1s
@@ -52,6 +56,10 @@ __all__ = [
     "diag_rank1_solve",
     "diag_rank1_logdet",
     "diag_rank1_matvec",
+    "diag_lowrank_dense",
+    "diag_lowrank_solve",
+    "diag_lowrank_logdet",
+    "diag_lowrank_matvec",
     "banded_to_dense",
     "dense_to_banded",
     "banded_matvec",

@@ -96,7 +96,16 @@ class PSDFactor:
         ~7 ms of a 12 ms 512²-grid step). When b has more columns than F has
         rows, invert L once (a narrow m-RHS solve, CSE'd across uses inside
         one program) and apply it as a single MXU matmul instead.
+
+        The matmul runs at ``config.WHITEN_MATMUL_PRECISION`` regardless of
+        the ambient precision: F⁻¹'s rows cancel internally against Kuf
+        columns, and the product feeds ``k_ff − ‖a‖²``-style subtractions —
+        bf16x3 here corrupts the Titsias trace term ~60% (measured vs a
+        float64 oracle at the 512² bench sizes) while 6-pass f32 matches
+        the oracle to ~1e-6 relative.
         """
+        from vggp_tpu import config
+
         if self.tri:
             m = self.F.shape[0]
             cols = 1 if b.ndim == 1 else b.shape[-1]
@@ -104,9 +113,9 @@ class PSDFactor:
                 finv = jax.scipy.linalg.solve_triangular(
                     self.F, jnp.eye(m, dtype=self.F.dtype), lower=True
                 )
-                return finv @ b
+                return jnp.matmul(finv, b, precision=config.WHITEN_MATMUL_PRECISION)
             return jax.scipy.linalg.solve_triangular(self.F, b, lower=True)
-        return self.Finv @ b
+        return jnp.matmul(self.Finv, b, precision=config.WHITEN_MATMUL_PRECISION)
 
     @property
     def logdet(self) -> jnp.ndarray:

@@ -3,15 +3,17 @@
 The ELBO is a sum over data points, so sharding the minibatch over the
 ``data`` axis and keeping parameters replicated makes XLA emit a psum over
 per-shard gradient contributions — classic DP with zero custom collectives.
-With ``model`` > 1 the Kronecker variational state is sharded along its
-second axis: μ (m₁, m₂) → P(None, 'model'), raw_L₂ (m₂, m₂) →
-P('model', None); the per-axis matmuls become collective matmuls planned by
-the GSPMD partitioner over ICI.
+The Kronecker variational state additionally admits tensor-model parallelism
+over BOTH grid axes: μ (m₁, m₂) → P('model1', 'model2'),
+raw_L₁ (m₁, m₁) → P('model1', None), raw_L₂ (m₂, m₂) → P('model2', None);
+the per-axis matmuls become collective matmuls planned by the GSPMD
+partitioner over ICI. A legacy single 'model' axis shards only the second
+grid axis.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,17 +24,21 @@ from vggp_tpu import train as vtrain
 from vggp_tpu.models import svgp
 
 
-def _param_pspec(spec, params: Dict, model_axis: str | None) -> Dict:
+def _param_pspec(spec, params: Dict, model_axes: Tuple[Optional[str], Optional[str]]) -> Dict:
     """PartitionSpecs for the raw parameter pytree."""
 
     def replicated(tree):
         return jax.tree.map(lambda _: P(), tree)
 
     pspec = replicated(params)
-    if model_axis is not None and spec.variational == "kron":
+    a1, a2 = model_axes
+    if spec.variational == "kron" and (a1 is not None or a2 is not None):
         q = dict(pspec["q"])
-        q["mu"] = P(None, model_axis)
-        q["raw_L2"] = P(model_axis, None)
+        q["mu"] = P(a1, a2)
+        if a1 is not None:
+            q["raw_L1"] = P(a1, None)
+        if a2 is not None:
+            q["raw_L2"] = P(a2, None)
         pspec = dict(pspec)
         pspec["q"] = q
     return pspec
@@ -59,32 +65,41 @@ def make_sharded_svgp_step(
     mesh: Mesh,
     data_axis: str = "data",
     model_axis: str | None = "model",
+    model_axes: Optional[Sequence[Optional[str]]] = None,
 ):
     """Build (init_fn, step_fn) for a GSPMD-sharded SVGP training step.
 
     ``step_fn(raw_params, opt_state, xb, yb) -> (raw_params, opt_state, loss)``
     is jit-compiled with explicit output shardings; the batch must be sharded
     over ``data_axis`` (see :func:`shard_batch`).
+
+    ``model_axes=(a1, a2)`` names the mesh axes sharding the first/second
+    Kronecker grid axes (either may be None). The legacy ``model_axis``
+    shards the second axis only and is ignored when ``model_axes`` is given.
+    A named axis is dropped (state replicated — DP still applies) when it is
+    absent from the mesh, has size 1, or does not divide the corresponding
+    inducing-grid size (GSPMD divisibility).
     """
-    if model_axis is not None and model_axis not in mesh.axis_names:
-        model_axis = None
-    if model_axis is not None and mesh.shape.get(model_axis, 1) == 1:
-        model_axis = None
-    if (
-        model_axis is not None
-        and spec.variational == "kron"
-        and spec.axis_m[1] % mesh.shape[model_axis] != 0
-    ):
-        # GSPMD needs the sharded dim divisible by the axis size; fall back
-        # to replicating the variational state (DP still applies).
-        model_axis = None
+    if model_axes is None:
+        model_axes = (None, model_axis)
+    axes = list(model_axes)
+    assert len(axes) == 2, "model_axes is (axis-for-m1, axis-for-m2)"
+    for i in (0, 1):
+        a = axes[i]
+        if a is None:
+            continue
+        if a not in mesh.axis_names or mesh.shape.get(a, 1) == 1:
+            axes[i] = None
+        elif spec.variational == "kron" and spec.axis_m[i] % mesh.shape[a] != 0:
+            axes[i] = None
+    model_axes = (axes[0], axes[1])
 
     def raw_loss(raw, xb, yb):
         return svgp.loss(spec, vtrain.constrain(raw), xb, yb)
 
     def init_fn(params: Dict):
         raw = vtrain.unconstrain(params)
-        pspec = _param_pspec(spec, raw, model_axis)
+        pspec = _param_pspec(spec, raw, model_axes)
         raw = shard_params(raw, mesh, pspec)
         opt_state = optimizer.init(raw)
         return raw, opt_state

@@ -24,8 +24,8 @@ from vggp_tpu import train
 from vggp_tpu.experiments import misc, plotting, zoo
 from vggp_tpu.experiments.configs import EXP_1_TEST, EXP_1_TRAIN, EXP_1_VAL
 from vggp_tpu.experiments.loaders import load_gulf_stream_data
-from vggp_tpu.features import CellIntegralFeature, FourierFeature, PointFeature
-from vggp_tpu.models import exact, sgpr
+from vggp_tpu.features import CellIntegralFeature, FourierFeature
+from vggp_tpu.models import exact, freesvgp, sgpr
 
 METRIC_NAMES = ["mse", "mae", "rmse", "r2", "nlpd", "msll"]
 
@@ -53,8 +53,8 @@ def run(
     n_iters: int = 1000,
     learning_rate: float = 0.01,
     run_cv: bool = False,
-    cv_iters: int = 100,
-    cv_lr: float = 0.1,
+    cv_iters: int = 1000,   # nb61 used CV_ITERATIONS=100 on CPU; 10× on TPU
+    cv_lr: float = 0.1,     # nb61 CV_LR
     outdir: str | None = None,
 ) -> Dict:
     ds_train = load_gulf_stream_data(obs_root, ref_root, EXP_1_TRAIN)
@@ -99,22 +99,31 @@ def run(
         Xv, yv = jnp.asarray(X_val, jnp.float32), jnp.asarray(y_val, jnp.float32)
         val_grid = ds_val.grid_ref_data_simpson(EXP_1_VAL["N_SPLINES"])
 
-        cv_zs = [4, 8, 12, 16, 24, 32]
+        # nb61 cell 32's exact range: m FREE 2-D inducing points (the
+        # reference's GriddedMatern12SVGP takes Z (m, 2) directly —
+        # models.freesvgp), not a per-axis product grid.
+        cv_zs = [10, 30, 50, 100, 150, 200, 250, 300, 350, 400, 450, 500]
         cv = misc.cross_validation_dict(len(cv_zs))
         for i, n_z in enumerate(cv_zs):
-            spec = sgpr.SGPRSpec(
-                kinds=("matern12", "matern12"),
-                features=(PointFeature(n_z, np.linspace(0.03, 0.97, n_z)),
-                          PointFeature(n_z, np.linspace(0.03, 0.97, n_z))))
-            r = _fit_and_score("svgp", spec, Xj, yj, grids, train_grid,
-                               cv_iters, cv_lr, sgpr)
-            qv_val = jax.jit(lambda p, s=spec: sgpr.q_v(s, p, Xv, yv, grids, full_cov=False))(r["params"])
+            spec = freesvgp.FreeSVGPSpec(kinds=("matern12", "matern12"), m=n_z)
+            p0 = train.non_informative_init(
+                spec.init_params(jnp.float32, seed=i), Xj, yj)
+            t0 = time.time()
+            p_fit, hist = train.fit(
+                lambda q, s=spec: freesvgp.loss(s, q, Xj, yj), p0, cv_iters, cv_lr)
+            wall = time.time() - t0
+            qv_tr = jax.jit(lambda p, s=spec: freesvgp.q_v(
+                s, p, Xj, yj, grids, full_cov=False))(p_fit)
+            qv_val = jax.jit(lambda p, s=spec: freesvgp.q_v(
+                s, p, Xv, yv, grids, full_cov=False))(p_fit)
             cv["setting"][i] = n_z
-            cv["train_metrics"][i] = r["metrics"]
+            cv["train_metrics"][i] = misc.evaluation_metric_row(train_grid, qv_tr, yj)
             cv["val_metrics"][i] = misc.evaluation_metric_row(val_grid, qv_val, yv)
+            cv.setdefault("steps_per_sec", [None] * len(cv_zs))[i] = round(
+                cv_iters / wall, 1)
         results["cv"]["svgp_n_inducing"] = cv
 
-        cv_oms = [1, 3, 5, 7, 10, 12]
+        cv_oms = [1, 3, 5, 7, 10, 12]   # nb61 cell 39's exact range
         cv = misc.cross_validation_dict(len(cv_oms))
         for i, n_om in enumerate(cv_oms):
             spec = sgpr.SGPRSpec(
@@ -126,6 +135,8 @@ def run(
             cv["setting"][i] = n_om
             cv["train_metrics"][i] = r["metrics"]
             cv["val_metrics"][i] = misc.evaluation_metric_row(val_grid, qv_val, yv)
+            cv.setdefault("steps_per_sec", [None] * len(cv_oms))[i] = round(
+                r["steps_per_sec"], 1)
         results["cv"]["vff_n_omegas"] = cv
 
     if outdir:

@@ -10,6 +10,11 @@
 - :mod:`vggp_tpu.models.svgp`   — whitened, uncollapsed, minibatchable SVGP
   with full or Kronecker-factored variational covariance: the scalable path
   the reference lacks (SURVEY.md §3a note), sized for 512×512 inducing grids.
+- :mod:`vggp_tpu.models.freesvgp` — collapsed sparse GP with free
+  d-dimensional inducing points (Hadamard-product Kuu), the model behind the
+  reference's nb61 Z-sweep (``gridded_kronecker_structure.py:222-264``).
+- :mod:`vggp_tpu.models.iterative` — matrix-free CG posterior means for
+  structured Kuu far past the dense range (Toeplitz/banded matvecs).
 
 All models are functional: a frozen ``*Spec`` dataclass holds static
 configuration (kernel kinds, feature objects, jitter); pure functions take
@@ -21,7 +26,9 @@ from vggp_tpu.models.exact import ExactGPSpec
 from vggp_tpu.models.sgpr import SGPRSpec
 from vggp_tpu.models.svgp import SVGPSpec
 from vggp_tpu.models.additive import AdditiveSGPRSpec
-from vggp_tpu.models import exact, sgpr, svgp, additive  # noqa: F401
+from vggp_tpu.models.freesvgp import FreeSVGPSpec
+from vggp_tpu.models import exact, sgpr, svgp, additive, freesvgp, iterative  # noqa: F401
 
 __all__ = ["ExactGPSpec", "SGPRSpec", "SVGPSpec", "AdditiveSGPRSpec",
-           "exact", "sgpr", "svgp", "additive"]
+           "FreeSVGPSpec", "exact", "sgpr", "svgp", "additive", "freesvgp",
+           "iterative"]

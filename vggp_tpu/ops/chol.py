@@ -23,6 +23,38 @@ DEFAULT_JITTER = 1e-6
 F32_MIN_JITTER = 1e-6
 
 
+@jax.custom_vjp
+def _whiten_matmul(finv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """finv @ b with 6-pass f32 forward and 3-pass backward.
+
+    The forward product feeds catastrophic cancellations (k_ff − ‖a‖²) and
+    must be f32-exact (see PSDFactor.whiten); its cotangent products are
+    gradients — SGD-tolerant — so they ride the cheaper ambient precision.
+    A plain ``precision=`` argument would pin the transpose dots to 6-pass
+    too, which costs ~0.13 ms/step at the 512²/4096 bench sizes.
+    """
+    from vggp_tpu import config
+
+    return jnp.matmul(finv, b, precision=config.WHITEN_MATMUL_PRECISION)
+
+
+def _whiten_matmul_fwd(finv, b):
+    return _whiten_matmul(finv, b), (finv, b)
+
+
+def _whiten_matmul_bwd(res, g):
+    from vggp_tpu import config
+
+    finv, b = res
+    prec = config.MATMUL_PRECISION
+    dfinv = jnp.matmul(g, b.T, precision=prec)
+    db = jnp.matmul(finv.T, g, precision=prec)
+    return dfinv, db
+
+
+_whiten_matmul.defvjp(_whiten_matmul_fwd, _whiten_matmul_bwd)
+
+
 def safe_cholesky(a: jnp.ndarray, jitter: float = DEFAULT_JITTER) -> jnp.ndarray:
     """Lower Cholesky of ``(a + aᵀ)/2 + jitter·mean(diag)·I``.
 
@@ -104,8 +136,6 @@ class PSDFactor:
         float64 oracle at the 512² bench sizes) while 6-pass f32 matches
         the oracle to ~1e-6 relative.
         """
-        from vggp_tpu import config
-
         if self.tri:
             m = self.F.shape[0]
             cols = 1 if b.ndim == 1 else b.shape[-1]
@@ -113,9 +143,9 @@ class PSDFactor:
                 finv = jax.scipy.linalg.solve_triangular(
                     self.F, jnp.eye(m, dtype=self.F.dtype), lower=True
                 )
-                return jnp.matmul(finv, b, precision=config.WHITEN_MATMUL_PRECISION)
+                return _whiten_matmul(finv, b)
             return jax.scipy.linalg.solve_triangular(self.F, b, lower=True)
-        return jnp.matmul(self.Finv, b, precision=config.WHITEN_MATMUL_PRECISION)
+        return _whiten_matmul(self.Finv, b)
 
     @property
     def logdet(self) -> jnp.ndarray:

@@ -287,6 +287,66 @@ def test_svgp_kron_elbo_matches_full():
     assert ek == pytest.approx(ef, rel=1e-8)
 
 
+def test_svgp_kron_3d_matches_full():
+    """ndim = 3 Kronecker variational family (lon×lat×time — beyond the
+    reference's 1D/2D) equals the full family at S = S₁⊗S₂⊗S₃, for ELBO,
+    KL, and the gridded q(v)."""
+    gs = (CellIntegralFeature.from_lims(4, 0.0, 1.0),
+          CellIntegralFeature.from_lims(3, 0.0, 1.0),
+          CellIntegralFeature.from_lims(2, 0.0, 1.0))
+    rng = np.random.default_rng(5)
+    n = 40
+    X = jnp.asarray(rng.random((n, 3)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.3 * np.asarray(X[:, 2]) + 0.05 * rng.standard_normal(n))
+    Ls = [np.tril(rng.standard_normal((m, m))) * 0.2 + np.eye(m) for m in (4, 3, 2)]
+    mu = rng.standard_normal((4, 3, 2)) * 0.3
+    kinds = ("matern12",) * 3
+
+    def params(spec, q):
+        p = spec.init_params(jnp.float64)
+        axes = tuple({**a, "variance": jnp.asarray(1.1), "lengthscale": jnp.asarray(0.3)}
+                     for a in p["axes"])
+        return {"axes": axes, "noise": jnp.asarray(0.01), "q": q}
+
+    spec_k = svgp.SVGPSpec(kinds=kinds, features=gs, num_data=n, variational="kron")
+    spec_f = svgp.SVGPSpec(kinds=kinds, features=gs, num_data=n, variational="full")
+    pk = params(spec_k, {
+        "mu": jnp.asarray(mu),
+        "raw_L1": svgp.raw_from_chol(jnp.asarray(Ls[0])),
+        "raw_L2": svgp.raw_from_chol(jnp.asarray(Ls[1])),
+        "raw_L3": svgp.raw_from_chol(jnp.asarray(Ls[2])),
+    })
+    Lkron = np.kron(np.kron(Ls[0], Ls[1]), Ls[2])
+    pf = params(spec_f, {"mu": jnp.asarray(mu.reshape(-1)),
+                         "raw_L": svgp.raw_from_chol(jnp.asarray(Lkron))})
+
+    assert float(svgp.kl(spec_k, pk)) == pytest.approx(float(svgp.kl(spec_f, pf)), rel=1e-9)
+    assert float(svgp.elbo(spec_k, pk, X, y)) == pytest.approx(
+        float(svgp.elbo(spec_f, pf, X, y)), rel=1e-8)
+
+    grids = (CellIntegralFeature.from_lims(3, 0.0, 1.0),
+             CellIntegralFeature.from_lims(2, 0.0, 1.0),
+             CellIntegralFeature.from_lims(2, 0.0, 1.0))
+    qk = svgp.q_v(spec_k, pk, grids, full_cov=True)
+    qf = svgp.q_v(spec_f, pf, grids, full_cov=True)
+    np.testing.assert_allclose(np.asarray(qk.mean), np.asarray(qf.mean),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qk.cov), np.asarray(qf.cov),
+                               rtol=1e-7, atol=1e-11)
+    qkd = svgp.q_v(spec_k, pk, grids, full_cov=False)
+    np.testing.assert_allclose(np.diagonal(np.asarray(qk.cov)), np.asarray(qkd.var),
+                               rtol=1e-7, atol=1e-12)
+    # posterior marginals agree too
+    xs = jnp.asarray(rng.random((9, 3)))
+    postk = svgp.posterior(spec_k, pk, xs)
+    postf = svgp.posterior(spec_f, pf, xs)
+    np.testing.assert_allclose(np.asarray(postk.mean), np.asarray(postf.mean),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(postk.var), np.asarray(postf.var),
+                               rtol=1e-7, atol=1e-12)
+
+
 def test_svgp_elbo_below_exact_mll():
     """Uncollapsed ELBO ≤ exact MLL for any q."""
     X, y, _ = _data_1d()

@@ -18,7 +18,9 @@ for; all heavy ops are MXU matmuls.
 
 Variational families:
 - ``variational="full"``: dense lower-triangular S factor (any ndim, small m)
-- ``variational="kron"``: S = S₁ ⊗ S₂ (ndim == 2, huge m)
+- ``variational="kron"``: S = S₁ ⊗ ⋯ ⊗ S_d (ndim ≥ 2, huge m) — e.g. a
+  1024³ ≈ 10⁹-cell lon×lat×time grid holds per-axis (1024, 1024) state only.
+  The reference is strictly 1D/2D; d ≥ 3 is an extension.
 """
 
 from __future__ import annotations
@@ -62,8 +64,8 @@ class SVGPSpec:
     def __post_init__(self):
         if self.variational not in ("full", "kron"):
             raise ValueError(self.variational)
-        if self.variational == "kron" and len(self.features) != 2:
-            raise ValueError("kron variational family requires exactly 2 axes")
+        if self.variational == "kron" and len(self.features) < 2:
+            raise ValueError("kron variational family requires ndim >= 2")
 
     @property
     def ndim(self) -> int:
@@ -93,12 +95,9 @@ class SVGPSpec:
                 "raw_L": raw_from_chol(jnp.eye(m, dtype=dtype)),
             }
         else:
-            m1, m2 = self.axis_m
-            q = {
-                "mu": jnp.zeros((m1, m2), dtype),
-                "raw_L1": raw_from_chol(jnp.eye(m1, dtype=dtype)),
-                "raw_L2": raw_from_chol(jnp.eye(m2, dtype=dtype)),
-            }
+            q = {"mu": jnp.zeros(self.axis_m, dtype)}
+            for i, mi in enumerate(self.axis_m):
+                q[f"raw_L{i + 1}"] = raw_from_chol(jnp.eye(mi, dtype=dtype))
         return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype), "q": q}
 
 
@@ -106,6 +105,31 @@ def _whitened_blocks(spec: SVGPSpec, params: Params, x: jnp.ndarray):
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, x)
     return chols, blocks
+
+
+_AXIS_LETTERS = "abcdefgh"
+
+
+def _kron_chols(spec: SVGPSpec, q: Params) -> Tuple[jnp.ndarray, ...]:
+    return tuple(chol_from_raw(q[f"raw_L{i + 1}"]) for i in range(spec.ndim))
+
+
+def _kron_contract(mu: jnp.ndarray, mats: Sequence[jnp.ndarray], out: str) -> jnp.ndarray:
+    """einsum of μ (m₁…m_d) against one (·, m_i) matrix per axis.
+
+    ``out`` is 'n' for shared-column contractions (q(f) means: mats are
+    (m_i, n) with columns aligned) or 'grid' for an outer grid (q(v) means:
+    mats are (g_i, m_i), result reshaped flat row-major — the numpy.kron
+    index convention).
+    """
+    d = len(mats)
+    L = _AXIS_LETTERS[:d]
+    if out == "n":
+        sub = ",".join(f"{L[i]}n" for i in range(d))
+        return jnp.einsum(f"{L},{sub}->n", mu, *[m for m in mats])
+    G = _AXIS_LETTERS[d:2 * d].upper()
+    sub = ",".join(f"{G[i]}{L[i]}" for i in range(d))
+    return jnp.einsum(f"{L},{sub}->{G}", mu, *[m for m in mats]).reshape(-1)
 
 
 def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,14 +144,16 @@ def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, j
         var_red = jnp.sum(a * a, axis=0)
         var_add = jnp.sum(sa * sa, axis=0)
     else:
-        a1, a2 = blocks                    # (m1, n), (m2, n)
-        L1 = chol_from_raw(q["raw_L1"])
-        L2 = chol_from_raw(q["raw_L2"])
-        mean = jnp.einsum("in,ij,jn->n", a1, q["mu"], a2)
-        t1 = L1.T @ a1                     # (m1, n)
-        t2 = L2.T @ a2
-        var_red = jnp.sum(a1 * a1, axis=0) * jnp.sum(a2 * a2, axis=0)
-        var_add = jnp.sum(t1 * t1, axis=0) * jnp.sum(t2 * t2, axis=0)
+        Ls = _kron_chols(spec, q)
+        mean = _kron_contract(q["mu"], blocks, out="n")
+        var_red = None
+        var_add = None
+        for i, a in enumerate(blocks):
+            t = Ls[i].T @ a                # (m_i, n)
+            r = jnp.sum(a * a, axis=0)
+            v = jnp.sum(t * t, axis=0)
+            var_red = r if var_red is None else var_red * r
+            var_add = v if var_add is None else var_add * v
     return mean, var_red, var_add
 
 
@@ -142,13 +168,22 @@ def kl(spec: SVGPSpec, params: Params) -> jnp.ndarray:
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls)))
         quad = jnp.sum(q["mu"] ** 2)
         return 0.5 * (quad + tr - m - logdet)
-    L1 = chol_from_raw(q["raw_L1"])
-    L2 = chol_from_raw(q["raw_L2"])
-    m1, m2 = L1.shape[0], L2.shape[0]
-    tr = jnp.sum(L1 * L1) * jnp.sum(L2 * L2)
-    logdet = 2.0 * (m2 * jnp.sum(jnp.log(jnp.diagonal(L1))) + m1 * jnp.sum(jnp.log(jnp.diagonal(L2))))
+    Ls = _kron_chols(spec, q)
+    ms = [L.shape[0] for L in Ls]
+    m_total = 1
+    tr = 1.0
+    for L in Ls:
+        tr = tr * jnp.sum(L * L)
+    logdet = 0.0
+    for i, L in enumerate(Ls):
+        others = 1
+        for j, mj in enumerate(ms):
+            if j != i:
+                others *= mj
+        m_total *= ms[i]
+        logdet = logdet + 2.0 * others * jnp.sum(jnp.log(jnp.diagonal(L)))
     quad = jnp.sum(q["mu"] ** 2)
-    return 0.5 * (quad + tr - (m1 * m2) - logdet)
+    return 0.5 * (quad + tr - m_total - logdet)
 
 
 @common.highest_precision
@@ -226,8 +261,8 @@ def posterior(
         Ls = chol_from_raw(q["raw_L"])
         sa = Ls.T @ a
     else:
-        L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
-        sa = common.khatri_rao_all((L1.T @ blocks[0], L2.T @ blocks[1]))
+        Lk = _kron_chols(spec, q)
+        sa = common.khatri_rao_all(tuple(Lk[i].T @ blocks[i] for i in range(spec.ndim)))
     cov = kss - a.T @ a + sa.T @ sa
     if predictive:
         cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
@@ -256,11 +291,11 @@ def q_u(spec: SVGPSpec, params: Params) -> Gaussian:
         Ls = chol_from_raw(q["raw_L"])
         half = F @ Ls
         return Gaussian(mean=F @ q["mu"], cov=half @ half.T)
-    F1, F2 = chols[0].F, chols[1].F
-    L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
-    mean = (F1 @ q["mu"] @ F2.T).reshape(-1)
-    h1, h2 = F1 @ L1, F2 @ L2
-    return Gaussian(mean=mean, cov=kron_dense((h1 @ h1.T, h2 @ h2.T)))
+    Fs = [c.F for c in chols]
+    Lk = _kron_chols(spec, q)
+    mean = _kron_contract(q["mu"], Fs, out="grid")
+    halves = [Fs[i] @ Lk[i] for i in range(spec.ndim)]
+    return Gaussian(mean=mean, cov=kron_dense([h @ h.T for h in halves]))
 
 
 @common.highest_precision
@@ -278,9 +313,8 @@ def p_v_u(
         mean = R @ q["mu"]
         RR = R @ R.T
     else:
-        R1, R2 = r_blocks
-        mean = (R1 @ q["mu"] @ R2.T).reshape(-1)
-        RR = kron_dense((R1 @ R1.T, R2 @ R2.T))
+        mean = _kron_contract(q["mu"], r_blocks, out="grid")
+        RR = kron_dense([R @ R.T for R in r_blocks])
     kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
     return Gaussian(mean=mean, cov=kvv - RR)
 
@@ -317,20 +351,20 @@ def q_v(
         kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
         var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(RS * RS, axis=1)
         return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
-    # kron family
-    R1, R2 = r_blocks
-    L1, L2 = chol_from_raw(q["raw_L1"]), chol_from_raw(q["raw_L2"])
-    mean = (R1 @ q["mu"] @ R2.T).reshape(-1)
-    RS1, RS2 = R1 @ L1, R2 @ L2
+    # kron family (any ndim ≥ 2)
+    Lk = _kron_chols(spec, q)
+    mean = _kron_contract(q["mu"], r_blocks, out="grid")
+    rs_blocks = [r_blocks[i] @ Lk[i] for i in range(spec.ndim)]
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
     if full_cov:
         kvv = kron_dense(kvv_blocks)
-        cov = kvv - kron_dense((R1 @ R1.T, R2 @ R2.T)) + kron_dense((RS1 @ RS1.T, RS2 @ RS2.T))
+        cov = (kvv - kron_dense([R @ R.T for R in r_blocks])
+               + kron_dense([RS @ RS.T for RS in rs_blocks]))
         return Gaussian(mean=mean, cov=cov)
     kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
     var = (
         kvv_diag
-        - kron_diag((jnp.sum(R1 * R1, axis=1), jnp.sum(R2 * R2, axis=1)))
-        + kron_diag((jnp.sum(RS1 * RS1, axis=1), jnp.sum(RS2 * RS2, axis=1)))
+        - kron_diag([jnp.sum(R * R, axis=1) for R in r_blocks])
+        + kron_diag([jnp.sum(RS * RS, axis=1) for RS in rs_blocks])
     )
     return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))

@@ -199,6 +199,80 @@ class TestFourier:
         assert errs[1] < errs[0] * 0.8, errs
 
 
+class TestB2Spline:
+    feat = features.B2SplineFeature(n_intervals=6, a=0.0, b=1.0)
+
+    def test_partition_of_unity_and_scipy_match(self):
+        from scipy.interpolate import BSpline
+
+        x = np.linspace(0.001, 0.999, 83)
+        kuf = np.asarray(self.feat.Kuf("matern32", P, jnp.asarray(x)))
+        np.testing.assert_allclose(kuf.sum(axis=0), np.ones_like(x), rtol=1e-9)
+        K = 6
+        interior = np.linspace(0.0, 1.0, K + 1)
+        T = np.concatenate([[0.0, 0.0], interior, [1.0, 1.0]])
+        for j in range(K + 2):
+            want = BSpline(T, np.eye(K + 2)[j], 2)(x)
+            np.testing.assert_allclose(kuf[j], want, atol=1e-9)
+
+    def test_kuu_matches_rkhs_quadrature(self):
+        """Kuu == ⟨φᵢ,φⱼ⟩ in the Matérn-3/2 interval RKHS, by quadrature of
+        the Markov-state form (state(a)ᵀP₀⁻¹state(a) + ∫(Lφᵢ)(Lφⱼ)/c,
+        L = (d/dt+λ)², c = 4σ²λ³, P₀ = diag(σ², σ²λ²))."""
+        from scipy.interpolate import BSpline
+
+        var, ls = float(P["variance"]), float(P["lengthscale"])
+        lam = np.sqrt(3.0) / ls
+        c = 4.0 * var * lam**3
+        K = self.feat.n_intervals
+        interior = np.linspace(0.0, 1.0, K + 1)
+        T = np.concatenate([[0.0, 0.0], interior, [1.0, 1.0]])
+        m = K + 2
+        spl = [BSpline(T, np.eye(m)[j], 2, extrapolate=False) for j in range(m)]
+        d1 = [s.derivative(1) for s in spl]
+        d2 = [s.derivative(2) for s in spl]
+
+        def L(j, x):
+            return (np.nan_to_num(d2[j](x)) + 2.0 * lam * np.nan_to_num(d1[j](x))
+                    + lam**2 * np.nan_to_num(spl[j](x)))
+
+        want = np.zeros((m, m))
+        eps = 1e-9
+        for i in range(m):
+            for j in range(i, m):
+                tot = 0.0
+                # integrate per knot interval (integrand smooth inside each)
+                for k in range(K):
+                    v, _ = integrate.quad(lambda x: L(i, x) * L(j, x),
+                                          interior[k] + eps, interior[k + 1] - eps)
+                    tot += v
+                want[i, j] = want[j, i] = (
+                    tot / c
+                    + float(np.nan_to_num(spl[i](eps)) * np.nan_to_num(spl[j](eps))) / var
+                    + float(np.nan_to_num(d1[i](eps)) * np.nan_to_num(d1[j](eps)))
+                    / (var * lam**2)
+                )
+        got = np.asarray(self.feat.Kuu("matern32", {k: jnp.asarray(v, jnp.float64)
+                                                    for k, v in P.items()}))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
+
+    def test_kvu_vs_quadrature(self):
+        grid = features.CellIntegralFeature.from_lims(5, 0.05, 0.95)
+        kvu = np.asarray(self.feat.Kvu("matern32", P, grid))
+        ref = np.asarray(self.feat.kvu_quadrature("matern32", P, grid, n_quad=2001))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-6, atol=1e-9)
+
+    def test_qff_bounded_by_k(self):
+        x = jnp.asarray(np.linspace(0.05, 0.95, 30))
+        p64 = {k: jnp.asarray(v, jnp.float64) for k, v in P.items()}
+        K = np.asarray(kernels.gram_1d("matern32", x, x, p64["variance"], p64["lengthscale"]))
+        kuu = np.asarray(self.feat.Kuu("matern32", p64))
+        kuf = np.asarray(self.feat.Kuf("matern32", p64, x))
+        qff = kuf.T @ np.linalg.solve(kuu, kuf)
+        gap = K - qff
+        assert np.linalg.eigvalsh(0.5 * (gap + gap.T)).min() > -1e-8
+
+
 class TestB1Spline:
     feat = features.B1SplineFeature(np.linspace(0.0, 1.0, 8))
 

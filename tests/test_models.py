@@ -113,6 +113,30 @@ def test_sgpr_elbo_below_exact_mll():
     assert float(sgpr.elbo(spec_s, p, X, y)) <= float(exact.mll(spec_e, p, X, y)) + 1e-8
 
 
+def test_sgpr_b2spline_matern32_elbo():
+    """ASVGP order-2 (B2 splines, Matérn-3/2 — beyond the reference's
+    B1/Matérn-1/2 ASVGP): bound matches the dense oracle and respects the
+    Titsias inequality, and the gridded q_v head works."""
+    from vggp_tpu.features import B2SplineFeature
+
+    feat = B2SplineFeature(n_intervals=8, a=0.0, b=1.0)
+    X, y, _ = _data_1d()
+    spec = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,), jitter=1e-12)
+    p = _params_1d(feat)
+    got = float(sgpr.elbo(spec, p, X, y))
+    kuu = feat.Kuu("matern32", p["axes"][0])
+    kuf = feat.Kuf("matern32", p["axes"][0], X)
+    kff = kernels.kdiag_1d("matern32", X, p["axes"][0]["variance"], p["axes"][0]["lengthscale"])
+    want = _dense_collapsed_elbo(kuu, kuf, kff, y, float(p["noise"]))
+    assert got == pytest.approx(want, rel=1e-6)
+    spec_e = exact.ExactGPSpec(kinds=("matern32",))
+    assert got <= float(exact.mll(spec_e, p, X, y)) + 1e-8
+    grids = (CellIntegralFeature.from_lims(6, 0.0, 1.0),)
+    qv = sgpr.q_v(spec, p, X, y, grids, full_cov=False)
+    assert np.asarray(qv.var).min() > 0
+    assert np.all(np.isfinite(np.asarray(qv.mean)))
+
+
 @pytest.mark.parametrize("kind", ["matern32", "matern52"])
 def test_sgpr_vff_higher_order_elbo(kind):
     """VFF with Matérn-3/2 / 5/2 Kuu (rank-2/3 closed forms the reference

@@ -675,6 +675,161 @@ class B1SplineFeature(AxisFeature):
 
 
 @dataclass(frozen=True)
+class B2SplineFeature(AxisFeature):
+    """B2 (quadratic) spline RKHS features — ASVGP for Matérn-3/2.
+
+    The reference's ASVGP is Matérn-1/2-only (B1 hats are not in the
+    Matérn-3/2 RKHS: it requires square-integrable second derivatives and
+    hats have distributional ones). Quadratic B-splines are C¹ with bounded
+    piecewise-constant second derivatives, so they live in H_{3/2}, and the
+    ASVGP construction extends (cf. the ASVGP paper's order-(ν+1/2) spline
+    prescription; reference ``univariate_structure.py:531-658`` is the B1
+    baseline being generalized).
+
+    Kuu uses the Markov-state form of the interval RKHS inner product
+    (same derivation as ``FourierFeature.kuu_diag_lowrank``, quadrature-
+    verified in tests): with L = (d/dt + λ)², c = 4σ²λ³,
+
+        ⟨φᵢ,φⱼ⟩ = [M22 + 2λ·M12 + λ²(M02 + 4·M11) + 2λ³·M01 + λ⁴·M00]/c
+                  + φᵢ(a)φⱼ(a)/σ² + φᵢ'(a)φⱼ'(a)/(σ²λ²)
+
+    where M00…M22 are STATIC banded spline-product integrals (computed once
+    with exact Gauss–Legendre at construction — hyperparameter-free, like
+    the B1 mass/stiffness matrices), so the traced Kuu is a 5-term
+    polynomial-in-λ combination: XLA-friendly, no quadrature in the graph.
+
+    Basis: open-clamped uniform knots on [a, b] with K intervals →
+    m = K + 2 functions; Kuf evaluates the piecewise quadratics branch-free
+    (static per-interval coefficient tables + a where-mask placement); Kvu
+    (cell integrals of the basis) is fully static and exact (spline
+    antiderivatives).
+    """
+
+    n_intervals: int
+    a: float
+    b: float
+
+    def __post_init__(self):
+        if self.n_intervals < 2:
+            raise ValueError("B2SplineFeature needs at least 2 intervals")
+        from scipy.interpolate import BSpline
+
+        K, a, b = self.n_intervals, self.a, self.b
+        delta = (b - a) / K
+        interior = np.linspace(a, b, K + 1)
+        T = np.concatenate([[a, a], interior, [b, b]])  # open-clamped, degree 2
+        m = K + 2
+        splines = [BSpline(T, np.eye(m)[j], 2, extrapolate=False) for j in range(m)]
+        d1 = [s.derivative(1) for s in splines]
+        d2 = [s.derivative(2) for s in splines]
+
+        # exact Gauss–Legendre per interval (3 points: exact to degree 5;
+        # products of quadratics are degree ≤ 4)
+        gl_x, gl_w = np.polynomial.legendre.leggauss(3)
+        M = {k: np.zeros((m, m)) for k in ("00", "01", "02", "11", "12", "22")}
+        for i in range(K):
+            lo, hi = interior[i], interior[i + 1]
+            xs = 0.5 * (hi - lo) * gl_x + 0.5 * (hi + lo)
+            ws = 0.5 * (hi - lo) * gl_w
+            # only bases i, i+1, i+2 are active on interval i
+            act = range(max(0, i), min(m, i + 3))
+            vals = {j: np.nan_to_num(splines[j](xs)) for j in act}
+            v1 = {j: np.nan_to_num(d1[j](xs)) for j in act}
+            v2 = {j: np.nan_to_num(d2[j](xs)) for j in act}
+            for j in act:
+                for k in act:
+                    M["00"][j, k] += np.sum(ws * vals[j] * vals[k])
+                    M["01"][j, k] += np.sum(ws * (v1[j] * vals[k] + vals[j] * v1[k]))
+                    M["02"][j, k] += np.sum(ws * (v2[j] * vals[k] + vals[j] * v2[k]))
+                    M["11"][j, k] += np.sum(ws * v1[j] * v1[k])
+                    M["12"][j, k] += np.sum(ws * (v2[j] * v1[k] + v1[j] * v2[k]))
+                    M["22"][j, k] += np.sum(ws * v2[j] * v2[k])
+        eps = 1e-12 * (b - a)
+        s0 = np.array([float(np.nan_to_num(s(a + eps))) for s in splines])
+        s1 = np.array([float(np.nan_to_num(d(a + eps))) for d in d1])
+
+        # per-interval quadratic coefficient table C[i, s, :] in the local
+        # coordinate u = (x - a)/δ - i ∈ [0, 1]: p(u) = c0 + c1·u + c2·u²
+        C = np.zeros((K, 3, 3))
+        for i in range(K):
+            lo = a + i * delta
+            pts = lo + delta * np.array([1e-9, 0.5, 1 - 1e-9])
+            for s in range(3):
+                j = i + s
+                if j >= m:
+                    continue
+                p0, ph, p1 = (float(np.nan_to_num(splines[j](t))) for t in pts)
+                c2 = 2.0 * (p1 + p0 - 2.0 * ph)
+                c1 = p1 - p0 - c2
+                C[i, s] = (p0, c1, c2)
+
+        object.__setattr__(self, "_M", {k: v for k, v in M.items()})
+        object.__setattr__(self, "_state", (s0, s1))
+        object.__setattr__(self, "_coeffs", C)
+        object.__setattr__(self, "_splines", tuple(splines))
+        object.__setattr__(self, "delta", delta)
+
+    @property
+    def m(self) -> int:
+        return self.n_intervals + 2
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        if kind != "matern32":
+            raise NotImplementedError(
+                "B2-spline RKHS Kuu implemented for matern32 (B1SplineFeature "
+                "covers matern12; B2 splines are not in rougher/smoother RKHSs)"
+            )
+        ls, var = p["lengthscale"], p["variance"]
+        dtype = jnp.result_type(ls)
+        lam = kernels.lam(kind, ls)
+        c = 4.0 * var * lam**3
+        Mj = {k: jnp.asarray(v, dtype) for k, v in self._M.items()}
+        integral = (
+            Mj["22"] + 2.0 * lam * Mj["12"]
+            + lam**2 * (Mj["02"] + 4.0 * Mj["11"])
+            + 2.0 * lam**3 * Mj["01"] + lam**4 * Mj["00"]
+        )
+        s0 = jnp.asarray(self._state[0], dtype)
+        s1 = jnp.asarray(self._state[1], dtype)
+        return integral / c + jnp.outer(s0, s0) / var + jnp.outer(s1, s1) / (var * lam**2)
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Branch-free piecewise-quadratic evaluation Φ(x) — (m, n)."""
+        x = jnp.reshape(x, (-1,))
+        dtype = jnp.result_type(x)
+        K = self.n_intervals
+        t = (x - self.a) / self.delta
+        i = jnp.clip(jnp.floor(t), 0, K - 1).astype(jnp.int32)   # (n,)
+        u = t - i
+        Cj = jnp.asarray(self._coeffs, dtype)                    # (K, 3, 3)
+        ci = Cj[i]                                               # (n, 3, 3)
+        vals = ci[:, :, 0] + ci[:, :, 1] * u[:, None] + ci[:, :, 2] * (u * u)[:, None]
+        rows = jnp.arange(self.m, dtype=jnp.int32)[:, None]      # (m, 1)
+        out = jnp.zeros((self.m, x.shape[0]), dtype)
+        inside = (x >= self.a) & (x <= self.b)
+        for s in range(3):
+            out = out + jnp.where(
+                (rows == (i + s)[None, :]) & inside[None, :], vals[:, s][None, :], 0.0
+            )
+        return out
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        """Exact integrals of each quadratic spline over each grid cell.
+
+        Both meshes are static, so this is a static table (spline
+        antiderivatives at clipped cell edges), cast to the traced dtype.
+        """
+        mesh = np.asarray(grid.mesh)
+        anti = [s.antiderivative() for s in self._splines]
+        lo = np.clip(mesh[:-1], self.a, self.b)
+        hi = np.clip(mesh[1:], self.a, self.b)
+        tbl = np.zeros((len(mesh) - 1, self.m))
+        for j, A in enumerate(anti):
+            tbl[:, j] = np.nan_to_num(A(hi)) - np.nan_to_num(A(lo))
+        return jnp.asarray(tbl, jnp.result_type(p["lengthscale"]))
+
+
+@dataclass(frozen=True)
 class CellIntegralFeature(AxisFeature):
     """B0 cell-integral features v_i = ∫_{[mesh_i, mesh_{i+1}]} f(t) dt.
 

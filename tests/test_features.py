@@ -215,26 +215,39 @@ class TestB2Spline:
             want = BSpline(T, np.eye(K + 2)[j], 2)(x)
             np.testing.assert_allclose(kuf[j], want, atol=1e-9)
 
-    def test_kuu_matches_rkhs_quadrature(self):
-        """Kuu == ⟨φᵢ,φⱼ⟩ in the Matérn-3/2 interval RKHS, by quadrature of
-        the Markov-state form (state(a)ᵀP₀⁻¹state(a) + ∫(Lφᵢ)(Lφⱼ)/c,
-        L = (d/dt+λ)², c = 4σ²λ³, P₀ = diag(σ², σ²λ²))."""
+    @pytest.mark.parametrize("degree", [2, 3])
+    def test_kuu_matches_rkhs_quadrature(self, degree):
+        """Kuu == ⟨φᵢ,φⱼ⟩ in the Matérn-(degree−1/2) interval RKHS, by
+        quadrature of the Markov-state form (stateᵀP₀⁻¹state + ∫(Lφᵢ)(Lφⱼ)/c,
+        L = (d/dt+λ)^p)."""
+        from math import comb
+
         from scipy.interpolate import BSpline
 
+        feat = features.SplineRKHSFeature(degree, 5, 0.0, 1.0)
+        kind = {2: "matern32", 3: "matern52"}[degree]
         var, ls = float(P["variance"]), float(P["lengthscale"])
-        lam = np.sqrt(3.0) / ls
-        c = 4.0 * var * lam**3
-        K = self.feat.n_intervals
+        lam = {2: np.sqrt(3.0), 3: np.sqrt(5.0)}[degree] / ls
+        c = {2: 4.0 * var * lam**3, 3: (16.0 / 3.0) * var * lam**5}[degree]
+        if degree == 2:
+            P0 = np.diag([var, var * lam**2])
+        else:
+            P0 = np.array([
+                [var, 0.0, -var * lam**2 / 3.0],
+                [0.0, var * lam**2 / 3.0, 0.0],
+                [-var * lam**2 / 3.0, 0.0, var * lam**4],
+            ])
+        P0inv = np.linalg.inv(P0)
+        K = feat.n_intervals
         interior = np.linspace(0.0, 1.0, K + 1)
-        T = np.concatenate([[0.0, 0.0], interior, [1.0, 1.0]])
-        m = K + 2
-        spl = [BSpline(T, np.eye(m)[j], 2, extrapolate=False) for j in range(m)]
-        d1 = [s.derivative(1) for s in spl]
-        d2 = [s.derivative(2) for s in spl]
+        T = np.concatenate([[0.0] * degree, interior, [1.0] * degree])
+        m = K + degree
+        spl = [BSpline(T, np.eye(m)[j], degree, extrapolate=False) for j in range(m)]
+        dv = [[s.derivative(r) if r else s for r in range(degree + 1)] for s in spl]
 
         def L(j, x):
-            return (np.nan_to_num(d2[j](x)) + 2.0 * lam * np.nan_to_num(d1[j](x))
-                    + lam**2 * np.nan_to_num(spl[j](x)))
+            return sum(comb(degree, r) * lam ** (degree - r)
+                       * np.nan_to_num(dv[j][r](x)) for r in range(degree + 1))
 
         want = np.zeros((m, m))
         eps = 1e-9
@@ -246,14 +259,11 @@ class TestB2Spline:
                     v, _ = integrate.quad(lambda x: L(i, x) * L(j, x),
                                           interior[k] + eps, interior[k + 1] - eps)
                     tot += v
-                want[i, j] = want[j, i] = (
-                    tot / c
-                    + float(np.nan_to_num(spl[i](eps)) * np.nan_to_num(spl[j](eps))) / var
-                    + float(np.nan_to_num(d1[i](eps)) * np.nan_to_num(d1[j](eps)))
-                    / (var * lam**2)
-                )
-        got = np.asarray(self.feat.Kuu("matern32", {k: jnp.asarray(v, jnp.float64)
-                                                    for k, v in P.items()}))
+                si = np.array([np.nan_to_num(dv[i][r](eps)) for r in range(degree)])
+                sj = np.array([np.nan_to_num(dv[j][r](eps)) for r in range(degree)])
+                want[i, j] = want[j, i] = tot / c + si @ P0inv @ sj
+        got = np.asarray(feat.Kuu(kind, {k: jnp.asarray(v, jnp.float64)
+                                         for k, v in P.items()}))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
 
     def test_kvu_vs_quadrature(self):
@@ -262,15 +272,24 @@ class TestB2Spline:
         ref = np.asarray(self.feat.kvu_quadrature("matern32", P, grid, n_quad=2001))
         np.testing.assert_allclose(kvu, ref, rtol=1e-6, atol=1e-9)
 
-    def test_qff_bounded_by_k(self):
+    @pytest.mark.parametrize("degree,kind", [(2, "matern32"), (3, "matern52")])
+    def test_qff_bounded_by_k(self, degree, kind):
+        feat = features.SplineRKHSFeature(degree, 6, 0.0, 1.0)
         x = jnp.asarray(np.linspace(0.05, 0.95, 30))
         p64 = {k: jnp.asarray(v, jnp.float64) for k, v in P.items()}
-        K = np.asarray(kernels.gram_1d("matern32", x, x, p64["variance"], p64["lengthscale"]))
-        kuu = np.asarray(self.feat.Kuu("matern32", p64))
-        kuf = np.asarray(self.feat.Kuf("matern32", p64, x))
+        K = np.asarray(kernels.gram_1d(kind, x, x, p64["variance"], p64["lengthscale"]))
+        kuu = np.asarray(feat.Kuu(kind, p64))
+        kuf = np.asarray(feat.Kuf(kind, p64, x))
         qff = kuf.T @ np.linalg.solve(kuu, kuf)
         gap = K - qff
         assert np.linalg.eigvalsh(0.5 * (gap + gap.T)).min() > -1e-8
+
+    def test_b3_kvu_vs_quadrature(self):
+        feat = features.B3SplineFeature(5, 0.0, 1.0)
+        grid = features.CellIntegralFeature.from_lims(4, 0.1, 0.9)
+        kvu = np.asarray(feat.Kvu("matern52", P, grid))
+        ref = np.asarray(feat.kvu_quadrature("matern52", P, grid, n_quad=2001))
+        np.testing.assert_allclose(kvu, ref, rtol=1e-6, atol=1e-9)
 
 
 class TestB1Spline:

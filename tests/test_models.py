@@ -113,23 +113,24 @@ def test_sgpr_elbo_below_exact_mll():
     assert float(sgpr.elbo(spec_s, p, X, y)) <= float(exact.mll(spec_e, p, X, y)) + 1e-8
 
 
-def test_sgpr_b2spline_matern32_elbo():
-    """ASVGP order-2 (B2 splines, Matérn-3/2 — beyond the reference's
-    B1/Matérn-1/2 ASVGP): bound matches the dense oracle and respects the
-    Titsias inequality, and the gridded q_v head works."""
-    from vggp_tpu.features import B2SplineFeature
+@pytest.mark.parametrize("degree,kind", [(2, "matern32"), (3, "matern52")])
+def test_sgpr_spline_rkhs_higher_order_elbo(degree, kind):
+    """ASVGP order-2/3 (B2/B3 splines, Matérn-3/2 / 5/2 — beyond the
+    reference's B1/Matérn-1/2 ASVGP): bound matches the dense oracle and
+    respects the Titsias inequality, and the gridded q_v head works."""
+    from vggp_tpu.features import SplineRKHSFeature
 
-    feat = B2SplineFeature(n_intervals=8, a=0.0, b=1.0)
+    feat = SplineRKHSFeature(degree, 8, 0.0, 1.0)
     X, y, _ = _data_1d()
-    spec = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,), jitter=1e-12)
+    spec = sgpr.SGPRSpec(kinds=(kind,), features=(feat,), jitter=1e-12)
     p = _params_1d(feat)
     got = float(sgpr.elbo(spec, p, X, y))
-    kuu = feat.Kuu("matern32", p["axes"][0])
-    kuf = feat.Kuf("matern32", p["axes"][0], X)
-    kff = kernels.kdiag_1d("matern32", X, p["axes"][0]["variance"], p["axes"][0]["lengthscale"])
+    kuu = feat.Kuu(kind, p["axes"][0])
+    kuf = feat.Kuf(kind, p["axes"][0], X)
+    kff = kernels.kdiag_1d(kind, X, p["axes"][0]["variance"], p["axes"][0]["lengthscale"])
     want = _dense_collapsed_elbo(kuu, kuf, kff, y, float(p["noise"]))
     assert got == pytest.approx(want, rel=1e-6)
-    spec_e = exact.ExactGPSpec(kinds=("matern32",))
+    spec_e = exact.ExactGPSpec(kinds=(kind,))
     assert got <= float(exact.mll(spec_e, p, X, y)) + 1e-8
     grids = (CellIntegralFeature.from_lims(6, 0.0, 1.0),)
     qv = sgpr.q_v(spec, p, X, y, grids, full_cov=False)

@@ -674,147 +674,181 @@ class B1SplineFeature(AxisFeature):
         return up + down
 
 
+# Matérn order matched to spline smoothness: degree-p splines are C^{p-1}
+# (∈ H_ν for ν = p − 1/2), the ASVGP order prescription.
+_SPLINE_KIND_BY_DEGREE = {2: "matern32", 3: "matern52"}
+
+
 @dataclass(frozen=True)
-class B2SplineFeature(AxisFeature):
-    """B2 (quadratic) spline RKHS features — ASVGP for Matérn-3/2.
+class SplineRKHSFeature(AxisFeature):
+    """Higher-order B-spline RKHS features — ASVGP for Matérn-3/2 and 5/2.
 
-    The reference's ASVGP is Matérn-1/2-only (B1 hats are not in the
-    Matérn-3/2 RKHS: it requires square-integrable second derivatives and
-    hats have distributional ones). Quadratic B-splines are C¹ with bounded
-    piecewise-constant second derivatives, so they live in H_{3/2}, and the
-    ASVGP construction extends (cf. the ASVGP paper's order-(ν+1/2) spline
-    prescription; reference ``univariate_structure.py:531-658`` is the B1
-    baseline being generalized).
+    The reference's ASVGP is Matérn-1/2-only (B1 hats are not in smoother
+    Matérn RKHSs: H_{3/2} needs square-integrable second derivatives and
+    hats have distributional ones). Degree-p B-splines are C^{p−1} with
+    bounded p-th derivatives, so degree 2 lives in H_{3/2} and degree 3 in
+    H_{5/2}, and the ASVGP construction extends (the ASVGP paper's
+    order-(ν+1/2) spline prescription; reference
+    ``univariate_structure.py:531-658`` is the B1 baseline generalized).
 
-    Kuu uses the Markov-state form of the interval RKHS inner product
-    (same derivation as ``FourierFeature.kuu_diag_lowrank``, quadrature-
-    verified in tests): with L = (d/dt + λ)², c = 4σ²λ³,
+    Kuu uses the Markov-state form of the interval RKHS inner product (same
+    derivation as ``FourierFeature.kuu_diag_lowrank``, quadrature-verified
+    in tests): with L = (d/dt + λ)^p and c the white-noise intensity of
+    S(ω) = c/(λ²+ω²)^p,
 
-        ⟨φᵢ,φⱼ⟩ = [M22 + 2λ·M12 + λ²(M02 + 4·M11) + 2λ³·M01 + λ⁴·M00]/c
-                  + φᵢ(a)φⱼ(a)/σ² + φᵢ'(a)φⱼ'(a)/(σ²λ²)
+        ⟨φᵢ,φⱼ⟩ = (1/c)·Σ_{r,s≤p} C(p,r)C(p,s) λ^{2p−r−s} ∫φᵢ^(r)φⱼ^(s)
+                  + state_i(a)ᵀ P₀⁻¹ state_j(a)
 
-    where M00…M22 are STATIC banded spline-product integrals (computed once
-    with exact Gauss–Legendre at construction — hyperparameter-free, like
-    the B1 mass/stiffness matrices), so the traced Kuu is a 5-term
-    polynomial-in-λ combination: XLA-friendly, no quadrature in the graph.
+    where the ∫φ^(r)φ^(s) are STATIC banded spline-product integrals
+    (exact Gauss–Legendre at construction — hyperparameter-free, like the
+    B1 mass/stiffness matrices), so the traced Kuu is a polynomial-in-λ
+    combination: XLA-friendly, no quadrature in the graph. P₀ is the
+    stationary state covariance — diag(σ², σ²λ²) for p = 2;
+    for p = 3 the (f, f'') block couples:
+    P₀ = σ²·[[1, 0, −λ²/3], [0, λ²/3, 0], [−λ²/3, 0, λ⁴]].
 
     Basis: open-clamped uniform knots on [a, b] with K intervals →
-    m = K + 2 functions; Kuf evaluates the piecewise quadratics branch-free
+    m = K + p functions; Kuf evaluates the piecewise polynomials branch-free
     (static per-interval coefficient tables + a where-mask placement); Kvu
     (cell integrals of the basis) is fully static and exact (spline
     antiderivatives).
     """
 
+    degree: int
     n_intervals: int
     a: float
     b: float
 
     def __post_init__(self):
-        if self.n_intervals < 2:
-            raise ValueError("B2SplineFeature needs at least 2 intervals")
+        if self.degree not in _SPLINE_KIND_BY_DEGREE:
+            raise ValueError("SplineRKHSFeature supports degree 2 or 3")
+        if self.n_intervals < self.degree:
+            raise ValueError("need n_intervals >= degree")
         from scipy.interpolate import BSpline
 
-        K, a, b = self.n_intervals, self.a, self.b
+        deg, K, a, b = self.degree, self.n_intervals, self.a, self.b
         delta = (b - a) / K
         interior = np.linspace(a, b, K + 1)
-        T = np.concatenate([[a, a], interior, [b, b]])  # open-clamped, degree 2
-        m = K + 2
-        splines = [BSpline(T, np.eye(m)[j], 2, extrapolate=False) for j in range(m)]
-        d1 = [s.derivative(1) for s in splines]
-        d2 = [s.derivative(2) for s in splines]
+        T = np.concatenate([[a] * deg, interior, [b] * deg])  # open-clamped
+        m = K + deg
+        splines = [BSpline(T, np.eye(m)[j], deg, extrapolate=False) for j in range(m)]
+        derivs = [[s.derivative(r) if r else s for r in range(deg + 1)] for s in splines]
 
-        # exact Gauss–Legendre per interval (3 points: exact to degree 5;
-        # products of quadratics are degree ≤ 4)
-        gl_x, gl_w = np.polynomial.legendre.leggauss(3)
-        M = {k: np.zeros((m, m)) for k in ("00", "01", "02", "11", "12", "22")}
+        # exact Gauss–Legendre per interval (deg+1 points: exact to degree
+        # 2·deg+1 ≥ products of two degree-deg polynomials)
+        gl_x, gl_w = np.polynomial.legendre.leggauss(deg + 1)
+        M = np.zeros((deg + 1, deg + 1, m, m))
         for i in range(K):
             lo, hi = interior[i], interior[i + 1]
             xs = 0.5 * (hi - lo) * gl_x + 0.5 * (hi + lo)
             ws = 0.5 * (hi - lo) * gl_w
-            # only bases i, i+1, i+2 are active on interval i
-            act = range(max(0, i), min(m, i + 3))
-            vals = {j: np.nan_to_num(splines[j](xs)) for j in act}
-            v1 = {j: np.nan_to_num(d1[j](xs)) for j in act}
-            v2 = {j: np.nan_to_num(d2[j](xs)) for j in act}
+            act = range(i, min(m, i + deg + 1))  # active bases on interval i
+            V = {(j, r): np.nan_to_num(derivs[j][r](xs)) for j in act
+                 for r in range(deg + 1)}
             for j in act:
                 for k in act:
-                    M["00"][j, k] += np.sum(ws * vals[j] * vals[k])
-                    M["01"][j, k] += np.sum(ws * (v1[j] * vals[k] + vals[j] * v1[k]))
-                    M["02"][j, k] += np.sum(ws * (v2[j] * vals[k] + vals[j] * v2[k]))
-                    M["11"][j, k] += np.sum(ws * v1[j] * v1[k])
-                    M["12"][j, k] += np.sum(ws * (v2[j] * v1[k] + v1[j] * v2[k]))
-                    M["22"][j, k] += np.sum(ws * v2[j] * v2[k])
+                    for r in range(deg + 1):
+                        for s in range(deg + 1):
+                            M[r, s, j, k] += np.sum(ws * V[(j, r)] * V[(k, s)])
         eps = 1e-12 * (b - a)
-        s0 = np.array([float(np.nan_to_num(s(a + eps))) for s in splines])
-        s1 = np.array([float(np.nan_to_num(d(a + eps))) for d in d1])
+        state = np.stack([
+            np.array([float(np.nan_to_num(derivs[j][r](a + eps))) for j in range(m)])
+            for r in range(deg)
+        ])  # (deg, m): φ^(r)(a) rows
 
-        # per-interval quadratic coefficient table C[i, s, :] in the local
-        # coordinate u = (x - a)/δ - i ∈ [0, 1]: p(u) = c0 + c1·u + c2·u²
-        C = np.zeros((K, 3, 3))
+        # per-interval polynomial coefficient table C[i, s, :] in the local
+        # coordinate u = (x − a)/δ − i ∈ [0, 1] (degree+1 coefficients,
+        # recovered exactly by interpolation at degree+1 nodes)
+        C = np.zeros((K, deg + 1, deg + 1))
+        nodes = np.linspace(1e-9, 1 - 1e-9, deg + 1)
+        vander = np.vander(nodes, deg + 1, increasing=True)
         for i in range(K):
             lo = a + i * delta
-            pts = lo + delta * np.array([1e-9, 0.5, 1 - 1e-9])
-            for s in range(3):
+            pts = lo + delta * nodes
+            for s in range(deg + 1):
                 j = i + s
                 if j >= m:
                     continue
-                p0, ph, p1 = (float(np.nan_to_num(splines[j](t))) for t in pts)
-                c2 = 2.0 * (p1 + p0 - 2.0 * ph)
-                c1 = p1 - p0 - c2
-                C[i, s] = (p0, c1, c2)
+                vals = np.array([float(np.nan_to_num(splines[j](t))) for t in pts])
+                C[i, s] = np.linalg.solve(vander, vals)
 
-        object.__setattr__(self, "_M", {k: v for k, v in M.items()})
-        object.__setattr__(self, "_state", (s0, s1))
+        object.__setattr__(self, "_M", M)
+        object.__setattr__(self, "_state", state)
         object.__setattr__(self, "_coeffs", C)
         object.__setattr__(self, "_splines", tuple(splines))
         object.__setattr__(self, "delta", delta)
 
     @property
     def m(self) -> int:
-        return self.n_intervals + 2
+        return self.n_intervals + self.degree
+
+    @property
+    def kind(self) -> str:
+        return _SPLINE_KIND_BY_DEGREE[self.degree]
+
+    def _p0_inv_rows(self, lam, var):
+        """Entries of P₀⁻¹ as a (deg, deg) nested tuple of traced scalars."""
+        if self.degree == 2:
+            return ((1.0 / var, 0.0), (0.0, 1.0 / (var * lam**2)))
+        # p = 3: invert [[1,0,−λ²/3],[0,λ²/3,0],[−λ²/3,0,λ⁴]]·σ²
+        return (
+            (9.0 / (8.0 * var), 0.0, 3.0 / (8.0 * var * lam**2)),
+            (0.0, 3.0 / (var * lam**2), 0.0),
+            (3.0 / (8.0 * var * lam**2), 0.0, 9.0 / (8.0 * var * lam**4)),
+        )
 
     def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
-        if kind != "matern32":
+        want = self.kind
+        if kind != want:
             raise NotImplementedError(
-                "B2-spline RKHS Kuu implemented for matern32 (B1SplineFeature "
-                "covers matern12; B2 splines are not in rougher/smoother RKHSs)"
+                f"degree-{self.degree} spline RKHS Kuu pairs with {want} "
+                f"(C^{self.degree - 1} splines live in H_{{{want[-2]}/{want[-1]}}})"
             )
         ls, var = p["lengthscale"], p["variance"]
         dtype = jnp.result_type(ls)
         lam = kernels.lam(kind, ls)
-        c = 4.0 * var * lam**3
-        Mj = {k: jnp.asarray(v, dtype) for k, v in self._M.items()}
-        integral = (
-            Mj["22"] + 2.0 * lam * Mj["12"]
-            + lam**2 * (Mj["02"] + 4.0 * Mj["11"])
-            + 2.0 * lam**3 * Mj["01"] + lam**4 * Mj["00"]
-        )
-        s0 = jnp.asarray(self._state[0], dtype)
-        s1 = jnp.asarray(self._state[1], dtype)
-        return integral / c + jnp.outer(s0, s0) / var + jnp.outer(s1, s1) / (var * lam**2)
+        deg = self.degree
+        c = {2: 4.0 * var * lam**3, 3: (16.0 / 3.0) * var * lam**5}[deg]
+        integral = jnp.zeros((self.m, self.m), dtype)
+        for r in range(deg + 1):
+            for s in range(deg + 1):
+                w = math.comb(deg, r) * math.comb(deg, s)
+                integral = integral + (w * lam ** (2 * deg - r - s)) * jnp.asarray(
+                    self._M[r, s], dtype)
+        out = integral / c
+        pinv = self._p0_inv_rows(lam, var)
+        for r in range(deg):
+            for s in range(deg):
+                if isinstance(pinv[r][s], float) and pinv[r][s] == 0.0:
+                    continue
+                sr = jnp.asarray(self._state[r], dtype)
+                ss = jnp.asarray(self._state[s], dtype)
+                out = out + pinv[r][s] * jnp.outer(sr, ss)
+        return out
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
-        """Branch-free piecewise-quadratic evaluation Φ(x) — (m, n)."""
+        """Branch-free piecewise-polynomial evaluation Φ(x) — (m, n)."""
         x = jnp.reshape(x, (-1,))
         dtype = jnp.result_type(x)
-        K = self.n_intervals
+        K, deg = self.n_intervals, self.degree
         t = (x - self.a) / self.delta
         i = jnp.clip(jnp.floor(t), 0, K - 1).astype(jnp.int32)   # (n,)
         u = t - i
-        Cj = jnp.asarray(self._coeffs, dtype)                    # (K, 3, 3)
-        ci = Cj[i]                                               # (n, 3, 3)
-        vals = ci[:, :, 0] + ci[:, :, 1] * u[:, None] + ci[:, :, 2] * (u * u)[:, None]
+        Cj = jnp.asarray(self._coeffs, dtype)                    # (K, deg+1, deg+1)
+        ci = Cj[i]                                               # (n, deg+1, deg+1)
+        upow = jnp.stack([u**k for k in range(deg + 1)], axis=1)  # (n, deg+1)
+        vals = jnp.einsum("nsc,nc->ns", ci, upow)                # (n, deg+1)
         rows = jnp.arange(self.m, dtype=jnp.int32)[:, None]      # (m, 1)
         out = jnp.zeros((self.m, x.shape[0]), dtype)
         inside = (x >= self.a) & (x <= self.b)
-        for s in range(3):
+        for s in range(deg + 1):
             out = out + jnp.where(
                 (rows == (i + s)[None, :]) & inside[None, :], vals[:, s][None, :], 0.0
             )
         return out
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
-        """Exact integrals of each quadratic spline over each grid cell.
+        """Exact integrals of each spline over each grid cell.
 
         Both meshes are static, so this is a static table (spline
         antiderivatives at clipped cell edges), cast to the traced dtype.
@@ -827,6 +861,16 @@ class B2SplineFeature(AxisFeature):
         for j, A in enumerate(anti):
             tbl[:, j] = np.nan_to_num(A(hi)) - np.nan_to_num(A(lo))
         return jnp.asarray(tbl, jnp.result_type(p["lengthscale"]))
+
+
+def B2SplineFeature(n_intervals: int, a: float, b: float) -> SplineRKHSFeature:
+    """Quadratic-spline ASVGP features (Matérn-3/2)."""
+    return SplineRKHSFeature(2, n_intervals, a, b)
+
+
+def B3SplineFeature(n_intervals: int, a: float, b: float) -> SplineRKHSFeature:
+    """Cubic-spline ASVGP features (Matérn-5/2)."""
+    return SplineRKHSFeature(3, n_intervals, a, b)
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,19 @@ def test_univariate_experiment_smoke(tmp_path):
     assert (tmp_path / "posterior_griddedgp.png").exists()
 
 
+def test_univariate_orders_matrix_smoke(tmp_path):
+    """Kernel-order × feature-family matrix: every Matérn order trains with
+    every sparse family (ASVGP degree / VFF Kuu rank track the order)."""
+    out = univariate.run_orders(n_iters=25, outdir=str(tmp_path))
+    assert set(out) == {"matern12", "matern32", "matern52"}
+    for models in out.values():
+        assert set(models) == {"svgp", "vffgp", "asvgp", "griddedgp"}
+        for m in models.values():
+            assert np.isfinite(m["final_loss"])
+            assert m["r2"] > 0.9
+    assert (tmp_path / "orders_metrics.json").exists()
+
+
 def test_kronecker_experiment_smoke(tmp_path):
     res = kronecker.run(n_side=10, n_iters=20, n_grid=5, outdir=str(tmp_path),
                         include_exact=False)

@@ -99,10 +99,55 @@ def run(
     return results
 
 
+def run_orders(
+    n_obs: int = 40,
+    noise: float = 0.05,
+    n_iters: int = 1000,
+    learning_rate: float = 0.05,
+    n_grid: int = 10,
+    seed: int = 0,
+    outdir: str | None = None,
+) -> Dict:
+    """The full kernel×feature matrix: 4 sparse families × Matérn 1/2, 3/2,
+    5/2 (ASVGP spline degree and VFF Kuu rank track the order — both beyond
+    the reference's Matérn-1/2-only versions)."""
+    f = lambda x: np.sin(2 * x) + np.cos(5 * x)
+    X, y_clean = gen_1d(f, 0.0, 1.0, n_obs)
+    rng = np.random.default_rng(seed)
+    y = y_clean + noise * rng.standard_normal(n_obs)
+    Xj, yj = jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32)
+    grid = CellIntegralFeature.from_lims(n_grid, 0.0, 1.0)
+    truth, _ = integrate_1d(f, grid.mesh)
+    out: Dict = {}
+    for kind in ("matern12", "matern32", "matern52"):
+        out[kind] = {}
+        for name, spec in zoo.sgpr_specs_1d_orders(kind, n_cells=n_grid).items():
+            p0 = train.non_informative_init(spec.init_params(), Xj, yj)
+            t0 = time.time()
+            p_fit, hist = train.fit(lambda q, s=spec: sgpr.loss(s, q, Xj, yj),
+                                    p0, n_iters, learning_rate)
+            wall = time.time() - t0
+            qv = jax.jit(lambda p, s=spec: sgpr.q_v(s, p, Xj, yj, (grid,),
+                                                    full_cov=False))(p_fit)
+            out[kind][name] = dict(
+                zip(["mse", "mae", "rmse", "r2", "nlpd", "msll"],
+                    misc.evaluation_metric_row(truth, qv, y)),
+                steps_per_sec=round(n_iters / wall, 1),
+                final_loss=float(np.asarray(hist["loss"])[-1]),
+            )
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "orders_metrics.json"), "w") as fh:
+            json.dump(out, fh, indent=2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--outdir", default="results/univariate")
+    ap.add_argument("--orders", action="store_true",
+                    help="also run the kernel-order × feature-family matrix")
     args = ap.parse_args()
     res = run(n_iters=args.iters, outdir=args.outdir)
     for name, r in res["models"].items():
@@ -110,6 +155,12 @@ def main():
         print(f"{name:<10} loss={r['final_loss']:+.3f} it/s={r['steps_per_sec']:.0f} "
               f"qv_err={r['qv_max_err']:.4f} rmse={m['rmse']:.4f} r2={m['r2']:.3f} "
               f"nlpd={m['nlpd']:+.2f}")
+    if args.orders:
+        orders = run_orders(n_iters=args.iters, outdir=args.outdir)
+        for kind, models in orders.items():
+            for name, m in models.items():
+                print(f"{kind:<9} {name:<10} it/s={m['steps_per_sec']:.0f} "
+                      f"rmse={m['rmse']:.4f} r2={m['r2']:.3f} nlpd={m['nlpd']:+.2f}")
 
 
 if __name__ == "__main__":

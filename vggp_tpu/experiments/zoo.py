@@ -15,6 +15,7 @@ from vggp_tpu.features import (
     CellIntegralFeature,
     FourierFeature,
     PointFeature,
+    SplineRKHSFeature,
 )
 from vggp_tpu.models import exact, sgpr
 
@@ -49,6 +50,48 @@ def sgpr_specs_1d(
         ),
         "griddedgp": sgpr.SGPRSpec(
             kinds=(KIND,), features=(CellIntegralFeature.from_lims(n_cells, a, b),)
+        ),
+    }
+
+
+def sgpr_specs_1d_orders(
+    kind: str,
+    lims: Tuple[float, float] = (0.0, 1.0),
+    n_inducing: int = 10,
+    n_frequencies: int = 10,
+    n_knots: int = 15,
+    n_cells: int = 10,
+) -> Dict[str, sgpr.SGPRSpec]:
+    """The full kernel×feature matrix at a given Matérn order.
+
+    The ASVGP spline degree tracks the order (B1 hats for 1/2, quadratic B2
+    for 3/2, cubic B3 for 5/2 — the ASVGP order prescription) and VFF uses
+    the order's diag+rank-r Kuu, both beyond the reference's Matérn-1/2-only
+    versions. The VFF domain is padded so grid cells stay inside it (its
+    closed-form Kvu requires that).
+    """
+    a, b = lims
+    pad = 0.05 * (b - a)
+    vpad = 0.25 * (b - a)
+    if kind == "matern12":
+        asvgp = B1SplineFeature(np.linspace(a, b, n_knots))
+    elif kind == "matern32":
+        asvgp = SplineRKHSFeature(2, n_knots - 2, a, b)
+    elif kind == "matern52":
+        asvgp = SplineRKHSFeature(3, n_knots - 3, a, b)
+    else:
+        raise ValueError(f"no spline RKHS pairing for {kind}")
+    return {
+        "svgp": sgpr.SGPRSpec(
+            kinds=(kind,),
+            features=(PointFeature(n_inducing, np.linspace(a + pad, b - pad, n_inducing)),),
+        ),
+        "vffgp": sgpr.SGPRSpec(
+            kinds=(kind,), features=(FourierFeature(n_frequencies, a - vpad, b + vpad),)
+        ),
+        "asvgp": sgpr.SGPRSpec(kinds=(kind,), features=(asvgp,)),
+        "griddedgp": sgpr.SGPRSpec(
+            kinds=(kind,), features=(CellIntegralFeature.from_lims(n_cells, a, b),)
         ),
     }
 

@@ -117,6 +117,37 @@ def test_sharded_step_two_model_axes_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
 
 
+def test_sharded_step_3d_kron_matches_single_device():
+    """ndim = 3 Kronecker variational state sharded over two model axes
+    (μ (m₁,m₂,m₃) over ('model1','model2'), third axis replicated)."""
+    rng = np.random.default_rng(0)
+    n = 64
+    X = jnp.asarray(rng.random((n, 3)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) + 0.1 * rng.standard_normal(n))
+    gs = (CellIntegralFeature.from_lims(4, 0.0, 1.0),
+          CellIntegralFeature.from_lims(4, 0.0, 1.0),
+          CellIntegralFeature.from_lims(3, 0.0, 1.0))
+    spec = svgp.SVGPSpec(kinds=("matern12",) * 3, features=gs,
+                         num_data=n, variational="kron")
+    params = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    opt = optax.adam(0.05)
+
+    step0 = train.make_step_fn(lambda p, xb, yb: svgp.loss(spec, p, xb, yb), opt)
+    raw0 = train.unconstrain(params)
+    raw0, st0, val0 = step0(raw0, opt.init(raw0), X, y)
+
+    mesh = make_mesh(("data", "model1", "model2"), (2, 2, 2))
+    init_fn, step_fn = make_sharded_svgp_step(
+        spec, opt, mesh, model_axes=("model1", "model2", None))
+    raw1, st1 = init_fn(params)
+    assert tuple(raw1["q"]["mu"].sharding.spec)[:2] == ("model1", "model2")
+    xb, yb = shard_batch(X, y, mesh)
+    raw1, st1, val1 = step_fn(raw1, st1, xb, yb)
+    assert float(val0) == float(val1)
+    for a, b in zip(jax.tree.leaves(raw0), jax.tree.leaves(raw1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
 def test_graft_entry_dryrun():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

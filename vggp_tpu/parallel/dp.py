@@ -24,21 +24,24 @@ from vggp_tpu import train as vtrain
 from vggp_tpu.models import svgp
 
 
-def _param_pspec(spec, params: Dict, model_axes: Tuple[Optional[str], Optional[str]]) -> Dict:
-    """PartitionSpecs for the raw parameter pytree."""
+def _param_pspec(spec, params: Dict, model_axes: Tuple[Optional[str], ...]) -> Dict:
+    """PartitionSpecs for the raw parameter pytree.
+
+    ``model_axes`` has one (possibly None) mesh-axis name per Kronecker grid
+    axis: μ (m₁, …, m_d) is sharded over all of them, each raw_L_i over its
+    own.
+    """
 
     def replicated(tree):
         return jax.tree.map(lambda _: P(), tree)
 
     pspec = replicated(params)
-    a1, a2 = model_axes
-    if spec.variational == "kron" and (a1 is not None or a2 is not None):
+    if spec.variational == "kron" and any(a is not None for a in model_axes):
         q = dict(pspec["q"])
-        q["mu"] = P(a1, a2)
-        if a1 is not None:
-            q["raw_L1"] = P(a1, None)
-        if a2 is not None:
-            q["raw_L2"] = P(a2, None)
+        q["mu"] = P(*model_axes)
+        for i, a in enumerate(model_axes):
+            if a is not None:
+                q[f"raw_L{i + 1}"] = P(a, None)
         pspec = dict(pspec)
         pspec["q"] = q
     return pspec
@@ -73,18 +76,19 @@ def make_sharded_svgp_step(
     is jit-compiled with explicit output shardings; the batch must be sharded
     over ``data_axis`` (see :func:`shard_batch`).
 
-    ``model_axes=(a1, a2)`` names the mesh axes sharding the first/second
-    Kronecker grid axes (either may be None). The legacy ``model_axis``
-    shards the second axis only and is ignored when ``model_axes`` is given.
-    A named axis is dropped (state replicated — DP still applies) when it is
-    absent from the mesh, has size 1, or does not divide the corresponding
-    inducing-grid size (GSPMD divisibility).
+    ``model_axes`` names one mesh axis per Kronecker grid axis (entries may
+    be None; shorter tuples are right-padded with None). The legacy
+    ``model_axis`` shards the second axis only and is ignored when
+    ``model_axes`` is given. A named axis is dropped (state replicated — DP
+    still applies) when it is absent from the mesh, has size 1, or does not
+    divide the corresponding inducing-grid size (GSPMD divisibility).
     """
+    ndim = spec.ndim
     if model_axes is None:
-        model_axes = (None, model_axis)
-    axes = list(model_axes)
-    assert len(axes) == 2, "model_axes is (axis-for-m1, axis-for-m2)"
-    for i in (0, 1):
+        model_axes = (None, model_axis) if ndim >= 2 else (None,)
+    axes = list(model_axes)[:ndim]
+    axes += [None] * (ndim - len(axes))
+    for i in range(ndim):
         a = axes[i]
         if a is None:
             continue
@@ -92,7 +96,7 @@ def make_sharded_svgp_step(
             axes[i] = None
         elif spec.variational == "kron" and spec.axis_m[i] % mesh.shape[a] != 0:
             axes[i] = None
-    model_axes = (axes[0], axes[1])
+    model_axes = tuple(axes)
 
     def raw_loss(raw, xb, yb):
         return svgp.loss(spec, vtrain.constrain(raw), xb, yb)

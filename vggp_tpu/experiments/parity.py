@@ -103,8 +103,6 @@ def run(n_iters: int = 1000, lr: float = 0.01, sparsity: int = 3,
         specs.update({k: (v, sgpr) for k, v in zoo.sgpr_specs_2d(
             n_inducing=10, n_frequencies=n_omegas, n_knots=n_splines,
             n_cells=n_splines).items()})
-        name_map = {"exactgp": "exactgp", "vffgp": "vffgp", "asvgp": "asvgp",
-                    "griddedgp": "griddedgp"}
         for name in ZOO:
             Xm, ym = model_data(name)
             Xj = jnp.asarray(Xm, jnp.float32)
@@ -119,7 +117,7 @@ def run(n_iters: int = 1000, lr: float = 0.01, sparsity: int = 3,
                 qv = jax.jit(lambda p: freesvgp.q_v(
                     spec, p, Xj, yj, grids, full_cov=False))(p_fit)
             else:
-                spec, mod = specs[name_map[name]]
+                spec, mod = specs[name]
                 p0 = train.non_informative_init(spec.init_params(), Xj, yj)
                 p_fit, hist = train.fit(
                     lambda q, s=spec, m=mod: m.loss(s, q, Xj, yj), p0, n_iters, lr)

@@ -22,6 +22,14 @@ MATMUL_PRECISION: str = "high"
 # forward big matmuls; everything else rides MATMUL_PRECISION.
 WHITEN_MATMUL_PRECISION: str = "highest"
 
+# Whitened-block gradients via precomputed scalar tangents: when every
+# feature on an axis is a fixed basis (no learnable Z), the whitened block
+# a = F⁻¹Kuf depends on exactly two trained scalars (ℓ, σ²), so its backward
+# can be two dot-reductions against precomputed tangents instead of
+# reverse-mode through Cholesky → triangular-inverse → (m,n,m) matmuls
+# (``models.common.whitened_kuf_scalar``). Toggle for A/B benchmarking.
+SCALAR_WHITEN_VJP: bool = True
+
 # Route large structured-covariance constructions through the Pallas TPU
 # kernels (vggp_tpu.ops.pallas_kernels). Off-TPU the jnp reference
 # implementations are used regardless (interpret-mode Pallas is for tests).

@@ -311,6 +311,11 @@ class AxisFeature:
         """
         return self.Kuu(kind, p) @ v
 
+    def Kuf_dl(self, kind: str, p: Params, x: jnp.ndarray):
+        """Analytic ∂Kuf/∂ℓ, or None → the caller forward-differentiates
+        :meth:`Kuf` (valid whenever Kuf is a plain jnp computation)."""
+        return None
+
     # quadrature fallback used by tests to validate closed-form Kvu
     def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
         edges = np.asarray(grid.mesh)
@@ -936,6 +941,20 @@ class CellIntegralFeature(AxisFeature):
 
                 return cell_kuf_op(self.mesh_j(p), x, p["variance"], p["lengthscale"])
         return _cell_point_cov(kind, self.mesh_j(p), x, p["variance"], p["lengthscale"])
+
+    def Kuf_dl(self, kind: str, p: Params, x: jnp.ndarray):
+        """Analytic ∂Kuf/∂ℓ (matern12 closed form; None → jvp fallback).
+
+        Needed because the matern12 Kuf forward is a Pallas ``custom_vjp``
+        (no JVP rule); the scalar-parameter whitening VJP wants a
+        precomputed ℓ-tangent instead of reverse-mode through the factor.
+        """
+        if kind != "matern12":
+            return None
+        from vggp_tpu.ops.pallas_kernels import cell_kuf_dl
+
+        return cell_kuf_dl(self.mesh_j(p), jnp.reshape(x, (-1,)),
+                           p["variance"], p["lengthscale"])
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
         return _cell_cell_cov(kind, grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])

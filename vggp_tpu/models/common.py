@@ -110,6 +110,118 @@ def axis_chol_kuu(spec, params: Params, method: str | None = None) -> Tuple[PSDF
     return tuple(out)
 
 
+def axis_rel_jitter(spec, kind: str, dtype) -> float:
+    """Effective relative Kuu jitter for one axis.
+
+    Mirrors exactly what :func:`axis_chol_kuu` + ``ops.chol.safe_cholesky``
+    apply: float64 uses ``spec.jitter`` as given; float32 floors it at the
+    per-kernel :data:`KIND_JITTER_F32` and the global f32 minimum.
+    """
+    from vggp_tpu.ops.chol import F32_MIN_JITTER
+
+    jitter = spec.jitter
+    if dtype != jnp.float64:
+        jitter = max(jitter, KIND_JITTER_F32.get(kind, 1e-4), F32_MIN_JITTER)
+    return jitter
+
+
+def scalar_whiten_eligible(spec, params: Params) -> bool:
+    """True when the scalar-tangent whitening VJP applies: Cholesky factors
+    and every axis trained through exactly (variance, lengthscale) — i.e.
+    fixed bases, no learnable inducing locations."""
+    from vggp_tpu import config
+
+    if not config.SCALAR_WHITEN_VJP:
+        return False
+    if getattr(spec, "factor_method", "chol") != "chol":
+        return False
+    return all(set(ax) <= {"variance", "lengthscale"} for ax in params["axes"])
+
+
+def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """a = F⁻¹ Kuf with a scalar-tangent custom VJP (fixed-basis features).
+
+    The primal is bit-identical to ``axis_chol_kuu`` → ``PSDFactor.whiten``
+    (jittered Cholesky, explicit triangular inverse, one 6-pass matmul). The
+    gradient path exploits that ``a`` depends on exactly two trained scalars:
+
+    - variance: every fixed basis satisfies a(ℓ, v) = √v·a(ℓ, 1) exactly —
+      cell-integral/point Kuu and Kuf scale as v (so F ∝ √v, a ∝ v/√v),
+      VFF/spline-RKHS Kuu scale as 1/v with v-free Kuf (a ∝ √v), and the
+      relative jitter preserves the scaling. Hence ∂a/∂v = a/(2v).
+    - lengthscale: one precomputed JVP. With M = F⁻¹ (∂Kuu) F⁻ᵀ and the
+      Cholesky differential dF = F·Φ(M) (Φ = strict lower + half diagonal),
+      F⁻¹dF = Φ(M), so ∂a/∂ℓ = F⁻¹ ∂Kuf − Φ(M)·a — two (m,m)×(m,n) matmuls
+      at ambient precision.
+
+    The backward is then two dot-reductions against the stored tangents —
+    no reverse-mode through Cholesky, no triangular-inverse VJP, and no
+    (m,n)×(n,m) cotangent matmuls (the dominant backward cost at the
+    512²/4096 bench shapes; see PERFORMANCE.md round-2 notes).
+    """
+    from vggp_tpu import config
+
+    def kuu_jittered(ll, vv):
+        k = feat.Kuu(kind, {"lengthscale": ll, "variance": vv})
+        k = 0.5 * (k + k.T)
+        scale = jnp.mean(jnp.diagonal(k)) * rel_jitter
+        return k + scale * jnp.eye(k.shape[0], dtype=k.dtype)
+
+    def finv_of(K):
+        F = jnp.linalg.cholesky(K)
+        return jax.scipy.linalg.solve_triangular(
+            F, jnp.eye(F.shape[0], dtype=F.dtype), lower=True
+        )
+
+    @jax.custom_vjp
+    def wk(l, v, x):
+        finv = finv_of(kuu_jittered(l, v))
+        kuf = feat.Kuf(kind, {"lengthscale": l, "variance": v}, x)
+        return jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+
+    def wk_fwd(l, v, x):
+        prec = config.MATMUL_PRECISION
+        K, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
+        finv = finv_of(K)
+        p_lv = {"lengthscale": l, "variance": v}
+        kuf = feat.Kuf(kind, p_lv, x)
+        a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+        M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)
+        Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
+        dkuf = feat.Kuf_dl(kind, p_lv, x)
+        if dkuf is None:
+            _, dkuf = jax.jvp(
+                lambda t: feat.Kuf(kind, {"lengthscale": t, "variance": v}, x),
+                (l,), (jnp.ones_like(l),),
+            )
+        da_dl = jnp.matmul(finv, dkuf, precision=prec) - jnp.matmul(
+            Phi, a, precision=prec
+        )
+        return a, (a, da_dl, v, x)
+
+    def wk_bwd(res, g):
+        a, da_dl, v, x = res
+        dl = jnp.sum(g * da_dl)
+        dv = jnp.sum(g * a) / (2.0 * v)
+        return dl, dv, jnp.zeros_like(x)
+
+    wk.defvjp(wk_fwd, wk_bwd)
+    return wk(p["lengthscale"], p["variance"], x)
+
+
+def axis_whitened_kuf_scalar(spec, params: Params, X: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis A_i = F_i⁻¹ Kuf_i via :func:`whitened_kuf_scalar`."""
+    if X.ndim == 1:
+        X = X[:, None]
+    dtype = jnp.result_type(params["noise"])
+    out = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        rel = axis_rel_jitter(spec, kind, dtype)
+        out.append(whitened_kuf_scalar(feat, kind, rel, axis_params(params, i), X[:, i]))
+    return tuple(out)
+
+
 def axis_whitened_kuf(spec, params: Params, chols, X: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     """Per-axis A_i = F_i⁻¹ Kuf_i(x_i) — (m_i, n) each.
 
@@ -197,7 +309,14 @@ def factored_state(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, combine
     noise = params["noise"]
     sigma = jnp.sqrt(noise)
     chols = axis_chol_kuu(spec, params)
-    blocks = axis_whitened_kuf(spec, params, chols, X)
+    if scalar_whiten_eligible(spec, params):
+        # fixed bases: (ℓ, σ²) gradients ride precomputed scalar tangents
+        # instead of reverse-mode through the factor chain. The unused-for-
+        # gradients chols stay available for downstream posterior/q_v use
+        # (their forward is CSE'd/DCE'd by XLA as appropriate).
+        blocks = axis_whitened_kuf_scalar(spec, params, X)
+    else:
+        blocks = axis_whitened_kuf(spec, params, chols, X)
     A = combine(blocks) / sigma  # (m, n)
     m = A.shape[0]
     B = jnp.eye(m, dtype=A.dtype) + A @ A.T

@@ -102,6 +102,11 @@ class SVGPSpec:
 
 
 def _whitened_blocks(spec: SVGPSpec, params: Params, x: jnp.ndarray):
+    if common.scalar_whiten_eligible(spec, params):
+        # fixed bases: same primal, but gradients w.r.t. (ℓ, σ²) ride
+        # precomputed scalar tangents instead of reverse-mode through the
+        # Cholesky/triangular-inverse chain (see common.whitened_kuf_scalar).
+        return None, common.axis_whitened_kuf_scalar(spec, params, x)
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, x)
     return chols, blocks

@@ -113,16 +113,11 @@ def _cell_kuf_fwd(mesh, x, variance, lengthscale):
     return cell_kuf(mesh, x, variance, lengthscale), (mesh, x, variance, lengthscale)
 
 
-def _cell_kuf_bwd(res, g):
-    """Analytic cotangents in one fused elementwise pass.
+def _cell_kuf_FG(mesh, x, lengthscale):
+    """(F, G) of the 3-case closed form: Kuf = σ²ℓ·F(ℓ), ℓF′(ℓ) = G.
 
-    Kuf = σ²ℓ·F(ℓ) with F the 3-case closed form, so ∂/∂σ² = ℓF and
-    ∂/∂ℓ = σ²(F + ℓF′) with ℓF′ = G below (u, w, δ/ℓ all scale as 1/ℓ).
-    Hand-written (instead of jax.vjp through the reference implementation)
-    so XLA reads ḡ once and emits a single VPU pass — the reductions
-    produce just two scalars.
-    """
-    mesh, x, variance, lengthscale = res
+    One fused elementwise VPU pass; shared by the analytic cotangents below
+    and the analytic ℓ-tangent (:func:`cell_kuf_dl`)."""
     x = jnp.reshape(x, (-1,))
     a = mesh[:-1][:, None]
     b = mesh[1:][:, None]
@@ -139,6 +134,32 @@ def _cell_kuf_bwd(res, g):
         -(jnp.exp(-u) * u + jnp.exp(-w) * w),
         enear * (near * (-em_dd) - jnp.exp(-dd) * dd),
     )
+    return F, G
+
+
+def cell_kuf_dl(mesh, x, variance, lengthscale) -> jnp.ndarray:
+    """Analytic ∂Kuf/∂ℓ as a full (m, n) matrix.
+
+    Kuf = σ²ℓ·F(ℓ) ⇒ ∂Kuf/∂ℓ = σ²(F + G). Used as the precomputed
+    ℓ-tangent by the scalar-parameter whitening VJP
+    (``models.common.whitened_kuf_scalar``) — ``cell_kuf_op`` is a
+    custom_vjp and therefore has no JVP rule to forward-differentiate.
+    """
+    F, G = _cell_kuf_FG(mesh, x, lengthscale)
+    return variance * (F + G)
+
+
+def _cell_kuf_bwd(res, g):
+    """Analytic cotangents in one fused elementwise pass.
+
+    Kuf = σ²ℓ·F(ℓ) with F the 3-case closed form, so ∂/∂σ² = ℓF and
+    ∂/∂ℓ = σ²(F + ℓF′) with ℓF′ = G (see :func:`_cell_kuf_FG`).
+    Hand-written (instead of jax.vjp through the reference implementation)
+    so XLA reads ḡ once and emits a single VPU pass — the reductions
+    produce just two scalars.
+    """
+    mesh, x, variance, lengthscale = res
+    F, G = _cell_kuf_FG(mesh, x, lengthscale)
     dv = jnp.sum(g * (lengthscale * F))
     dl = jnp.sum(g * (variance * (F + G)))
     return jnp.zeros_like(mesh), jnp.zeros_like(x), dv, dl

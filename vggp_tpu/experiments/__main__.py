@@ -6,6 +6,7 @@ EXPERIMENTS = {
     "simtracks": "synthetic satellite tracks over an SSH snapshot (notebook 6)",
     "gulfstream": "Gulf Stream train/val/test + CV sweeps (notebook 61)",
     "northsea": "North Sea SLA gridded products (notebook 7)",
+    "spacetime": "3-D lon x lat x time gridded products (beyond-reference)",
 }
 
 if __name__ == "__main__":

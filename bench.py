@@ -47,6 +47,10 @@ _GOLD_KUF_SAMPLES = {  # (cell, point-index on linspace(0.013, 0.987, 256))
     (30, 200): 0.0013814864006452521,
 }
 _GOLD_KUF_SUM = 133.36001797326242
+# Structured inverse-Cholesky (ops/kms.py, rel jitter 1e-6) on the same
+# 128-cell grid: colsum((F⁻¹Kuf)²) — the Titsias-critical quadratic form.
+_GOLD_R_SUM = 330.72390424878466
+_GOLD_R_17 = 1.2891879138256372
 
 
 def smoke() -> dict:
@@ -71,9 +75,12 @@ def smoke() -> dict:
         kuf_pallas = g.Kuf("matern12", p, x)          # Pallas on TPU (m,n ≥ mins)
         kuf_ref = _m12_cell_point_cov(jnp.asarray(g.mesh, jnp.float32), x,
                                       p["variance"], p["lengthscale"])
-        return rows, kuf_pallas, kuf_ref
+        finv = g.inv_chol_kuu("matern12", p, 1e-6)    # structured factor (ops/kms)
+        a = jnp.matmul(finv, kuf_pallas, precision="highest")
+        r = jnp.sum(a * a, axis=0)
+        return rows, kuf_pallas, kuf_ref, r
 
-    rows, kuf_pallas, kuf_ref = jax.device_get(covs())
+    rows, kuf_pallas, kuf_ref, r_vec = jax.device_get(covs())
     checks = {
         "m12_row_err": float(np.abs(rows["matern12"][:4] - _GOLD_M12_ROW4).max()
                              / np.abs(_GOLD_M12_ROW4).max()),
@@ -88,6 +95,9 @@ def smoke() -> dict:
         "kuf_sum_err": abs(float(np.sum(np.asarray(kuf_pallas, np.float64)))
                            - _GOLD_KUF_SUM) / _GOLD_KUF_SUM,
         "pallas_vs_jnp_max_abs": float(np.abs(kuf_pallas - kuf_ref).max()),
+        "structured_finv_r_sum_err": abs(float(np.sum(np.asarray(r_vec, np.float64)))
+                                         - _GOLD_R_SUM) / _GOLD_R_SUM,
+        "structured_finv_r17_err": abs(float(r_vec[17]) - _GOLD_R_17) / _GOLD_R_17,
     }
     rec.update(checks)
     for k, v in checks.items():

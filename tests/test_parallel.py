@@ -112,7 +112,10 @@ def test_sharded_step_two_model_axes_matches_single_device():
     xb, yb = shard_batch(X, y, mesh)
     raw1, st1, val1 = step_fn(raw1, st1, xb, yb)
 
-    assert float(val0) == float(val1)
+    # GSPMD may partition the elementwise structured-factor assembly
+    # (ops/kms.py) with a different reduction order than the unsharded
+    # program - allow ULP-level drift, nothing more.
+    np.testing.assert_allclose(float(val0), float(val1), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(raw0), jax.tree.leaves(raw1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
 
@@ -143,7 +146,10 @@ def test_sharded_step_3d_kron_matches_single_device():
     assert tuple(raw1["q"]["mu"].sharding.spec)[:2] == ("model1", "model2")
     xb, yb = shard_batch(X, y, mesh)
     raw1, st1, val1 = step_fn(raw1, st1, xb, yb)
-    assert float(val0) == float(val1)
+    # GSPMD may partition the elementwise structured-factor assembly
+    # (ops/kms.py) with a different reduction order than the unsharded
+    # program - allow ULP-level drift, nothing more.
+    np.testing.assert_allclose(float(val0), float(val1), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(raw0), jax.tree.leaves(raw1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
 

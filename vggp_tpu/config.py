@@ -30,6 +30,14 @@ WHITEN_MATMUL_PRECISION: str = "highest"
 # (``models.common.whitened_kuf_scalar``). Toggle for A/B benchmarking.
 SCALAR_WHITEN_VJP: bool = True
 
+# Closed-form structured inverse-Cholesky (ops.kms): the Matérn-1/2
+# cell-integral Kuu decomposes as γ·KMS(ρ) + η·I, whose exact Cholesky
+# factor inverse is computable in O(m²) elementwise ops — replacing the
+# dense chol + triangular-inverse pair (~23 % of the 512² ELBO step,
+# PERFORMANCE.md). Also ~4 orders of magnitude MORE accurate in f32 than
+# dense chol at long lengthscales (measured vs f64: 5e-7 vs 1e-2 relative).
+STRUCTURED_FINV: bool = True
+
 # Route large structured-covariance constructions through the Pallas TPU
 # kernels (vggp_tpu.ops.pallas_kernels). Off-TPU the jnp reference
 # implementations are used regardless (interpret-mode Pallas is for tests).

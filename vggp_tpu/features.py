@@ -948,6 +948,21 @@ class CellIntegralFeature(AxisFeature):
         """
         return toeplitz.sym_toeplitz_matvec(self.kuu_first_row(kind, p), v)
 
+    def inv_chol_kuu(self, kind: str, p: Params, rel_jitter: float):
+        """Closed-form F⁻¹ of the relative-jittered Kuu Cholesky, or None.
+
+        Matérn-1/2 only: the Gram is γ·KMS(ρ) + η·I, factorizable in O(m²)
+        elementwise work with no sequential Cholesky (``ops/kms.py``); other
+        kinds fall back to the dense path.
+        """
+        if kind != "matern12":
+            return None
+        from vggp_tpu.ops.kms import m12_cell_inv_chol
+
+        return m12_cell_inv_chol(
+            self.m, self.delta, p["variance"], p["lengthscale"], rel_jitter
+        )
+
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.reshape(x, (-1,))
         if kind == "matern12":

@@ -174,16 +174,28 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
             F, jnp.eye(F.shape[0], dtype=F.dtype), lower=True
         )
 
+    def finv_of_params(l, v):
+        """F⁻¹ of the jittered Kuu: closed form when the feature has one
+        (ops/kms.py — O(m²) elementwise, no sequential chol/trisolve, and
+        far more f32-accurate than dense chol), dense otherwise."""
+        if config.STRUCTURED_FINV:
+            hook = getattr(feat, "inv_chol_kuu", None)
+            if hook is not None:
+                fi = hook(kind, {"lengthscale": l, "variance": v}, rel_jitter)
+                if fi is not None:
+                    return fi
+        return finv_of(kuu_jittered(l, v))
+
     @jax.custom_vjp
     def wk(l, v, x):
-        finv = finv_of(kuu_jittered(l, v))
+        finv = finv_of_params(l, v)
         kuf = feat.Kuf(kind, {"lengthscale": l, "variance": v}, x)
         return jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
 
     def wk_fwd(l, v, x):
         prec = config.MATMUL_PRECISION
-        K, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
-        finv = finv_of(K)
+        _, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
+        finv = finv_of_params(l, v)
         kuf, dkuf = feat.Kuf_with_dl(kind, {"lengthscale": l, "variance": v}, x)
         a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
         M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)

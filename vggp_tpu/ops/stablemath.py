@@ -74,3 +74,44 @@ def expm1s(x: jnp.ndarray) -> jnp.ndarray:
     small = jnp.abs(x) < 1.0
     xs = jnp.where(small, x, 0.0)
     return jnp.where(small, _series_expm1mx(xs) + xs, jnp.exp(x) - 1.0)
+
+
+# Odd-series coefficients 1/(2k+1)! for k = 1..9 (x³/3! + x⁵/5! + …).
+_INV_ODD_FACT = [
+    1.6666666666666666e-01,    # 1/3!
+    8.3333333333333332e-03,    # 1/5!
+    1.9841269841269841e-04,    # 1/7!
+    2.7557319223985893e-06,    # 1/9!
+    2.5052108385441720e-08,    # 1/11!
+    1.6059043836821613e-10,    # 1/13!
+    7.6471637318198164e-13,    # 1/15!
+    2.8114572543455206e-15,    # 1/17!
+    8.2206352466243295e-18,    # 1/19!
+]
+
+# f32 needs terms through 1/11!: the next term at |x| = 1 is 1/13! ≈ 1.6e-10,
+# below f32 eps (6e-8) relative to sinh(1) − 1 ≈ 0.175.
+_N_ODD_TERMS_F32 = 5
+
+
+def sinhmx(x: jnp.ndarray) -> jnp.ndarray:
+    """sinh(x) − x, accurate for all x (odd Horner series for |x| < 1).
+
+    Behind the Matérn-1/2 cell-integral structured factorization
+    (``ops/kms.py``): the Gram decomposes as γ·KMS(ρ) + η·I with
+    η = −2σ²ℓ²(sinh(δ/ℓ) − δ/ℓ); computing η as a difference of Kuu
+    entries loses everything for δ ≪ ℓ. The |x| ≥ 1 branch routes through
+    :func:`expm1mx` (mild, bounded cancellation there) to stay on the
+    compensated exp path rather than TPU ``sinh``.
+    """
+    coeffs = (_INV_ODD_FACT[:_N_ODD_TERMS_F32]
+              if x.dtype == jnp.float32 else _INV_ODD_FACT)
+    small = jnp.abs(x) < 1.0
+    xs = jnp.where(small, x, 0.0)
+    x2 = xs * xs
+    acc = jnp.zeros_like(x) + coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        acc = acc * x2 + c
+    series = acc * x2 * xs
+    xl = jnp.where(small, 1.0, x)
+    return jnp.where(small, series, 0.5 * (expm1mx(xl) - expm1mx(-xl)))

@@ -333,3 +333,53 @@ class TestB1Spline:
         kvu = np.asarray(self.feat.Kvu("matern12", P, grid))
         ref = np.asarray(self.feat.kvu_quadrature("matern12", P, grid, n_quad=4001))
         np.testing.assert_allclose(kvu, ref, rtol=1e-5, atol=1e-8)
+
+
+class TestCellToeplitzRowAnalytic:
+    """The analytic second-central-difference Kuu row (matern32/52) must
+    equal the generic cell/cell closed form in float64 — the generic form
+    is quadrature-validated above; the analytic one exists because the
+    generic form's numerical second difference cancels with ~(ℓ/δ)²
+    amplification in f32 on TPU (measured 1.5e-4 relative at ℓ/δ = 48,
+    NaN-ing the on-device Cholesky in the Poisson-likelihood drive)."""
+
+    @pytest.mark.parametrize("kind", ["matern32", "matern52"])
+    @pytest.mark.parametrize("m,l", [(24, 0.476), (24, 2.0), (128, 0.27),
+                                     (64, 0.01), (8, 5.0), (2, 1.0)])
+    def test_matches_generic_cell_cell_f64(self, kind, m, l):
+        from vggp_tpu.features import _cell_cell_cov
+
+        g = features.CellIntegralFeature.from_lims(m, 0.0, 1.0)
+        p = {"lengthscale": jnp.asarray(l, jnp.float64),
+             "variance": jnp.asarray(6.9, jnp.float64)}
+        row_new = np.asarray(g.kuu_first_row(kind, p))
+        mesh = g.mesh_j(p)
+        row_gen = np.asarray(_cell_cell_cov(kind, mesh, mesh[:2],
+                                            p["variance"], p["lengthscale"])[:, 0])
+        np.testing.assert_allclose(row_new, row_gen, rtol=1e-12,
+                                   atol=1e-13 * abs(row_gen).max())
+
+    @pytest.mark.parametrize("kind", ["matern32", "matern52"])
+    def test_f32_row_beats_generic_under_long_lengthscale(self, kind):
+        """In f32 the analytic row must stay ~1e-6 where the generic
+        numerical second difference has lost 3+ digits."""
+        from vggp_tpu.features import _cell_cell_cov, _cell_toeplitz_first_row
+
+        m, l = 24, 2.0
+        g = features.CellIntegralFeature.from_lims(m, 0.0, 1.0)
+        p64 = {"lengthscale": jnp.asarray(l, jnp.float64),
+               "variance": jnp.asarray(6.9, jnp.float64)}
+        truth = np.asarray(g.kuu_first_row(kind, p64), np.float64)
+        sc = np.abs(truth).max()
+        new32 = np.asarray(_cell_toeplitz_first_row(
+            kind, m, g.delta, jnp.asarray(6.9, jnp.float32),
+            jnp.asarray(l, jnp.float32), jnp.float32), np.float64)
+        mesh32 = jnp.asarray(np.asarray(g.mesh), jnp.float32)
+        gen32 = np.asarray(_cell_cell_cov(kind, mesh32, mesh32[:2],
+                                          jnp.asarray(6.9, jnp.float32),
+                                          jnp.asarray(l, jnp.float32))[:, 0],
+                           np.float64)
+        e_new = np.abs(new32 - truth).max() / sc
+        e_gen = np.abs(gen32 - truth).max() / sc
+        assert e_new < 5e-6, e_new
+        assert e_new < e_gen, (e_new, e_gen)

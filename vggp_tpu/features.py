@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from vggp_tpu import kernels
 from vggp_tpu.ops import diag_lowrank, toeplitz
-from vggp_tpu.ops.stablemath import expm1mx, expm1s
+from vggp_tpu.ops.stablemath import expm1mx, expm1s, sinhmx
 
 Params = Dict[str, jnp.ndarray]
 
@@ -289,6 +289,72 @@ def _m12_toeplitz_first_row(m: int, delta, variance, lengthscale, dtype) -> jnp.
     head = 2.0 * expm1mx(-d)
     row = jnp.where(k == 0, head, tail)
     return variance * lengthscale**2 * row
+
+
+def _cell_p_series(kind: str, t):
+    """h(t) = P(r)·λ²/σ² = c_lin t + c0 expm1(−t) + e^{−t}(c1 t + c2 t²).
+
+    The diagonal cell variance is 2P(δ). The naive form cancels to O(t²)
+    (the k ≤ 1 Taylor terms vanish identically for every Matérn order), so
+    for t < 1 it is evaluated by its explicit Taylor series
+    a_k = (−1)ᵏ (c0 − c1·k + c2·k(k−1)) / k!, k ≥ 2 — same strategy as
+    ops.stablemath.expm1mx (of which it is the c = (·,1,0,0) special case).
+    """
+    _, c0, c1, c2 = _CELL_COEFFS[kind][:4]
+    coeffs = [
+        (c0 - c1 * k + c2 * k * (k - 1)) * (1.0 if k % 2 == 0 else -1.0) / math.factorial(k)
+        for k in range(2, 16)
+    ]
+    small = jnp.abs(t) < 1.0
+    ts = jnp.where(small, t, 0.0)
+    acc = jnp.zeros_like(t) + coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        acc = acc * ts + c
+    series = acc * ts * ts
+    tl = jnp.where(small, 1.0, t)
+    c_lin = _CELL_COEFFS[kind][0]
+    direct = c_lin * tl + c0 * expm1s(-tl) + jnp.exp(-tl) * (c1 * tl + c2 * tl * tl)
+    return jnp.where(small, series, direct)
+
+
+def _cell_toeplitz_first_row(kind: str, m: int, delta, variance, lengthscale,
+                             dtype) -> jnp.ndarray:
+    """Uniform-mesh cell-integral Kuu first row, Matérn-3/2 / 5/2 orders.
+
+    The generic cell/cell closed form second-differences P(r) NUMERICALLY
+    (row[k] = P((k+1)δ) − 2P(kδ) + P((k−1)δ)), which cancels with relative
+    amplification ~(ℓ/δ)² — measured 1.5e-4 relative on TPU at ℓ/δ = 48,
+    enough to push λ_min below the f32 jitter floor and NaN the on-device
+    Cholesky. Here the second central difference is taken ANALYTICALLY:
+    the linear term drops exactly, and with s = λδ, t = λkδ,
+
+      Δ²[e^{−t}−1]  = e^{−t}·4sinh²(s/2)
+      Δ²[t e^{−t}]  = e^{−t}·(4t sinh²(s/2) − 2s sinh s)
+      Δ²[t² e^{−t}] = e^{−t}·(4t² sinh²(s/2) − 4ts sinh s + 2s² cosh s)
+
+    whose coefficient combination cancels only down to a bounded constant
+    (c0 − 2c1 + 2c2 = 1 for both orders). sinh/cosh route through the
+    ops.stablemath series (TPU sinh is ~1e-6-absolute). The Matérn-1/2
+    case of this formula reduces exactly to :func:`_m12_toeplitz_first_row`.
+    Diagonal: 2P(δ) via :func:`_cell_p_series`.
+    """
+    _, c0, c1, c2 = _CELL_COEFFS[kind][:4]
+    lam = _lam_of(kind, lengthscale)
+    s = lam * delta
+    k = jnp.arange(m, dtype=dtype)
+    t = k * s
+    sh_half = 0.5 * s + sinhmx(0.5 * s)          # sinh(s/2), series-accurate
+    sinh2 = 4.0 * sh_half * sh_half              # 4 sinh²(s/2)
+    sinh_s = s + sinhmx(s)
+    cosh_s = 1.0 + 0.5 * sinh2                   # cosh s = 1 + 2 sinh²(s/2)
+    tail = jnp.exp(-t) * (
+        sinh2 * (c0 + c1 * t + c2 * t * t)
+        - 2.0 * s * sinh_s * (c1 + 2.0 * c2 * t)
+        + 2.0 * c2 * s * s * cosh_s
+    )
+    head = 2.0 * _cell_p_series(kind, s)
+    row = jnp.where(k == 0, head, tail)
+    return variance / (lam * lam) * row
 
 
 # --------------------------------------------------------------------------- #
@@ -931,9 +997,14 @@ class CellIntegralFeature(AxisFeature):
         return toeplitz.sym_toeplitz_dense(row)
 
     def kuu_first_row(self, kind: str, p: Params) -> jnp.ndarray:
+        dtype = jnp.result_type(p["lengthscale"])
         if kind == "matern12":
-            dtype = jnp.result_type(p["lengthscale"])
             return _m12_toeplitz_first_row(self.m, self.delta, p["variance"], p["lengthscale"], dtype)
+        if kind in ("matern32", "matern52"):
+            # analytic second-central-difference row: the generic cell/cell
+            # form cancels with ~(ℓ/δ)² amplification (see the builder doc)
+            return _cell_toeplitz_first_row(kind, self.m, self.delta,
+                                            p["variance"], p["lengthscale"], dtype)
         # uniform mesh: the Gram is Toeplitz; build its first row as
         # Cov[cell_0, cell_k] via the generic compensated cell/cell form
         mesh = self.mesh_j(p)
@@ -947,6 +1018,23 @@ class CellIntegralFeature(AxisFeature):
         very large 1D cell grids (models.iterative).
         """
         return toeplitz.sym_toeplitz_matvec(self.kuu_first_row(kind, p), v)
+
+    def extra_f32_jitter(self, kind: str) -> float:
+        """Per-kind f32 jitter floor on top of models.common.KIND_JITTER_F32.
+
+        The Matérn-3/2 and 5/2 CELL Grams sit closer to semidefiniteness
+        than the other Gram structures sharing the per-kind floors: even
+        with the analytic second-difference row (~3e-6 on-TPU entry error,
+        :func:`_cell_toeplitz_first_row`), the measured λ_min dips to
+        −1.5e-5 of scale at moderate ℓ/δ — a thin margin under the generic
+        1e-4 floor once m grows. 2e-4 doubles the margin at negligible
+        bias. (Before the analytic row, the generic cell/cell form's
+        (ℓ/δ)²-amplified cancellation reached 1.5e-4 relative entry error
+        and the on-device Cholesky NaN'd outright — the Poisson-drive
+        failure that motivated this hook.) Matérn-1/2 keeps its dedicated
+        row and the ops/kms closed-form factorization and needs nothing.
+        """
+        return 2e-4 if kind in ("matern32", "matern52") else 0.0
 
     def inv_chol_kuu(self, kind: str, p: Params, rel_jitter: float):
         """Closed-form F⁻¹ of the relative-jittered Kuu Cholesky, or None.

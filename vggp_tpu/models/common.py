@@ -105,23 +105,41 @@ def axis_chol_kuu(spec, params: Params, method: str | None = None) -> Tuple[PSDF
         kuu = feat.Kuu(kind, axis_params(params, i))
         jitter = spec.jitter
         if kuu.dtype != jnp.float64:
-            jitter = max(jitter, KIND_JITTER_F32.get(kind, 1e-4))
+            jitter = max(jitter, KIND_JITTER_F32.get(kind, 1e-4),
+                         _feature_f32_jitter(feat, kind))
         out.append(psd_factor(kuu, method=method, jitter=jitter))
     return tuple(out)
 
 
-def axis_rel_jitter(spec, kind: str, dtype) -> float:
+def _feature_f32_jitter(feat, kind: str) -> float:
+    """Per-(feature, kind) f32 jitter floor on top of KIND_JITTER_F32.
+
+    Needed because the floor that suffices for one Gram structure can sit
+    exactly at the failure boundary for another: the Matérn-3/2 CELL Gram's
+    TPU-built rows carry ~5e-6 relative entry error (bench smoke golden),
+    which shifts λ_min by up to ~m·err ≈ 1e-4 of scale — equal to the
+    generic 1e-4 floor, so its f32 Cholesky NaNs on-device at moderate δ/ℓ
+    (observed in the Poisson drive at m = 24, ℓ = 0.48; CPU f32, with
+    ~50× smaller row error, survives the identical matrix).
+    """
+    return getattr(feat, "extra_f32_jitter", lambda k: 0.0)(kind)
+
+
+def axis_rel_jitter(spec, kind: str, dtype, feat=None) -> float:
     """Effective relative Kuu jitter for one axis.
 
     Mirrors exactly what :func:`axis_chol_kuu` + ``ops.chol.safe_cholesky``
     apply: float64 uses ``spec.jitter`` as given; float32 floors it at the
-    per-kernel :data:`KIND_JITTER_F32` and the global f32 minimum.
+    per-kernel :data:`KIND_JITTER_F32`, the per-feature floor, and the
+    global f32 minimum.
     """
     from vggp_tpu.ops.chol import F32_MIN_JITTER
 
     jitter = spec.jitter
     if dtype != jnp.float64:
         jitter = max(jitter, KIND_JITTER_F32.get(kind, 1e-4), F32_MIN_JITTER)
+        if feat is not None:
+            jitter = max(jitter, _feature_f32_jitter(feat, kind))
     return jitter
 
 
@@ -222,7 +240,7 @@ def axis_whitened_kuf_scalar(spec, params: Params, X: jnp.ndarray) -> Tuple[jnp.
     dtype = jnp.result_type(params["noise"])
     out = []
     for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
-        rel = axis_rel_jitter(spec, kind, dtype)
+        rel = axis_rel_jitter(spec, kind, dtype, feat)
         out.append(whitened_kuf_scalar(feat, kind, rel, axis_params(params, i), X[:, i]))
     return tuple(out)
 

@@ -60,12 +60,21 @@ class SVGPSpec:
     variational: str = "full"         # "full" | "kron"
     jitter: float = 1e-6
     factor_method: str = "chol"       # Kuu factorization: "chol" | "eigh"
+    likelihood: str = "gaussian"      # see vggp_tpu.likelihoods (beyond-reference)
+    likelihood_opts: Tuple[Tuple[str, float], ...] = ()  # static, e.g. (("df", 4.0),)
 
     def __post_init__(self):
         if self.variational not in ("full", "kron"):
             raise ValueError(self.variational)
         if self.variational == "kron" and len(self.features) < 2:
             raise ValueError("kron variational family requires ndim >= 2")
+        from vggp_tpu.likelihoods import EXPECTED_LOG_LIK
+
+        if self.likelihood not in EXPECTED_LOG_LIK:
+            raise ValueError(
+                f"unknown likelihood {self.likelihood!r}; "
+                f"have {sorted(EXPECTED_LOG_LIK)}"
+            )
 
     @property
     def ndim(self) -> int:
@@ -193,15 +202,27 @@ def kl(spec: SVGPSpec, params: Params) -> jnp.ndarray:
 
 @common.highest_precision
 def elbo(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jnp.ndarray:
-    """Minibatch ELBO estimate (scaled to the full dataset)."""
+    """Minibatch ELBO estimate (scaled to the full dataset).
+
+    The Gaussian expected log-likelihood stays inline (the bench-hot path);
+    other observation models route through :mod:`vggp_tpu.likelihoods`
+    (probit classification, Poisson counts, Student-t — beyond-reference).
+    """
     yb = jnp.reshape(yb, (-1,))
     nb = yb.shape[0]
-    noise = params["noise"]
     _, blocks = _whitened_blocks(spec, params, xb)
     mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
     kff = common.kdiag(spec, params, xb)
     var_f = jnp.maximum(kff - var_red, 0.0) + var_add
-    ell_i = -0.5 * jnp.log(2.0 * jnp.pi * noise) - ((yb - mean) ** 2 + var_f) / (2.0 * noise)
+    if spec.likelihood == "gaussian":
+        noise = params["noise"]
+        ell_i = (-0.5 * jnp.log(2.0 * jnp.pi * noise)
+                 - ((yb - mean) ** 2 + var_f) / (2.0 * noise))
+    else:
+        from vggp_tpu.likelihoods import expected_log_lik
+
+        ell_i = expected_log_lik(spec.likelihood, yb, mean, var_f, params,
+                                 spec.likelihood_opts)
     scale = spec.num_data / nb
     return scale * jnp.sum(ell_i) - kl(spec, params)
 
@@ -276,6 +297,28 @@ def posterior(
 
 def posterior_predictive(spec, params, xstar, full_cov: bool = False) -> Gaussian:
     return posterior(spec, params, xstar, full_cov=full_cov, predictive=True)
+
+
+def predict_y(spec: SVGPSpec, params: Params, xstar: jnp.ndarray):
+    """Observable-space prediction under the spec's likelihood.
+
+    gaussian/student_t → Gaussian(mean, var + noise-ish); bernoulli → class-1
+    probability Φ(μ/√(1+σ²)) (exact under probit); poisson → (E[λ], Var[y]).
+    """
+    q = posterior(spec, params, xstar, full_cov=False)
+    if spec.likelihood == "bernoulli":
+        from vggp_tpu.likelihoods import predict_bernoulli
+
+        return predict_bernoulli(q.mean, q.var)
+    if spec.likelihood == "poisson":
+        from vggp_tpu.likelihoods import predict_poisson
+
+        return predict_poisson(q.mean, q.var)
+    if spec.likelihood == "student_t":
+        df = dict(spec.likelihood_opts).get("df", 4.0)
+        scale = df / max(df - 2.0, 1e-12)  # Var[T] = ν/(ν−2)·scale²
+        return Gaussian(mean=q.mean, var=q.var + scale * params["noise"])
+    return posterior_predictive(spec, params, xstar)
 
 
 def prior(spec: SVGPSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:

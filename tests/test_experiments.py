@@ -113,3 +113,29 @@ def test_northsea_experiment_smoke(tmp_path):
         assert np.isfinite(r["final_loss"])
         assert r["qv_mean"].shape == (8, 8)
         assert r["qv_var"].min() > 0
+
+
+def test_poisson_experiment_smoke(tmp_path):
+    from vggp_tpu.experiments import poisson
+
+    res = poisson.run(m_side=8, n_grid=4, n_obs=600, n_iters=80,
+                      batch_size=256, outdir=str(tmp_path))
+    assert np.isfinite(res["final_loss"])
+    assert res["intensity_median_rel_err"] < 1.0  # smoke, not a fit
+    assert (tmp_path / "metrics.json").exists()
+
+
+def test_poisson_truth_integrals_match_quadrature():
+    from vggp_tpu.experiments import poisson
+
+    mx = np.linspace(0.0, 1.0, 5)
+    my = np.linspace(0.0, 1.0, 4)
+    truth = poisson.truth_integrals(mx, my)
+    fine = 400
+    for i in range(4):
+        for j in range(3):
+            xs = np.linspace(mx[i], mx[i + 1], fine)
+            ys = np.linspace(my[j], my[j + 1], fine)
+            F = poisson.log_intensity(xs[:, None], ys[None, :])
+            val = np.trapezoid(np.trapezoid(F, ys), xs)
+            assert abs(val - truth[i, j]) < 1e-6

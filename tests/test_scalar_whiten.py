@@ -122,3 +122,43 @@ def test_full_variational_family_also_covered(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_new)):
         scale = max(1e-8, float(np.abs(a).max()))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8 * scale)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_fast_moments_bwd_matches_autodiff(ndim):
+    """The hand-written _kron_moments VJP must equal reverse-mode through
+    the plain implementation exactly in f64 (precision differences only
+    exist on TPU bf16 passes)."""
+    from vggp_tpu import config
+    from vggp_tpu.models import svgp
+
+    ms = (6, 5, 4)[:ndim]
+    feats = tuple(CellIntegralFeature.from_lims(m, 0.0, 1.0) for m in ms)
+    spec = svgp.SVGPSpec(kinds=("matern12",) * ndim, features=feats,
+                         num_data=100, variational="kron")
+    rng = np.random.default_rng(0)
+    params = spec.init_params(jnp.float64)
+    for k in list(params["q"].keys()):
+        params["q"][k] = params["q"][k] + 0.1 * jnp.asarray(
+            rng.standard_normal(params["q"][k].shape))
+    xb = jnp.asarray(rng.random((32, ndim)))
+    yb = jnp.asarray(rng.standard_normal(32))
+
+    prev = config.FAST_MOMENTS_BWD
+    try:
+        config.FAST_MOMENTS_BWD = True
+        lf = float(svgp.loss(spec, params, xb, yb))
+        gf = jax.grad(lambda p: svgp.loss(spec, p, xb, yb))(params)
+        config.FAST_MOMENTS_BWD = False
+        ls = float(svgp.loss(spec, params, xb, yb))
+        gs = jax.grad(lambda p: svgp.loss(spec, p, xb, yb))(params)
+    finally:
+        config.FAST_MOMENTS_BWD = prev
+    assert abs(lf - ls) < 1e-12 * max(abs(ls), 1.0)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(gf)
+    flat_s, _ = jax.tree_util.tree_flatten_with_path(gs)
+    for (kf, vf), (ks, vs) in zip(flat_f, flat_s):
+        assert kf == ks
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vs),
+                                   rtol=1e-9, atol=1e-11,
+                                   err_msg=jax.tree_util.keystr(kf))

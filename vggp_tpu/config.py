@@ -30,6 +30,13 @@ WHITEN_MATMUL_PRECISION: str = "highest"
 # (``models.common.whitened_kuf_scalar``). Toggle for A/B benchmarking.
 SCALAR_WHITEN_VJP: bool = True
 
+# Kronecker q(f)-moments backward at single-pass bf16 (models.svgp
+# _kron_moments custom VJP): the ~6 cotangent matmuls of the mean/var block
+# are gradient-only signal — SGD-tolerant like the 3-pass whitening
+# cotangents — while the forward (what the recorded ELBO sees) keeps the
+# ambient precision. Toggle for A/B benchmarking.
+FAST_MOMENTS_BWD: bool = True
+
 # Closed-form structured inverse-Cholesky (ops.kms): the Matérn-1/2
 # cell-integral Kuu decomposes as γ·KMS(ρ) + η·I, whose exact Cholesky
 # factor inverse is computable in O(m²) elementwise ops — replacing the

@@ -7,6 +7,7 @@ EXPERIMENTS = {
     "gulfstream": "Gulf Stream train/val/test + CV sweeps (notebook 61)",
     "northsea": "North Sea SLA gridded products (notebook 7)",
     "spacetime": "3-D lon x lat x time gridded products (beyond-reference)",
+    "poisson": "gridded Poisson intensity mapping from count data (beyond-reference)",
 }
 
 if __name__ == "__main__":

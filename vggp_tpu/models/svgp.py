@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from vggp_tpu.features import AxisFeature, CellIntegralFeature
@@ -146,9 +147,93 @@ def _kron_contract(mu: jnp.ndarray, mats: Sequence[jnp.ndarray], out: str) -> jn
     return jnp.einsum(f"{L},{sub}->{G}", mu, *[m for m in mats]).reshape(-1)
 
 
+def _mean_cotangent_einsums(d: int):
+    """einsum strings for the q(f)-mean backward at ndim = d."""
+    L = _AXIS_LETTERS[:d]
+    blocks_sub = [f"{L[i]}n" for i in range(d)]
+    dmu = ",".join(["n"] + blocks_sub) + f"->{L}"
+    das = []
+    for j in range(d):
+        ins = ",".join([L] + [blocks_sub[i] for i in range(d) if i != j])
+        das.append(f"{ins}->{L[j]}n")
+    return dmu, das
+
+
+def _kron_moments(spec: SVGPSpec, mu, Ls, blocks):
+    """(mean, var_red, var_add) for the Kronecker variational family, with a
+    hand-written VJP whose cotangent matmuls run at single-pass bf16.
+
+    The forward is bit-identical to the straightforward implementation (and
+    is what the recorded ELBO sees). The backward's ~6 (m, n)-sized matmuls
+    are gradient-only signal — SGD-tolerant, like the 3-pass whitening
+    cotangents of round 2 (PERFORMANCE.md) — so they drop from the ambient
+    3-pass bf16 to 1-pass. Toggle: ``config.FAST_MOMENTS_BWD``.
+    """
+    d = spec.ndim
+
+    def fwd_math(mu, Ls, blocks):
+        mean = _kron_contract(mu, blocks, out="n")
+        ts, rs, vs = [], [], []
+        for i, a in enumerate(blocks):
+            t = Ls[i].T @ a                # (m_i, n)
+            ts.append(t)
+            rs.append(jnp.sum(a * a, axis=0))
+            vs.append(jnp.sum(t * t, axis=0))
+        var_red, var_add = rs[0], vs[0]
+        for i in range(1, d):
+            var_red = var_red * rs[i]
+            var_add = var_add * vs[i]
+        return mean, var_red, var_add, tuple(ts), tuple(rs), tuple(vs)
+
+    @jax.custom_vjp
+    def f(mu, Ls, blocks):
+        mean, var_red, var_add, *_ = fwd_math(mu, Ls, blocks)
+        return mean, var_red, var_add
+
+    def f_fwd(mu, Ls, blocks):
+        mean, var_red, var_add, ts, rs, vs = fwd_math(mu, Ls, blocks)
+        return (mean, var_red, var_add), (mu, Ls, blocks, ts, rs, vs)
+
+    def f_bwd(res, g):
+        from jax import lax
+
+        mu, Ls, blocks, ts, rs, vs = res
+        gm, gr, gv = g
+        prec = lax.Precision.DEFAULT
+        dmu_str, da_strs = _mean_cotangent_einsums(d)
+        dmu = jnp.einsum(dmu_str, gm, *blocks, precision=prec)
+        dLs, das = [], []
+        for i in range(d):
+            r_oth = None
+            v_oth = None
+            for k in range(d):
+                if k == i:
+                    continue
+                r_oth = rs[k] if r_oth is None else r_oth * rs[k]
+                v_oth = vs[k] if v_oth is None else v_oth * vs[k]
+            if r_oth is None:          # d == 1 (not reachable: kron needs d>=2)
+                r_oth = jnp.ones_like(rs[i])
+                v_oth = jnp.ones_like(vs[i])
+            da = jnp.einsum(da_strs[i], mu,
+                            *[blocks[k] for k in range(d) if k != i],
+                            precision=prec) * gm[None, :]
+            da = da + 2.0 * blocks[i] * (gr * r_oth)[None, :]
+            dt = 2.0 * ts[i] * (gv * v_oth)[None, :]
+            da = da + jnp.matmul(Ls[i], dt, precision=prec)
+            dL = jnp.matmul(blocks[i], dt.T, precision=prec)  # ∂(t=Lᵀa)/∂L = a dtᵀ
+            das.append(da)
+            dLs.append(dL)
+        return dmu, tuple(dLs), tuple(das)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(mu, Ls, blocks)
+
+
 def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Marginal q(f) mean/variance at the points whose whitened features are
     ``blocks`` (per-axis (m_i, n))."""
+    from vggp_tpu import config
+
     q = params["q"]
     if spec.variational == "full":
         a = common.khatri_rao_all(blocks)  # (m, n)
@@ -159,6 +244,8 @@ def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, j
         var_add = jnp.sum(sa * sa, axis=0)
     else:
         Ls = _kron_chols(spec, q)
+        if config.FAST_MOMENTS_BWD:
+            return _kron_moments(spec, q["mu"], Ls, blocks)
         mean = _kron_contract(q["mu"], blocks, out="n")
         var_red = None
         var_add = None

@@ -30,6 +30,13 @@ WHITEN_MATMUL_PRECISION: str = "highest"
 # (``models.common.whitened_kuf_scalar``). Toggle for A/B benchmarking.
 SCALAR_WHITEN_VJP: bool = True
 
+# Precision for gradient-only matmuls (cotangents/tangents that never touch
+# the forward value): 1-pass bf16. SGD tolerates ~4e-3-relative gradient
+# noise; validated to convergence for the moments backward and the scalar
+# whitening ℓ-tangent (PERFORMANCE.md). Set to "high" to make every
+# gradient exactly match the ambient-precision autodiff.
+GRAD_MATMUL_PRECISION: str = "default"
+
 # Kronecker q(f)-moments backward at single-pass bf16 (models.svgp
 # _kron_moments custom VJP): the ~6 cotangent matmuls of the mean/var block
 # are gradient-only signal — SGD-tolerant like the 3-pass whitening

@@ -211,15 +211,20 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
         return jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
 
     def wk_fwd(l, v, x):
+        # the ℓ-tangent is gradient-only signal: its two (m, n) matmuls ride
+        # the gradient precision (1-pass bf16, config.GRAD_MATMUL_PRECISION
+        # — same rationale as the bf16 moments backward); the small (m, m)
+        # M build keeps the ambient precision.
         prec = config.MATMUL_PRECISION
+        gprec = config.GRAD_MATMUL_PRECISION
         _, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
         finv = finv_of_params(l, v)
         kuf, dkuf = feat.Kuf_with_dl(kind, {"lengthscale": l, "variance": v}, x)
         a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
         M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)
         Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
-        da_dl = jnp.matmul(finv, dkuf, precision=prec) - jnp.matmul(
-            Phi, a, precision=prec
+        da_dl = jnp.matmul(finv, dkuf, precision=gprec) - jnp.matmul(
+            Phi, a, precision=gprec
         )
         return a, (a, da_dl, v, x)
 

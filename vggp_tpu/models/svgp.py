@@ -195,11 +195,11 @@ def _kron_moments(spec: SVGPSpec, mu, Ls, blocks):
         return (mean, var_red, var_add), (mu, Ls, blocks, ts, rs, vs)
 
     def f_bwd(res, g):
-        from jax import lax
+        from vggp_tpu import config
 
         mu, Ls, blocks, ts, rs, vs = res
         gm, gr, gv = g
-        prec = lax.Precision.DEFAULT
+        prec = config.GRAD_MATMUL_PRECISION
         dmu_str, da_strs = _mean_cotangent_einsums(d)
         dmu = jnp.einsum(dmu_str, gm, *blocks, precision=prec)
         dLs, das = [], []

@@ -26,3 +26,4 @@ Layer map (mirrors SURVEY.md §7):
 __version__ = "0.1.0"
 
 from vggp_tpu import kernels, ops, features, models, train, utils, parallel, data  # noqa: F401,E402
+from vggp_tpu import likelihoods, sampling  # noqa: F401,E402

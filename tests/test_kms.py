@@ -115,3 +115,65 @@ def test_structured_finv_elbo_equivalence():
     assert abs(lo - lf) / abs(lf) < 1e-9
     for a, b in zip(jax.tree_util.tree_leaves(go), jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("l", [0.01, 0.3, 2.0, 30.0])
+def test_banded_apply_matches_dense(l):
+    """The block-banded whiten apply equals the dense matmul to rounding:
+    the discarded entries decay like q^65 ≤ 1e-34."""
+    from vggp_tpu.ops.kms import (banded_whiten_apply, m12_geometric_ratio,
+                                  m12_cell_inv_chol)
+
+    m, n = 256, 96
+    delta = 1.0 / m
+    finv = m12_cell_inv_chol(m, jnp.asarray(delta, jnp.float64),
+                             jnp.asarray(1.3, jnp.float64),
+                             jnp.asarray(l, jnp.float64), 1e-6)
+    q = m12_geometric_ratio(jnp.asarray(delta, jnp.float64),
+                            jnp.asarray(l, jnp.float64), 1e-6)
+    assert float(q) < 0.5, float(q)
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.standard_normal((m, n)))
+    dense = finv @ B
+    banded = banded_whiten_apply(finv, B, q, "highest")
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-10, atol=1e-12 * float(jnp.abs(dense).max()))
+
+
+def test_banded_apply_dense_fallback_for_large_ratio():
+    from vggp_tpu.ops.kms import banded_whiten_apply
+
+    rng = np.random.default_rng(1)
+    F = jnp.asarray(np.tril(rng.standard_normal((256, 256))))  # NOT banded
+    B = jnp.asarray(rng.standard_normal((256, 16)))
+    out = banded_whiten_apply(F, B, jnp.asarray(0.95), "highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(F @ B), rtol=1e-12)
+
+
+def test_banded_apply_elbo_equivalence():
+    """svgp.loss with BANDED_WHITEN_APPLY on vs off agrees to rounding."""
+    from vggp_tpu.models import svgp
+
+    g1 = CellIntegralFeature.from_lims(128, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(128, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                         num_data=500, variational="kron")
+    params = spec.init_params(jnp.float64)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.random((64, 2)))
+    yb = jnp.asarray(rng.standard_normal(64))
+
+    prev = config.BANDED_WHITEN_APPLY
+    try:
+        config.BANDED_WHITEN_APPLY = True
+        lo = float(svgp.loss(spec, params, xb, yb))
+        go = jax.grad(lambda q: svgp.loss(spec, q, xb, yb))(params)
+        config.BANDED_WHITEN_APPLY = False
+        lf = float(svgp.loss(spec, params, xb, yb))
+        gf = jax.grad(lambda q: svgp.loss(spec, q, xb, yb))(params)
+    finally:
+        config.BANDED_WHITEN_APPLY = prev
+    assert abs(lo - lf) / abs(lf) < 1e-10
+    for a, b in zip(jax.tree_util.tree_leaves(go), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
+                                   atol=1e-10)

@@ -37,6 +37,13 @@ SCALAR_WHITEN_VJP: bool = True
 # gradient exactly match the ambient-precision autodiff.
 GRAD_MATMUL_PRECISION: str = "default"
 
+# Block-banded whitening apply: the structured F⁻¹ (ops.kms) decays
+# geometrically (ratio q ≤ ~0.27 away from the jitter-dominated corner), so
+# the (m, m)×(m, n) apply is exactly a block-bidiagonal batch of (64, 64)
+# matmuls — 8× fewer 6-pass MXU passes at m = 512. A lax.cond falls back to
+# the dense apply when the analytically computed ratio exceeds 0.7.
+BANDED_WHITEN_APPLY: bool = True
+
 # Kronecker q(f)-moments backward at single-pass bf16 (models.svgp
 # _kron_moments custom VJP): the ~6 cotangent matmuls of the mean/var block
 # are gradient-only signal — SGD-tolerant like the 3-pass whitening

@@ -1051,6 +1051,15 @@ class CellIntegralFeature(AxisFeature):
             self.m, self.delta, p["variance"], p["lengthscale"], rel_jitter
         )
 
+    def whiten_band_ratio(self, kind: str, p: Params, rel_jitter: float):
+        """Geometric decay ratio of the structured F⁻¹ (ops/kms.py), or
+        None when no banded structure is known for ``kind``."""
+        if kind != "matern12":
+            return None
+        from vggp_tpu.ops.kms import m12_geometric_ratio
+
+        return m12_geometric_ratio(self.delta, p["lengthscale"], rel_jitter)
+
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.reshape(x, (-1,))
         if kind == "matern12":

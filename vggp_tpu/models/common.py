@@ -193,22 +193,37 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
         )
 
     def finv_of_params(l, v):
-        """F⁻¹ of the jittered Kuu: closed form when the feature has one
-        (ops/kms.py — O(m²) elementwise, no sequential chol/trisolve, and
-        far more f32-accurate than dense chol), dense otherwise."""
+        """(F⁻¹, band ratio or None) of the jittered Kuu: closed form when
+        the feature has one (ops/kms.py — O(m²) elementwise, no sequential
+        chol/trisolve, and far more f32-accurate than dense chol), dense
+        otherwise. The ratio gates the block-banded apply."""
         if config.STRUCTURED_FINV:
             hook = getattr(feat, "inv_chol_kuu", None)
             if hook is not None:
                 fi = hook(kind, {"lengthscale": l, "variance": v}, rel_jitter)
                 if fi is not None:
-                    return fi
-        return finv_of(kuu_jittered(l, v))
+                    ratio = None
+                    if config.BANDED_WHITEN_APPLY:
+                        rhook = getattr(feat, "whiten_band_ratio", None)
+                        if rhook is not None:
+                            ratio = rhook(kind, {"lengthscale": l, "variance": v},
+                                          rel_jitter)
+                    return fi, ratio
+        return finv_of(kuu_jittered(l, v)), None
+
+    def apply_finv(finv, ratio, kuf):
+        from vggp_tpu.ops.kms import banded_whiten_apply
+
+        if ratio is None:
+            return jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+        return banded_whiten_apply(finv, kuf, ratio,
+                                   config.WHITEN_MATMUL_PRECISION)
 
     @jax.custom_vjp
     def wk(l, v, x):
-        finv = finv_of_params(l, v)
+        finv, ratio = finv_of_params(l, v)
         kuf = feat.Kuf(kind, {"lengthscale": l, "variance": v}, x)
-        return jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+        return apply_finv(finv, ratio, kuf)
 
     def wk_fwd(l, v, x):
         # the ℓ-tangent is gradient-only signal: its two (m, n) matmuls ride
@@ -218,9 +233,9 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
         prec = config.MATMUL_PRECISION
         gprec = config.GRAD_MATMUL_PRECISION
         _, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
-        finv = finv_of_params(l, v)
+        finv, ratio = finv_of_params(l, v)
         kuf, dkuf = feat.Kuf_with_dl(kind, {"lengthscale": l, "variance": v}, x)
-        a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+        a = apply_finv(finv, ratio, kuf)
         M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)
         Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
         da_dl = jnp.matmul(finv, dkuf, precision=gprec) - jnp.matmul(

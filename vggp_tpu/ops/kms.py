@@ -44,6 +44,46 @@ import jax.numpy as jnp
 from vggp_tpu.ops.stablemath import expm1mx, expm1s, sinhmx
 
 
+def _tridiag_coefficients(delta, variance, lengthscale, rel_jitter):
+    """Scalar coefficients of C = γI + η_eff·W (one bundle for the whole
+    module: the factorization, the analytic-F rebuild, and the band-ratio
+    gate all read from here).
+
+    Every small-difference quantity routes through the stablemath series.
+    The two algebraically equal forms of (a − 2b) are each cancellation-free
+    in one δ/ℓ regime (see the module doc); (a + 2b) has a single form
+    stable everywhere.
+    """
+    u = delta / lengthscale
+    rho = 1.0 + expm1s(-u)   # series-accurate: TPU exp alone has ~1e-6 error
+                             # and ρ multiplies every sensitive coefficient
+    omr = -expm1s(-u)                      # 1 - ρ, no cancellation
+    s2 = -expm1s(-2.0 * u)                 # 1 - ρ²
+    s = jnp.sqrt(s2)
+    c = variance * lengthscale * lengthscale
+
+    diag0 = 2.0 * c * expm1mx(-u)          # Kuu diagonal
+    eta = -2.0 * c * sinhmx(u) + rel_jitter * diag0
+
+    us = jnp.minimum(u, 1.0)               # bound the γ-form arguments so the
+    es = expm1s(us)                        # unselected branch stays finite
+    gamma_s = c * es * es * jnp.exp(-us)   # γ = c(1-ρ)²/ρ = c·expm1(u)²·ρ
+    a_minus_2b = jnp.where(
+        u < 1.0,
+        gamma_s + eta * (1.0 + rho) / omr,
+        diag0 * (1.0 + rel_jitter) * (1.0 + rho) / omr - 2.0 * c * omr,
+    )
+    # (a + 2b) = diag0(1+rel)(1-ρ)/(1+ρ) + 2c(1-ρ)²/(1+ρ)
+    a_plus_2b = (diag0 * (1.0 + rel_jitter) * omr + 2.0 * c * omr * omr) / (1.0 + rho)
+    a = 0.5 * (a_minus_2b + a_plus_2b)     # interior diagonal of C
+    b = -eta * rho / s2                    # interior off-diagonal (direct: stable)
+    b0 = -eta * rho / s                    # C[0,1] (the KMS corner)
+    a0 = diag0 * (1.0 + rel_jitter)        # C[0,0] = γ + η_eff  (exact identity)
+    sq = jnp.sqrt(a_minus_2b * a_plus_2b)  # √(a² − 4b²)
+    lam1 = 0.5 * (a + sq)
+    return dict(u=u, rho=rho, s=s, a=a, b=b, b0=b0, a0=a0, sq=sq, lam1=lam1)
+
+
 def m12_cell_inv_chol(m: int, delta, variance, lengthscale, rel_jitter):
     """Explicit F⁻¹ with F = chol(Kuu + jitter·I), closed form, O(m²).
 
@@ -56,40 +96,14 @@ def m12_cell_inv_chol(m: int, delta, variance, lengthscale, rel_jitter):
     oracle-tested against dense f64 chol + solve in tests/test_kms.py.
     """
     dtype = jnp.result_type(lengthscale)
-    u = delta / lengthscale
-    rho = 1.0 + expm1s(-u)   # series-accurate: TPU exp alone has ~1e-6 error
-                             # and ρ multiplies every sensitive coefficient
-    omr = -expm1s(-u)                      # 1 - ρ, no cancellation
-    s2 = -expm1s(-2.0 * u)                 # 1 - ρ²
-    s = jnp.sqrt(s2)
-    c = variance * lengthscale * lengthscale
-
-    diag0 = 2.0 * c * expm1mx(-u)          # Kuu diagonal
-    eta = -2.0 * c * sinhmx(u) + rel_jitter * diag0
-
-    # C = γI + η_eff·W tridiagonal entries. Two algebraically equal forms of
-    # (a − 2b); each is cancellation-free in one δ/ℓ regime (see module doc).
-    us = jnp.minimum(u, 1.0)               # bound the γ-form arguments so the
-    es = expm1s(us)                        # unselected branch stays finite
-    gamma_s = c * es * es * jnp.exp(-us)   # γ = c(1-ρ)²/ρ = c·expm1(u)²·ρ
-    small = u < 1.0
-    a_minus_2b = jnp.where(
-        small,
-        gamma_s + eta * (1.0 + rho) / omr,
-        diag0 * (1.0 + rel_jitter) * (1.0 + rho) / omr - 2.0 * c * omr,
-    )
-    # (a + 2b) = diag0(1+rel)(1-ρ)/(1+ρ) + 2c(1-ρ)²/(1+ρ): stable everywhere
-    a_plus_2b = (diag0 * (1.0 + rel_jitter) * omr + 2.0 * c * omr * omr) / (1.0 + rho)
-    a = 0.5 * (a_minus_2b + a_plus_2b)     # interior diagonal of C
-    b = -eta * rho / s2                    # interior off-diagonal (direct: stable)
-    b0 = -eta * rho / s                    # C[0,1] (the KMS corner)
-    a0 = diag0 * (1.0 + rel_jitter)        # C[0,0] = γ + η_eff  (exact identity)
+    co = _tridiag_coefficients(delta, variance, lengthscale, rel_jitter)
+    u, rho, s = co["u"], co["rho"], co["s"]
+    a, b, b0, a0, sq, lam1 = (co["a"], co["b"], co["b0"], co["a0"],
+                              co["sq"], co["lam1"])
 
     # Leading principal minors D_k of C: D_0 = 1, D_1 = a0,
     # D_2 = a·D_1 − b0², D_k = a·D_{k-1} − b²·D_{k-2} (k ≥ 3) — constant
     # coefficients, so E_j := D_{j+1} = A·λ₁ʲ + B·λ₂ʲ in closed form.
-    sq = jnp.sqrt(a_minus_2b * a_plus_2b)  # √(a² − 4b²)
-    lam1 = 0.5 * (a + sq)
     lam2 = (b * b) / lam1                  # product identity λ₁λ₂ = b²
     d1 = a0
     d2 = a * d1 - b0 * b0
@@ -182,25 +196,9 @@ def m12_geometric_ratio(delta, lengthscale, rel_jitter):
     jitter dominates the off-diagonal structure (ℓ ≳ 1/(rel·δ)·δ — a GP
     that is constant over the whole domain). Used to gate the banded apply.
     """
-    u = delta / lengthscale
-    rho = 1.0 + expm1s(-u)
-    omr = -expm1s(-u)
-    s2 = -expm1s(-2.0 * u)
-    diag0 = 2.0 * expm1mx(-u)              # variance-free (cancels in q)
-    eta = -2.0 * sinhmx(u) + rel_jitter * diag0
-    us = jnp.minimum(u, 1.0)
-    es = expm1s(us)
-    gamma_s = es * es * jnp.exp(-us)
-    a_minus_2b = jnp.where(
-        u < 1.0,
-        gamma_s + eta * (1.0 + rho) / omr,
-        diag0 * (1.0 + rel_jitter) * (1.0 + rho) / omr - 2.0 * omr,
-    )
-    a_plus_2b = (diag0 * (1.0 + rel_jitter) * omr + 2.0 * omr * omr) / (1.0 + rho)
-    a = 0.5 * (a_minus_2b + a_plus_2b)
-    b = -eta * rho / s2
-    lam1 = 0.5 * (a + jnp.sqrt(a_minus_2b * a_plus_2b))
-    return jnp.abs(b) / lam1
+    co = _tridiag_coefficients(delta, jnp.ones_like(lengthscale), lengthscale,
+                               rel_jitter)
+    return jnp.abs(co["b"]) / co["lam1"]
 
 
 BAND_BLOCK = 128

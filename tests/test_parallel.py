@@ -186,3 +186,27 @@ def test_graft_entry_dryrun_16_devices():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ok16" in out.stdout
+
+
+def test_sharded_step_with_banded_apply():
+    """m = 256 per axis engages the block-banded whiten apply (ops/kms.py)
+    inside the GSPMD-sharded step — lax.cond + blocked gathers must
+    partition; the small-m tests above all hit the dense guard."""
+    from vggp_tpu import config
+
+    assert config.BANDED_WHITEN_APPLY  # the default path is what ships
+    feats = tuple(CellIntegralFeature.from_lims(256, 0.0, 1.0) for _ in range(2))
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=feats,
+                         num_data=10_000, variational="kron")
+    params = spec.init_params(jnp.float32)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.random((256, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    opt = optax.adam(1e-2)
+    mesh = make_mesh(("data", "model1", "model2"), (2, 2, 2))
+    init_fn, step_fn = make_sharded_svgp_step(spec, opt, mesh,
+                                              model_axes=("model1", "model2"))
+    raw, st = init_fn(params)
+    xb, yb = shard_batch(X, y, mesh)
+    raw, st, val = step_fn(raw, st, xb, yb)
+    assert np.isfinite(float(val))

@@ -177,3 +177,48 @@ def test_banded_apply_elbo_equivalence():
     for a, b in zip(jax.tree_util.tree_leaves(go), jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7,
                                    atol=1e-10)
+
+
+@pytest.mark.parametrize("u", [15.0, 20.0, 100.0, 800.0])
+def test_extreme_delta_over_ell_no_nan_and_accurate(u):
+    """Review-found failure modes: (a) η/ρ overflow/underflow NaN'd the
+    factor past δ/ℓ ≈ 88; (b) the series form of ρ lost all relative
+    precision past δ/ℓ ≈ 15, costing 5 orders of magnitude on the
+    whitening identity at δ/ℓ = 20 in f32."""
+    m = 64
+    delta = 1.0
+    l = delta / u
+    for dtype, tol in [(jnp.float32, 5e-5), (jnp.float64, 1e-10)]:
+        finv = m12_cell_inv_chol(m, jnp.asarray(delta, dtype),
+                                 jnp.asarray(1.3, dtype),
+                                 jnp.asarray(l, dtype), 1e-6)
+        assert bool(jnp.all(jnp.isfinite(finv))), (u, dtype)
+        row = _m12_toeplitz_first_row(m, jnp.asarray(delta, jnp.float64),
+                                      jnp.asarray(1.3, jnp.float64),
+                                      jnp.asarray(l, jnp.float64), jnp.float64)
+        K = toeplitz.sym_toeplitz_dense(row)
+        K = K + row[0] * 1e-6 * jnp.eye(m, dtype=jnp.float64)
+        f64 = jnp.asarray(finv, jnp.float64)
+        ident = f64 @ K @ f64.T - jnp.eye(m, dtype=jnp.float64)
+        assert float(jnp.max(jnp.abs(ident))) < tol, (u, dtype, float(jnp.max(jnp.abs(ident))))
+
+
+def test_m12_row_no_overflow_at_extreme_delta_over_ell():
+    """The expm1(δ/ℓ)² row form NaN'd (inf·0) past δ/ℓ ≈ 88; the
+    (1−e^{−δ/ℓ})² e^{−(k−1)δ/ℓ} form is bounded everywhere."""
+    for dtype in (jnp.float32, jnp.float64):
+        row = _m12_toeplitz_first_row(64, jnp.asarray(1.0, dtype),
+                                      jnp.asarray(1.0, dtype),
+                                      jnp.asarray(0.005, dtype), dtype)
+        assert bool(jnp.all(jnp.isfinite(row)))
+
+
+def test_m32_m52_rows_no_overflow_at_extreme_delta_over_ell():
+    from vggp_tpu.features import _cell_toeplitz_first_row
+
+    for kind in ("matern32", "matern52"):
+        for dtype in (jnp.float32, jnp.float64):
+            row = _cell_toeplitz_first_row(kind, 64, jnp.asarray(1.0, dtype),
+                                           jnp.asarray(1.0, dtype),
+                                           jnp.asarray(0.005, dtype), dtype)
+            assert bool(jnp.all(jnp.isfinite(row))), (kind, dtype)

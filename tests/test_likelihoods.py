@@ -152,3 +152,18 @@ def test_student_t_robust_to_outliers():
         fits[lik] = np.sqrt(np.mean((np.asarray(post.mean) - f) ** 2))
     assert fits["student_t"] < fits["gaussian"], fits
     assert fits["student_t"] < 0.15, fits
+
+
+def test_natgrad_objective_rejects_non_gaussian():
+    """Review-found: elbo_muS silently optimized the Gaussian objective for
+    any likelihood; it must reject non-conjugate specs."""
+    g = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12",), features=(g,), num_data=10,
+                         likelihood="poisson")
+    params = spec.init_params(jnp.float64)
+    mu = jnp.zeros(6)
+    S = jnp.eye(6)
+    x = jnp.asarray(np.linspace(0, 1, 8))
+    y = jnp.asarray(np.ones(8))
+    with pytest.raises(ValueError, match="Gaussian"):
+        svgp.elbo_muS(spec, params, mu, S, x, y)

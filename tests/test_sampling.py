@@ -123,3 +123,15 @@ def test_pathwise_point_features():
         spec, p_fit, jax.random.PRNGKey(2), xs, n_samples=3000, n_features=512))
     assert np.all(np.isfinite(samp))
     assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.1
+
+
+def test_sample_gaussian_rank_deficient_f32():
+    """Review-found: a 1e-10 relative nugget is a no-op at f32 resolution
+    and the Cholesky NaN'd on rank-deficient covariances."""
+    from vggp_tpu.models.common import Gaussian
+
+    v = jnp.asarray(np.ones((5, 1)), jnp.float32)
+    cov = (v @ v.T).astype(jnp.float32)           # rank 1
+    g = Gaussian(mean=jnp.zeros(5, jnp.float32), cov=cov)
+    s = np.asarray(sampling.sample_gaussian(jax.random.PRNGKey(0), g, 100))
+    assert np.all(np.isfinite(s))

@@ -39,9 +39,10 @@ GRAD_MATMUL_PRECISION: str = "default"
 
 # Block-banded whitening apply: the structured F⁻¹ (ops.kms) decays
 # geometrically (ratio q ≤ ~0.27 away from the jitter-dominated corner), so
-# the (m, m)×(m, n) apply is exactly a block-bidiagonal batch of (64, 64)
-# matmuls — 8× fewer 6-pass MXU passes at m = 512. A lax.cond falls back to
-# the dense apply when the analytically computed ratio exceeds 0.7.
+# the (m, m)×(m, n) apply is exactly a block-bidiagonal batch of (128, 128)
+# matmuls — 4× fewer 6-pass MXU passes at m = 512. A lax.cond falls back to
+# the dense apply when the analytically computed ratio exceeds 0.7
+# (truncation ≤ q^129: 9e-16 even at the gate).
 BANDED_WHITEN_APPLY: bool = True
 
 # Kronecker q(f)-moments backward at single-pass bf16 (models.svgp

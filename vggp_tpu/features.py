@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from vggp_tpu import kernels
 from vggp_tpu.ops import diag_lowrank, toeplitz
-from vggp_tpu.ops.stablemath import expm1mx, expm1s, sinhmx
+from vggp_tpu.ops.stablemath import expm1mx, expm1s
 
 Params = Dict[str, jnp.ndarray]
 
@@ -278,14 +278,15 @@ def _m12_toeplitz_first_row(m: int, delta, variance, lengthscale, dtype) -> jnp.
 
     Compensated equivalents used here (f32-safe, TPU-transcendental-safe —
     see ops.stablemath for why plain expm1/sinh are not enough on TPU):
-    ``row[k] = σ²ℓ² · e^{-(k+1)δ/ℓ} · expm1(δ/ℓ)²`` for k ≥ 1 (no
-    cancellation: product of positives) and
+    ``row[k] = σ²ℓ² · (1 − e^{-δ/ℓ})² · e^{-(k-1)δ/ℓ}`` for k ≥ 1 (no
+    cancellation, and — unlike the expm1(δ/ℓ)² form — no e^{+δ/ℓ} overflow
+    when the optimizer drives ℓ toward its floor: every factor is ≤ 1) and
     ``row[0] = 2σ²ℓ² (e^{-δ/ℓ} − 1 + δ/ℓ)`` via the expm1mx series.
     """
     k = jnp.arange(m, dtype=dtype)
     d = delta / lengthscale
-    em1 = expm1s(d)
-    tail = em1 * em1 * jnp.exp(-(k + 1.0) * d)
+    omr = -expm1s(-d)                       # 1 - e^{-δ/ℓ}
+    tail = omr * omr * jnp.exp(-jnp.maximum(k - 1.0, 0.0) * d)
     head = 2.0 * expm1mx(-d)
     row = jnp.where(k == 0, head, tail)
     return variance * lengthscale**2 * row
@@ -334,8 +335,12 @@ def _cell_toeplitz_first_row(kind: str, m: int, delta, variance, lengthscale,
 
     whose coefficient combination cancels only down to a bounded constant
     (c0 − 2c1 + 2c2 = 1 for both orders). sinh/cosh route through the
-    ops.stablemath series (TPU sinh is ~1e-6-absolute). The Matérn-1/2
-    case of this formula reduces exactly to :func:`_m12_toeplitz_first_row`.
+    ops.stablemath series (TPU sinh is ~1e-6-absolute), and the whole tail
+    is normalized by e^{−(k−1)s} so every exponential factor is BOUNDED —
+    4sinh²(s/2)·e^{−t} = (1−e^{−s})²·e^{−(k−1)s} etc.; the raw sinh/cosh
+    factors overflow f32 past s ≈ 176 (ℓ at its optimizer floor) and turn
+    the k ≥ 2 entries into inf·0 = NaN. The Matérn-1/2 case of this formula
+    reduces exactly to :func:`_m12_toeplitz_first_row`.
     Diagonal: 2P(δ) via :func:`_cell_p_series`.
     """
     _, c0, c1, c2 = _CELL_COEFFS[kind][:4]
@@ -343,14 +348,18 @@ def _cell_toeplitz_first_row(kind: str, m: int, delta, variance, lengthscale,
     s = lam * delta
     k = jnp.arange(m, dtype=dtype)
     t = k * s
-    sh_half = 0.5 * s + sinhmx(0.5 * s)          # sinh(s/2), series-accurate
-    sinh2 = 4.0 * sh_half * sh_half              # 4 sinh²(s/2)
-    sinh_s = s + sinhmx(s)
-    cosh_s = 1.0 + 0.5 * sinh2                   # cosh s = 1 + 2 sinh²(s/2)
-    tail = jnp.exp(-t) * (
-        sinh2 * (c0 + c1 * t + c2 * t * t)
-        - 2.0 * s * sinh_s * (c1 + 2.0 * c2 * t)
-        + 2.0 * c2 * s * s * cosh_s
+    omr = -expm1s(-s)                            # 1 - e^{-s}
+    omr2 = -expm1s(-2.0 * s)                     # 1 - e^{-2s}
+    opr2 = 2.0 + expm1s(-2.0 * s)                # 1 + e^{-2s}
+    # e^{−(k−1)s}-normalized second differences:
+    #   4sinh²(s/2)·e^{−t} = (1−e^{−s})²  · e^{−(k−1)s}
+    #   2s·sinh(s)·e^{−t}  = s(1−e^{−2s}) · e^{−(k−1)s}
+    #   2s²·cosh(s)·e^{−t} = s²(1+e^{−2s})· e^{−(k−1)s}
+    decay = jnp.exp(-jnp.maximum(k - 1.0, 0.0) * s)
+    tail = decay * (
+        omr * omr * (c0 + c1 * t + c2 * t * t)
+        - s * omr2 * (c1 + 2.0 * c2 * t)
+        + c2 * s * s * opr2
     )
     head = 2.0 * _cell_p_series(kind, s)
     row = jnp.where(k == 0, head, tail)

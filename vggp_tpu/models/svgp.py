@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from vggp_tpu.features import AxisFeature, CellIntegralFeature
 from vggp_tpu.models import common
 from vggp_tpu.models.common import Gaussian
-from vggp_tpu.ops import tri_solve, kron_dense, kron_diag
+from vggp_tpu.ops import kron_dense, kron_diag
 
 Params = Dict
 
@@ -335,6 +335,11 @@ def elbo_muS(
     """
     if spec.variational != "full":
         raise ValueError("elbo_muS supports the full variational family")
+    if spec.likelihood != "gaussian":
+        raise ValueError(
+            "elbo_muS (the natural-gradient objective) is derived for the "
+            "conjugate Gaussian likelihood; got " + spec.likelihood
+        )
     yb = jnp.reshape(yb, (-1,))
     nb = yb.shape[0]
     noise = params["noise"]

@@ -55,29 +55,44 @@ def _tridiag_coefficients(delta, variance, lengthscale, rel_jitter):
     stable everywhere.
     """
     u = delta / lengthscale
-    rho = 1.0 + expm1s(-u)   # series-accurate: TPU exp alone has ~1e-6 error
-                             # and ρ multiplies every sensitive coefficient
+    small = u < 1.0
+    # ρ: series below 1 (TPU exp's ~1e-6 ABSOLUTE error matters when ρ ≈ 1),
+    # plain exp above (the series form 1 + expm1s(−u) loses ALL relative
+    # precision once e^{−u} < eps — measured 2.6e-2 on the whitening identity
+    # at δ/ℓ = 20 in f32; exp's relative error is ~1e-6 at every u).
+    rho = jnp.where(small, 1.0 + expm1s(-u), jnp.exp(-jnp.maximum(u, 1.0)))
     omr = -expm1s(-u)                      # 1 - ρ, no cancellation
     s2 = -expm1s(-2.0 * u)                 # 1 - ρ²
     s = jnp.sqrt(s2)
     c = variance * lengthscale * lengthscale
 
     diag0 = 2.0 * c * expm1mx(-u)          # Kuu diagonal
-    eta = -2.0 * c * sinhmx(u) + rel_jitter * diag0
+    us = jnp.minimum(u, 1.0)               # bound unselected-branch arguments:
+    es = expm1s(us)                        # sinh/expm1 of u ≳ 88 overflow f32
+    eta_s = -2.0 * c * sinhmx(us) + rel_jitter * diag0   # η_eff, u < 1 only
+    # η_eff·ρ for u ≥ 1 via the identity (sinh u − u)e^{−u}
+    #   = −expm1(−2u)/2 − u·e^{−u}  — bounded (≤ 1/2) for every u, where the
+    # separate factors overflow (η ~ −c·eᵘ) / underflow (ρ = e^{−u}) and
+    # their product NaNs as inf·0 past u ≈ 88.
+    ul = jnp.maximum(u, 1.0)
+    smrho_l = -0.5 * expm1s(-2.0 * ul) - ul * jnp.exp(-ul)
+    eta_rho = jnp.where(
+        small,
+        eta_s * rho,
+        -2.0 * c * smrho_l + rel_jitter * diag0 * rho,
+    )
 
-    us = jnp.minimum(u, 1.0)               # bound the γ-form arguments so the
-    es = expm1s(us)                        # unselected branch stays finite
     gamma_s = c * es * es * jnp.exp(-us)   # γ = c(1-ρ)²/ρ = c·expm1(u)²·ρ
     a_minus_2b = jnp.where(
-        u < 1.0,
-        gamma_s + eta * (1.0 + rho) / omr,
+        small,
+        gamma_s + eta_s * (1.0 + rho) / omr,
         diag0 * (1.0 + rel_jitter) * (1.0 + rho) / omr - 2.0 * c * omr,
     )
     # (a + 2b) = diag0(1+rel)(1-ρ)/(1+ρ) + 2c(1-ρ)²/(1+ρ)
     a_plus_2b = (diag0 * (1.0 + rel_jitter) * omr + 2.0 * c * omr * omr) / (1.0 + rho)
     a = 0.5 * (a_minus_2b + a_plus_2b)     # interior diagonal of C
-    b = -eta * rho / s2                    # interior off-diagonal (direct: stable)
-    b0 = -eta * rho / s                    # C[0,1] (the KMS corner)
+    b = -eta_rho / s2                      # interior off-diagonal
+    b0 = -eta_rho / s                      # C[0,1] (the KMS corner)
     a0 = diag0 * (1.0 + rel_jitter)        # C[0,0] = γ + η_eff  (exact identity)
     sq = jnp.sqrt(a_minus_2b * a_plus_2b)  # √(a² − 4b²)
     lam1 = 0.5 * (a + sq)
@@ -209,12 +224,16 @@ def banded_whiten_apply(finv, kuf, q, precision):
 
     F⁻¹'s entries fall like q^{i−j} with q ≤ ~0.27 away from the
     jitter-dominated corner, so the factor is EXACTLY banded at float
-    precision (q⁶⁵ < 1e-34) — the (m, m)×(m, n) apply becomes a
-    block-bidiagonal batch of (64, 64)×(64, n) matmuls: 8× fewer MXU
-    passes at the 512-cell bench shape, same 6-pass accuracy. A
-    ``lax.cond`` falls back to the dense apply when q ≥ 0.7 (q⁶⁵ ≈ 9e-11,
-    the last decade where truncation is provably below f32 eps) or the
-    shape doesn't block evenly.
+    precision — the (m, m)×(m, n) apply becomes a block-bidiagonal batch
+    of (BAND_BLOCK, BAND_BLOCK)×(BAND_BLOCK, n) matmuls: 4× fewer MXU
+    passes at the 512-cell bench shape with MXU-shaped 128-tiles, same
+    6-pass accuracy. The block layout guarantees bandwidth ≥ BAND_BLOCK+1,
+    so truncation discards entries ≤ q^(BAND_BLOCK+1): ≈ 1e-74 at the
+    typical q, and still 9e-16 at the q = 0.7 gate below which the
+    ``lax.cond`` keeps the banded path (dense fallback above — the
+    jitter-dominated corner where the decay genuinely slows — and for
+    shapes that don't block evenly). Re-derive the gate if BAND_BLOCK
+    changes: need q^(BAND_BLOCK+1) ≪ f32 eps.
     """
     import jax
     from jax import lax

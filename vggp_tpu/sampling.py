@@ -12,8 +12,8 @@ from Gaussian process posteriors":
 
 - ``f_prior`` is a random-Fourier-feature prior path. For separable Matérn
   product kernels the spectral measure factorizes per axis, and each axis's
-  measure is a Student-t with 2ν degrees of freedom and scale λ (Cauchy for
-  Matérn-1/2, normal for RBF) — sampled with static shapes, TPU-friendly.
+  measure is a Student-t with 2ν degrees of freedom and scale λ/√(2ν) = 1/ℓ
+  (Cauchy for Matérn-1/2, normal for RBF) — sampled with static shapes, TPU-friendly.
 - ``u_prior`` is the EXACT inducing functional of the prior path: for cell
   integrals the integral of a cosine path is closed-form, so the Matheron
   update introduces no discretization error on the inducing side.
@@ -26,10 +26,6 @@ from Gaussian process posteriors":
 
 from __future__ import annotations
 
-import math
-from typing import Tuple
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -50,7 +46,12 @@ def sample_gaussian(key, g, n_samples: int) -> jnp.ndarray:
     n = g.mean.shape[0]
     z = jax.random.normal(key, (n_samples, n), dtype=g.mean.dtype)
     if g.cov is not None:
-        eps = 1e-10 * jnp.mean(jnp.diagonal(g.cov))
+        # dtype-aware relative nugget: posterior covariances are roundoff-
+        # level indefinite subtractions (the reason common.floor_var exists);
+        # a 1e-10 relative shift is a NO-OP at f32 resolution and the
+        # Cholesky NaNs on rank-deficient draws.
+        rel = 1e-6 if g.mean.dtype == jnp.float32 else 1e-12
+        eps = rel * jnp.mean(jnp.diagonal(g.cov))
         L = jnp.linalg.cholesky(g.cov + eps * jnp.eye(n, dtype=g.mean.dtype))
         return g.mean[None, :] + z @ L.T
     return g.mean[None, :] + z * jnp.sqrt(g.var)[None, :]
@@ -59,7 +60,7 @@ def sample_gaussian(key, g, n_samples: int) -> jnp.ndarray:
 def sample_frequencies(key, kind: str, lengthscale, n_features: int):
     """One axis's spectral frequencies ω ~ S(ω)/(2πσ²) (static shapes).
 
-    Matérn-ν ⇔ Student-t(2ν, scale λ); RBF ⇔ N(0, 1/ℓ²). Student-t is
+    Matérn-ν ⇔ Student-t(2ν, scale λ/√(2ν) = 1/ℓ); RBF ⇔ N(0, 1/ℓ²). Student-t is
     sampled as normal/√(χ²_df/df) — no data-dependent control flow.
     """
     from vggp_tpu import kernels

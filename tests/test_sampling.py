@@ -135,3 +135,180 @@ def test_sample_gaussian_rank_deficient_f32():
     g = Gaussian(mean=jnp.zeros(5, jnp.float32), cov=cov)
     s = np.asarray(sampling.sample_gaussian(jax.random.PRNGKey(0), g, 100))
     assert np.all(np.isfinite(s))
+
+
+# --------------------------------------------------------------------------- #
+# Spectral RKHS functionals (projection features: VFF / B1 / spline RKHS)
+# --------------------------------------------------------------------------- #
+
+from vggp_tpu.features import B1SplineFeature, FourierFeature, SplineRKHSFeature  # noqa: E402
+
+
+def _basis_deriv_fn(feat, j):
+    """Analytic numpy φ_j^{(r)}(x) evaluator + piecewise-smoothness knots."""
+    if isinstance(feat, FourierFeature):
+        M = feat.n_frequencies
+        T = feat.b - feat.a
+        om_j = 2.0 * np.pi * (j if j <= M else j - M) / T
+
+        def deriv(x, r):
+            if j <= M:  # cosine block (j = 0..M)
+                return om_j**r * np.cos(om_j * (x - feat.a) + r * np.pi / 2.0)
+            return om_j**r * np.sin(om_j * (x - feat.a) + r * np.pi / 2.0)
+
+        return deriv, np.array([feat.a, feat.b])
+    if isinstance(feat, SplineRKHSFeature):
+        spline = feat._splines[j]
+        ders = {0: spline}
+
+        def deriv(x, r):
+            if r not in ders:
+                ders[r] = spline.derivative(r)
+            xc = np.clip(x, feat.a + 1e-11, feat.b - 1e-11)
+            return np.nan_to_num(ders[r](xc))
+
+        return deriv, np.linspace(feat.a, feat.b, feat.n_intervals + 1)
+    assert isinstance(feat, B1SplineFeature)
+    mesh = np.asarray(feat.mesh)
+    d = feat.delta
+    lo = mesh[max(j - 1, 0)]
+    mid = mesh[j]
+    hi = mesh[min(j + 1, len(mesh) - 1)]
+
+    def deriv(x, r):
+        if r == 0:
+            up = np.where((x >= lo) & (x <= mid) & (mid > lo), (x - lo) / d, 0.0)
+            down = np.where((x > mid) & (x <= hi) & (hi > mid), (hi - x) / d, 0.0)
+            at = np.where((x == mid) & (mid <= lo), 1.0, 0.0)  # left half-hat apex
+            return up + down + at
+        if r == 1:
+            up = np.where((x > lo) & (x < mid) & (mid > lo), 1.0 / d, 0.0)
+            down = np.where((x > mid) & (x < hi) & (hi > mid), -1.0 / d, 0.0)
+            return up + down
+        return np.zeros_like(x)
+
+    return deriv, mesh
+
+
+def _markov_L(kind, p_ax, deriv):
+    """(L·) and left-edge state of a function given its derivative evaluator."""
+    import math
+
+    lam = float(kernels.lam(kind, p_ax["lengthscale"]))
+    p = kernels.MARKOV_ORDER[kind]
+
+    def L(xs):
+        return sum(math.comb(p, r) * lam ** (p - r) * deriv(xs, r)
+                   for r in range(p + 1))
+
+    def state(a):
+        return np.array([float(deriv(np.array([a + 1e-9]), r)[0])
+                         for r in range(p)])
+
+    return L, state
+
+
+_PROJ_CASES = [
+    ("matern12", FourierFeature(n_frequencies=3, a=0.0, b=1.0)),
+    ("matern32", FourierFeature(n_frequencies=3, a=0.0, b=1.0)),
+    ("matern52", FourierFeature(n_frequencies=2, a=0.0, b=1.0)),
+    ("matern12", B1SplineFeature(mesh=np.linspace(0.0, 1.0, 7))),
+    ("matern32", SplineRKHSFeature(degree=2, n_intervals=5, a=0.0, b=1.0)),
+    ("matern52", SplineRKHSFeature(degree=3, n_intervals=4, a=0.0, b=1.0)),
+]
+
+
+@pytest.mark.parametrize("kind,feat", _PROJ_CASES,
+                         ids=[f"{k}-{type(f).__name__}" for k, f in _PROJ_CASES])
+def test_u_prior_rkhs_functional_vs_quadrature(kind, feat):
+    """Deterministic identity: the closed-form u_prior of a projection
+    feature equals fine quadrature of the Markov-form RKHS inner product
+    ⟨path, φ_j⟩_H = (1/c)∫(L·path)(L·φ_j) + stateᵀP₀⁻¹state applied to the
+    very path that was sampled (not statistical)."""
+    import math
+
+    spec = svgp.SVGPSpec(kinds=(kind,), features=(feat,), num_data=10)
+    params = spec.init_params(jnp.float64)
+    params["axes"][0]["lengthscale"] = jnp.asarray(0.45, jnp.float64)
+    params["axes"][0]["variance"] = jnp.asarray(1.7, jnp.float64)
+    p_ax = params["axes"][0]
+
+    om, ph, amp = sampling.prior_paths(jax.random.PRNGKey(5), spec, params, 48)
+    om_np, ph_np, amp_np = np.asarray(om)[0], np.asarray(ph), float(amp)
+    assert np.abs(om_np).max() < 2e3, "pick a tamer seed for quadrature accuracy"
+    u = np.asarray(sampling.prior_inducing_sample(om, ph, amp, spec, params))
+
+    def path_deriv(x, r):
+        return amp_np * np.sum(
+            om_np[None, :] ** r
+            * np.cos(x[:, None] * om_np[None, :] + ph_np[None, :]
+                     + r * np.pi / 2.0), axis=1)
+
+    Lp, state_p = _markov_L(kind, p_ax, path_deriv)
+    var, ls = float(p_ax["variance"]), float(p_ax["lengthscale"])
+    c = float(kernels.white_noise_intensity(kind, var, ls))
+    pinv = np.array(kernels.p0_inv_rows(kind, var, ls), dtype=float)
+
+    _, knots = _basis_deriv_fn(feat, 0)
+    a = float(knots[0])
+    sp = state_p(a)
+    scale = float(np.abs(u).max())
+    for j in range(feat.m):
+        hd, knots_j = _basis_deriv_fn(feat, j)
+        Lh, state_h = _markov_L(kind, p_ax, hd)
+        total = 0.0
+        for lo, hi in zip(knots_j[:-1], knots_j[1:]):
+            xs = np.linspace(lo + 1e-12, hi - 1e-12, 20001)
+            total += np.trapezoid(Lp(xs) * Lh(xs), xs)
+        want = total / c + sp @ pinv @ state_h(a)
+        assert abs(u[j] - want) < 2e-4 * max(scale, abs(want)), (j, u[j], want)
+
+
+@pytest.mark.parametrize("kind,feat", [_PROJ_CASES[1], _PROJ_CASES[3],
+                                       _PROJ_CASES[4]],
+                         ids=["m32-vff", "m12-b1", "m32-spline"])
+def test_u_prior_functional_moments_match_kuu_kuf(kind, feat):
+    """Statistical closed loop: E[u uᵀ] over prior paths ≈ the feature's own
+    Kuu and Cov[u, f(x)] ≈ Kuf — exactly the two covariances the Matheron
+    update relies on for bias-free posterior sampling."""
+    spec = svgp.SVGPSpec(kinds=(kind,), features=(feat,), num_data=10)
+    params = spec.init_params(jnp.float64)
+    params["axes"][0]["lengthscale"] = jnp.asarray(0.5, jnp.float64)
+    p_ax = params["axes"][0]
+    xs = jnp.asarray(np.linspace(0.1, 0.9, 5))
+
+    def draw(key):
+        om, ph, amp = sampling.prior_paths(key, spec, params, 128)
+        u = sampling.prior_inducing_sample(om, ph, amp, spec, params)
+        f = sampling.eval_path(om, ph, amp, xs)
+        return u, f
+
+    P = 6000
+    us, fs = jax.vmap(draw)(jax.random.split(jax.random.PRNGKey(11), P))
+    us, fs = np.asarray(us), np.asarray(fs)
+    kuu = np.asarray(feat.Kuu(kind, p_ax))
+    scale = np.sqrt(np.outer(np.diag(kuu), np.diag(kuu)))
+    assert np.abs((us.T @ us / P - kuu) / scale).max() < 0.2
+
+    kuf = np.asarray(feat.Kuf(kind, p_ax, xs))
+    kscale = np.sqrt(np.diag(kuu) * float(p_ax["variance"]))[:, None]
+    assert np.abs((us.T @ fs / P - kuf) / kscale).max() < 0.2
+
+
+def test_pathwise_vff_posterior_moments():
+    """End-to-end Matheron sampling through the projection-functional path
+    (VFF features) matches the analytic posterior."""
+    rng = np.random.default_rng(3)
+    n = 150
+    X = jnp.asarray(np.sort(rng.random(n)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X)) + 0.05 * rng.standard_normal(n))
+    feats = (FourierFeature(n_frequencies=5, a=-0.3, b=1.3),)
+    spec = svgp.SVGPSpec(kinds=("matern32",), features=feats, num_data=n)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    p_fit, _ = train.fit(lambda p: svgp.loss(spec, p, X, y), p0, 300, 0.05)
+    xs = jnp.asarray(np.linspace(0, 1, 25))
+    post = svgp.posterior(spec, p_fit, xs, full_cov=False)
+    samp = np.asarray(sampling.pathwise_posterior(
+        spec, p_fit, jax.random.PRNGKey(2), xs, n_samples=3000, n_features=512))
+    assert np.all(np.isfinite(samp))
+    assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.1

@@ -58,6 +58,49 @@ def lam(kind: str, lengthscale) -> jnp.ndarray:
     raise ValueError(f"lambda undefined for {kind}")
 
 
+# Markov (state-space) order p of each Matérn kernel: S(ω) = c/(λ² + ω²)^p.
+# Half-integer Matérn GPs are p-dimensional Markov processes with state
+# (f, f', …, f^{(p-1)}) — the basis of the interval-RKHS inner products used
+# by the VFF/spline Kuu closed forms and the pathwise-sampling functionals.
+MARKOV_ORDER = {"matern12": 1, "matern32": 2, "matern52": 3}
+
+
+def white_noise_intensity(kind: str, variance, lengthscale):
+    """c with S(ω) = c/(λ² + ω²)^p — the driving white-noise intensity of the
+    Markov representation (matches :func:`spectral_density` numerators)."""
+    l_ = lam(kind, lengthscale)
+    p = MARKOV_ORDER[kind]
+    if p == 1:
+        return 2.0 * variance * l_
+    if p == 2:
+        return 4.0 * variance * l_**3
+    return (16.0 / 3.0) * variance * l_**5
+
+
+def p0_inv_rows(kind: str, variance, lengthscale):
+    """P₀⁻¹ of the stationary Markov state at the interval's left edge, as a
+    (p, p) nested tuple of traced scalars (zeros stay Python floats so
+    consumers can skip the term statically).
+
+    P₀ = Cov[(f, f', …, f^{(p-1)})] under stationarity: σ² for p = 1;
+    diag(σ², σ²λ²) for p = 2; for p = 3 the (f, f″) block couples,
+    P₀ = σ²·[[1, 0, −λ²/3], [0, λ²/3, 0], [−λ²/3, 0, λ⁴]]. Shared by
+    ``features.SplineRKHSFeature.Kuu`` and the sampling functionals.
+    """
+    var = variance
+    l_ = lam(kind, lengthscale)
+    p = MARKOV_ORDER[kind]
+    if p == 1:
+        return ((1.0 / var,),)
+    if p == 2:
+        return ((1.0 / var, 0.0), (0.0, 1.0 / (var * l_**2)))
+    return (
+        (9.0 / (8.0 * var), 0.0, 3.0 / (8.0 * var * l_**2)),
+        (0.0, 3.0 / (var * l_**2), 0.0),
+        (3.0 / (8.0 * var * l_**2), 0.0, 9.0 / (8.0 * var * l_**4)),
+    )
+
+
 def spectral_density(kind: str, omega: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
     """Spectral density S(ω) of the kernel.
 

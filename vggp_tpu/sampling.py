@@ -29,7 +29,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vggp_tpu.features import CellIntegralFeature, PointFeature
+import numpy as np
+
+from vggp_tpu.features import (
+    B1SplineFeature,
+    CellIntegralFeature,
+    FourierFeature,
+    PointFeature,
+    SplineRKHSFeature,
+)
 from vggp_tpu.models import common
 from vggp_tpu.models.svgp import SVGPSpec, _kron_chols, chol_from_raw
 
@@ -106,18 +114,51 @@ def eval_path(omegas, phases, amp, X: jnp.ndarray) -> jnp.ndarray:
     return amp * jnp.sum(jnp.cos(arg), axis=1)
 
 
-def _complex_cell_integral(mesh: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:
-    """∫_cell e^{iωs} ds for every cell × frequency → complex (m, F).
+# --------------------------------------------------------------------------- #
+# Real-pair complex arithmetic
+#
+# Every closed-form functional below is the real part of a complex
+# expression, but the experimental TPU backend in this environment does not
+# lower complex64 arithmetic (complex mul/exp raise UNIMPLEMENTED — found by
+# driving the sampler on-device), so all "complex" values are carried as
+# explicit (re, im) pairs of real arrays. This is also how a TPU wants the
+# math anyway: pure VPU elementwise f32, no complex legalization pass.
+# --------------------------------------------------------------------------- #
 
-    The ω → 0 limit is the cell width; guarded branch-free (the |ω| of a
-    continuous spectral draw is almost surely nonzero, but static safety
-    beats an almost-surely)."""
+
+def _cmul(a, b):
+    """(re, im) product of two pairs (broadcasts like the components)."""
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _cexp(theta):
+    """e^{iθ} as a pair."""
+    return jnp.cos(theta), jnp.sin(theta)
+
+
+def _cpow_int(a, p: int):
+    """Integer power p ≥ 1 of a pair (repeated multiplication — p ≤ 3)."""
+    out = a
+    for _ in range(p - 1):
+        out = _cmul(out, a)
+    return out
+
+
+def _cell_integral_pair(mesh: jnp.ndarray, omega: jnp.ndarray):
+    """∫_cell e^{iωs} ds for every cell × frequency → (re, im) of (m, F).
+
+    re = (sin(ωβ) − sin(ωα))/ω, im = −(cos(ωβ) − cos(ωα))/ω. The ω → 0
+    limit is the cell width; guarded branch-free (the |ω| of a continuous
+    spectral draw is almost surely nonzero, but static safety beats an
+    almost-surely)."""
     lo, hi = mesh[:-1][:, None], mesh[1:][:, None]
     w = omega[None, :]
     tiny = jnp.abs(w) < 1e-12
     ws = jnp.where(tiny, 1.0, w)
-    val = (jnp.exp(1j * ws * hi) - jnp.exp(1j * ws * lo)) / (1j * ws)
-    return jnp.where(tiny, (hi - lo).astype(val.dtype), val)
+    re = (jnp.sin(ws * hi) - jnp.sin(ws * lo)) / ws
+    im = -(jnp.cos(ws * hi) - jnp.cos(ws * lo)) / ws
+    return (jnp.where(tiny, hi - lo, re),
+            jnp.where(tiny, jnp.zeros_like(im), im))
 
 
 def prior_inducing_sample(omegas, phases, amp, spec: SVGPSpec, params) -> jnp.ndarray:
@@ -125,24 +166,257 @@ def prior_inducing_sample(omegas, phases, amp, spec: SVGPSpec, params) -> jnp.nd
 
     Cell features: u[i⃗] = amp·Σ_j Re[e^{i b_j} Π_k ∫_cell e^{i ω_{kj} s} ds]
     (closed form — zero discretization error). Point features: path values
-    at the (trained) Z."""
+    at the (trained) Z. VFF / spline-RKHS features: the closed-form Markov
+    RKHS projection functionals (below). The running product over axes is
+    accumulated in (re, im) pairs; only the final real part is kept."""
     factors = _point_factors(omegas, spec, params)
-    letters = "abcdefgh"[:spec.ndim]
-    sub = ",".join(f"{letters[k]}F" for k in range(spec.ndim))
-    u = jnp.einsum(f"F,{sub}->{letters}", jnp.exp(1j * phases), *factors)
-    return amp * jnp.real(u)
+    pr, pi = jnp.cos(phases), jnp.sin(phases)          # (F,)
+    for fr, fi in factors:                             # (m_k, F) each
+        pr, pi = (pr[..., None, :] * fr - pi[..., None, :] * fi,
+                  pr[..., None, :] * fi + pi[..., None, :] * fr)
+    return amp * jnp.sum(pr, axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# Spectral RKHS functionals for projection-defined inducing features
+#
+# VFF and spline-RKHS inducing variables are RKHS projections u_j = ⟨f, φ_j⟩_H
+# (not integrals), so their exact value on the cosine prior path needs the
+# interval RKHS inner product applied to e^{iωx}. All half-integer Matérn
+# RKHSs share the Markov-state form (the derivation behind
+# ``FourierFeature.kuu_diag_lowrank`` and ``SplineRKHSFeature.Kuu``):
+#
+#   ⟨g, h⟩_H = (1/c) ∫_a^b (Lg)(Lh) dt + state_g(a)ᵀ P₀⁻¹ state_h(a),
+#   L = (d/dt + λ)^p,  state = (g, g', …, g^{(p-1)}),
+#
+# with p = kernels.MARKOV_ORDER[kind], c = kernels.white_noise_intensity and
+# P₀⁻¹ = kernels.p0_inv_rows. For g = e^{iωx}: Lg = (λ+iω)^p e^{iωx} and
+# state_g(a) = e^{iωa}·((iω)^r)_r, so the functional reduces to closed-form
+# integrals of e^{iωx} against Lφ_j — trigonometric for VFF, piecewise
+# polynomial for splines. The bilinear (not sesquilinear) extension is what a
+# real-linear functional applied to Re[e^{ib}·Π_k e^{iω_k x_k}] requires.
+# --------------------------------------------------------------------------- #
+
+
+def _E_interval(u: jnp.ndarray, T):
+    """∫_0^T e^{iut} dt = sin(uT)/u + i(1 − cos(uT))/u, series near u = 0."""
+    theta = u * T
+    small = jnp.abs(theta) < 1e-3
+    us = jnp.where(small, 1.0, u)
+    re = jnp.sin(theta) / us
+    im = (1.0 - jnp.cos(theta)) / us
+    re_s = T * (1.0 - theta**2 / 6.0)
+    im_s = T * (theta / 2.0 - theta**3 / 24.0)
+    return jnp.where(small, re_s, re), jnp.where(small, im_s, im)
+
+
+_J_SERIES_TERMS = 20  # θ^20/20! at |θ| = 2 ≈ 4e-13: below the f64 need here
+
+
+def _J_powers(theta: jnp.ndarray, cmax: int):
+    """J_c(θ) = ∫_0^1 e^{iθv} v^c dv for c = 0..cmax (tuple of pairs).
+
+    Upward recursion J_c = (e^{iθ} − c·J_{c−1})/(iθ) for |θ| ≥ 2 (each step
+    divides the error by |θ|, stable); Taylor series
+    J_c = Σ_k (iθ)^k / (k!(c+k+1)) below. Division by iθ in pairs:
+    (x + iy)/(iθ) = y/θ − i·x/θ.
+    """
+    small = jnp.abs(theta) < 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    ths = jnp.where(small, 1.0, theta)
+
+    # series branch (computed everywhere, selected where small)
+    ts = jnp.where(small, theta, 0.0)
+    tr, ti = jnp.ones_like(ts), jnp.zeros_like(ts)  # (iθ)^k / k!
+    accs = [(jnp.zeros_like(ts), jnp.zeros_like(ts)) for _ in range(cmax + 1)]
+    for k in range(_J_SERIES_TERMS):
+        for c in range(cmax + 1):
+            accs[c] = (accs[c][0] + tr / (c + k + 1.0),
+                       accs[c][1] + ti / (c + k + 1.0))
+        tr, ti = _cmul((tr, ti), (jnp.zeros_like(ts), ts))
+        tr, ti = tr / (k + 1.0), ti / (k + 1.0)
+
+    out = []
+    jr, ji = st / ths, (1.0 - ct) / ths
+    out.append((jnp.where(small, accs[0][0], jr),
+                jnp.where(small, accs[0][1], ji)))
+    for c in range(1, cmax + 1):
+        xr, xi = ct - c * jr, st - c * ji
+        jr, ji = xi / ths, -xr / ths
+        out.append((jnp.where(small, accs[c][0], jr),
+                    jnp.where(small, accs[c][1], ji)))
+    return tuple(out)
+
+
+def _markov_prefactor(kind: str, p_ax, omega: jnp.ndarray):
+    """(λ, p, (λ+iω)^p / c as a pair) of the Markov RKHS for one axis."""
+    from vggp_tpu import kernels
+
+    lam = kernels.lam(kind, p_ax["lengthscale"])
+    p = kernels.MARKOV_ORDER[kind]
+    c = kernels.white_noise_intensity(kind, p_ax["variance"], p_ax["lengthscale"])
+    pref = _cpow_int((lam * jnp.ones_like(omega), omega), p)
+    return lam, p, (pref[0] / c, pref[1] / c)
+
+
+def _state_term(kind: str, p_ax, omega: jnp.ndarray, a: float, state_rows):
+    """Boundary part Σ_{r,s} (iω)^r e^{iωa} P₀⁻¹[r,s] φ_j^{(s)}(a) → pair (m, F).
+
+    ``state_rows``: (p, m) array of basis-state values at the left edge.
+    Static zeros of P₀⁻¹ skip their term at trace time. (iω)^r pairs:
+    r = 0 → (1, 0); r = 1 → (0, ω); r = 2 → (−ω², 0).
+    """
+    from vggp_tpu import kernels
+
+    pinv = kernels.p0_inv_rows(kind, p_ax["variance"], p_ax["lengthscale"])
+    phase = _cexp(omega * a)  # (F,) pair
+    one = jnp.ones_like(omega)
+    zero = jnp.zeros_like(omega)
+    iw_pows = [(one, zero), (zero, omega), (-(omega**2), zero)]
+    out_r = 0.0
+    out_i = 0.0
+    for r in range(len(pinv)):
+        wr = _cmul(iw_pows[r], phase)  # (F,) pair
+        for s in range(len(pinv)):
+            if isinstance(pinv[r][s], float) and pinv[r][s] == 0.0:
+                continue
+            coef = pinv[r][s] * state_rows[s][:, None]  # (m, 1)
+            out_r = out_r + coef * wr[0][None, :]
+            out_i = out_i + coef * wr[1][None, :]
+    return out_r, out_i
+
+
+def _rkhs_fourier_factor(feat: FourierFeature, kind: str, p_ax, omega):
+    """⟨e^{iωx}, φ_j⟩_H for the VFF basis — pair of (m, F).
+
+    With z_j(x) = e^{iω_j(x−a)}: L cos_j = ((λ+iω_j)^p z_j + (λ−iω_j)^p z̄_j)/2
+    and ∫_a^b e^{iωx} z_j^{±1} dx = e^{iωa} E(ω ± ω_j), so the integral part is
+    a two-term combination of E(ω ± ω_j) per feature; the boundary part uses
+    the basis state (cos_j: (1, 0, −ω_j²); sin_j: (0, ω_j, 0)) at a.
+    """
+    lam, p, pref = _markov_prefactor(kind, p_ax, omega)
+    om_j = feat.omegas(dtype=jnp.result_type(p_ax["lengthscale"]))  # (M+1,)
+    T = feat.b - feat.a
+    Ep = _E_interval(omega[None, :] + om_j[:, None], T)  # pair (M+1, F)
+    Em = _E_interval(omega[None, :] - om_j[:, None], T)
+    lam_col = lam * jnp.ones_like(om_j)
+    zp = _cpow_int((lam_col, om_j), p)    # pair (M+1,)
+    zm = _cpow_int((lam_col, -om_j), p)
+    tp = _cmul((zp[0][:, None], zp[1][:, None]), Ep)  # pair (M+1, F)
+    tm = _cmul((zm[0][:, None], zm[1][:, None]), Em)
+    I_cos = (0.5 * (tp[0] + tm[0]), 0.5 * (tp[1] + tm[1]))
+    # (tp − tm)/(2i): (x + iy)/(2i) = y/2 − i·x/2
+    I_sin = (0.5 * (tp[1] - tm[1]), -0.5 * (tp[0] - tm[0]))
+    integ = (jnp.concatenate([I_cos[0], I_sin[0][1:]], axis=0),
+             jnp.concatenate([I_cos[1], I_sin[1][1:]], axis=0))  # (m, F)
+    mult = _cmul(pref, _cexp(omega * feat.a))  # (F,) pair
+    factor = (integ[0] * mult[0][None, :] - integ[1] * mult[1][None, :],
+              integ[0] * mult[1][None, :] + integ[1] * mult[0][None, :])
+
+    zc = jnp.zeros_like(om_j)
+    zs = jnp.zeros_like(om_j[1:])
+    rows = [jnp.concatenate([jnp.ones_like(om_j), zs])]
+    if p >= 2:
+        rows.append(jnp.concatenate([zc, om_j[1:]]))
+    if p >= 3:
+        rows.append(jnp.concatenate([-(om_j**2), zs]))
+    st = _state_term(kind, p_ax, omega, feat.a, rows)
+    return factor[0] + st[0], factor[1] + st[1]
+
+
+def _poly_rkhs_factor(kind: str, p_ax, omega, a: float, delta: float,
+                      coeffs: np.ndarray, m: int, state_rows):
+    """⟨e^{iωx}, φ_j⟩_H for a uniform piecewise-polynomial basis — pair (m, F).
+
+    ``coeffs``: static (K, S, C) local-coordinate table — basis j = i+s has
+    polynomial Σ_c coeffs[i,s,c]·v^c on interval i (v = (x−lo_i)/δ). Then
+    Lφ_j = Σ_r C(p,r) λ^{p−r} δ^{−r} D^r applied to the table (D = d/dv), and
+    ∫_i e^{iωx}·poly(v) dx = δ·e^{iω·lo_i}·Σ_c coef_c·J_c(ωδ).
+    """
+    lam, p, pref = _markov_prefactor(kind, p_ax, omega)
+    K, S, C = coeffs.shape
+
+    def dmat(n):  # d/dv on coefficient vectors of length C
+        d = np.zeros((C, C))
+        for k in range(1, C):
+            d[k - 1, k] = k
+        out = np.eye(C)
+        for _ in range(n):
+            out = d @ out
+        return out
+
+    # Lcoef[i,s,c] = Σ_r comb(p,r)·λ^{p−r}·δ^{−r}·(D^r coeffs)[i,s,c]
+    import math as _math
+
+    real_dtype = jnp.result_type(lam)
+    Lcoef = 0.0
+    for r in range(p + 1):
+        tab = np.einsum("cd,isd->isc", dmat(r), coeffs)  # static
+        Lcoef = Lcoef + (_math.comb(p, r) * delta ** (-r)) * (
+            lam ** (p - r) * jnp.asarray(tab, real_dtype)
+        )
+
+    theta = omega * delta  # (F,)
+    Js = _J_powers(theta, C - 1)
+    Jr = jnp.stack([j[0] for j in Js], axis=0)  # (C, F)
+    Ji = jnp.stack([j[1] for j in Js], axis=0)
+    er = jnp.einsum("isc,cf->isf", Lcoef, Jr)
+    ei = jnp.einsum("isc,cf->isf", Lcoef, Ji)
+    lo = a + delta * jnp.arange(K, dtype=real_dtype)  # (K,)
+    ph = _cexp(omega[None, :] * lo[:, None])          # pair (K, F)
+    contrib_r = delta * (ph[0][:, None, :] * er - ph[1][:, None, :] * ei)
+    contrib_i = delta * (ph[0][:, None, :] * ei + ph[1][:, None, :] * er)
+    Ir = jnp.zeros((m, omega.shape[0]), real_dtype)
+    Ii = jnp.zeros((m, omega.shape[0]), real_dtype)
+    for s in range(S):
+        Ir = Ir.at[s:s + K].add(contrib_r[:, s])
+        Ii = Ii.at[s:s + K].add(contrib_i[:, s])
+    out_r = Ir * pref[0][None, :] - Ii * pref[1][None, :]
+    out_i = Ir * pref[1][None, :] + Ii * pref[0][None, :]
+    st = _state_term(kind, p_ax, omega, a, state_rows)
+    return out_r + st[0], out_i + st[1]
+
+
+def _rkhs_b1_factor(feat: B1SplineFeature, kind: str, p_ax, omega):
+    """⟨e^{iωx}, hat_j⟩_H — hats as degree-1 piecewise polynomials."""
+    m = feat.m
+    K = m - 1
+    # interval i: hat_i descends (1 − v), hat_{i+1} ascends (v)
+    coeffs = np.zeros((K, 2, 2))
+    coeffs[:, 0, 0] = 1.0
+    coeffs[:, 0, 1] = -1.0
+    coeffs[:, 1, 1] = 1.0
+    state = [jnp.asarray(np.eye(1, m, 0)[0])]  # φ_j(a) = δ_{j,0}
+    return _poly_rkhs_factor(kind, p_ax, omega, float(feat.mesh[0]), feat.delta,
+                             coeffs, m, state)
+
+
+def _rkhs_spline_factor(feat: SplineRKHSFeature, kind: str, p_ax, omega):
+    """⟨e^{iωx}, B_j⟩_H for the degree-2/3 open-clamped B-spline basis."""
+    state = [jnp.asarray(feat._state[r]) for r in range(feat.degree)]
+    return _poly_rkhs_factor(kind, p_ax, omega, feat.a, feat.delta,
+                             np.asarray(feat._coeffs), feat.m, state)
 
 
 def _point_factors(omegas, spec, params):
+    """Per-axis inducing functionals of e^{iωx} → list of (re, im) pairs."""
     factors = []
     for k in range(spec.ndim):
         feat = spec.features[k]
+        p_ax = common.axis_params(params, k)
         if isinstance(feat, CellIntegralFeature):
             mesh = jnp.asarray(feat.mesh, omegas.dtype)
-            factors.append(_complex_cell_integral(mesh, omegas[k]))
+            factors.append(_cell_integral_pair(mesh, omegas[k]))
         elif isinstance(feat, PointFeature):
-            z = common.axis_params(params, k)["z"]
-            factors.append(jnp.exp(1j * z[:, None] * omegas[k][None, :]))
+            z = p_ax["z"]
+            arg = z[:, None] * omegas[k][None, :]
+            factors.append((jnp.cos(arg), jnp.sin(arg)))
+        elif isinstance(feat, FourierFeature):
+            factors.append(_rkhs_fourier_factor(feat, spec.kinds[k], p_ax, omegas[k]))
+        elif isinstance(feat, SplineRKHSFeature):
+            factors.append(_rkhs_spline_factor(feat, spec.kinds[k], p_ax, omegas[k]))
+        elif isinstance(feat, B1SplineFeature):
+            factors.append(_rkhs_b1_factor(feat, spec.kinds[k], p_ax, omegas[k]))
         else:
             raise NotImplementedError(type(feat).__name__)
     return factors

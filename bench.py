@@ -80,7 +80,33 @@ def smoke() -> dict:
         r = jnp.sum(a * a, axis=0)
         return rows, kuf_pallas, kuf_ref, r
 
+    @jax.jit
+    def fused_check():
+        # fused Kuf→banded-whiten kernel (m = 256: two 128-bands) vs the
+        # dense on-device apply of the jnp-reference Kuf — catches Mosaic
+        # lowering regressions in the fused kernel that CPU interpret mode
+        # provably cannot (CLAUDE.md)
+        from vggp_tpu.ops.pallas_kernels import fused_banded_whiten_kuf
+
+        g2 = CellIntegralFeature.from_lims(256, 0.0, 1.0)
+        mesh2 = jnp.asarray(g2.mesh, jnp.float32)
+        finv2 = g2.inv_chol_kuu("matern12", p, 1e-6)
+        a_f, t_f = fused_banded_whiten_kuf(
+            finv2, mesh2, x, p["variance"], p["lengthscale"], "highest",
+            "highest")
+        kuf2 = _m12_cell_point_cov(mesh2, x, p["variance"], p["lengthscale"])
+        a_d = jnp.matmul(finv2, kuf2, precision="highest")
+        _, dk2 = jax.jvp(
+            lambda t: _m12_cell_point_cov(mesh2, x, p["variance"], t),
+            (p["lengthscale"],), (jnp.ones_like(p["lengthscale"]),))
+        t_d = jnp.matmul(finv2, dk2, precision="highest")
+        scale = jnp.max(jnp.abs(a_d))
+        tscale = jnp.max(jnp.abs(t_d))
+        return (jnp.max(jnp.abs(a_f - a_d)) / scale,
+                jnp.max(jnp.abs(t_f - t_d)) / tscale)
+
     rows, kuf_pallas, kuf_ref, r_vec = jax.device_get(covs())
+    fused_a_err, fused_t_err = jax.device_get(fused_check())
     checks = {
         "m12_row_err": float(np.abs(rows["matern12"][:4] - _GOLD_M12_ROW4).max()
                              / np.abs(_GOLD_M12_ROW4).max()),
@@ -98,6 +124,8 @@ def smoke() -> dict:
         "structured_finv_r_sum_err": abs(float(np.sum(np.asarray(r_vec, np.float64)))
                                          - _GOLD_R_SUM) / _GOLD_R_SUM,
         "structured_finv_r17_err": abs(float(r_vec[17]) - _GOLD_R_17) / _GOLD_R_17,
+        "fused_whiten_a_err": float(fused_a_err),
+        "fused_whiten_t_err": float(fused_t_err),
     }
     rec.update(checks)
     for k, v in checks.items():

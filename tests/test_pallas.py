@@ -47,3 +47,32 @@ def test_cell_kuf_op_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(1.3), jnp.asarray(0.4))
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), rtol=1e-10)
+
+
+def test_fused_banded_whiten_kuf_matches_unfused():
+    """fused Kuf→whiten kernel == banded apply of the materialized Kuf
+    (and its ℓ-tangent == F⁻¹·∂Kuf), interpret mode, float64."""
+    import jax.numpy as jnp
+
+    from vggp_tpu.ops.kms import m12_cell_inv_chol, m12_geometric_ratio
+    from vggp_tpu.ops.kms import banded_whiten_apply
+    from vggp_tpu.ops.pallas_kernels import (cell_kuf_with_dl,
+                                             fused_banded_whiten_kuf)
+
+    m, n = 256, 300
+    mesh = jnp.asarray(np.linspace(0.0, 1.0, m + 1))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(n) * 1.2 - 0.1)
+    v, l, jit = jnp.asarray(1.3), jnp.asarray(0.27), 1e-6
+    finv = m12_cell_inv_chol(m, 1.0 / m, v, l, jit)
+    ratio = m12_geometric_ratio(1.0 / m, l, jit)
+    assert float(ratio) < 0.7
+
+    a, t = fused_banded_whiten_kuf(finv, mesh, x, v, l, "highest", "highest")
+    kuf, dkuf = cell_kuf_with_dl(mesh, x, v, l)
+    a_ref = banded_whiten_apply(finv, kuf, ratio, "highest")
+    t_ref = finv @ dkuf
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref),
+                               rtol=1e-10, atol=1e-12)

@@ -60,6 +60,18 @@ FAST_MOMENTS_BWD: bool = True
 # dense chol at long lengthscales (measured vs f64: 5e-7 vs 1e-2 relative).
 STRUCTURED_FINV: bool = True
 
+# Fuse the cell-Kuf construction into the block-bidiagonal whitening apply
+# (ops.pallas_kernels.fused_banded_whiten_kuf): the (m, n) Kuf and ∂Kuf/∂ℓ
+# tiles are built in VMEM and contracted against the structured F⁻¹ blocks
+# on the MXU without ever materializing in HBM — removes a write + two
+# reads of two (m, n) arrays per axis per training step. Measured NEUTRAL-
+# to-slightly-slower at the 512²/4096 bench (same-process A/B: 1190 vs
+# 1221 steps/s — XLA's schedule already hides that HBM traffic behind MXU
+# work, and the monolithic kernel pipelines worse), so OFF by default;
+# numerically validated on-device every bench run (SMOKE.json
+# fused_whiten_{a,t}_err). May win at larger m or on HBM-poorer parts.
+FUSED_WHITEN_KUF: bool = False
+
 # Route large structured-covariance constructions through the Pallas TPU
 # kernels (vggp_tpu.ops.pallas_kernels). Off-TPU the jnp reference
 # implementations are used regardless (interpret-mode Pallas is for tests).

@@ -883,17 +883,6 @@ class SplineRKHSFeature(AxisFeature):
     def kind(self) -> str:
         return _SPLINE_KIND_BY_DEGREE[self.degree]
 
-    def _p0_inv_rows(self, lam, var):
-        """Entries of P₀⁻¹ as a (deg, deg) nested tuple of traced scalars."""
-        if self.degree == 2:
-            return ((1.0 / var, 0.0), (0.0, 1.0 / (var * lam**2)))
-        # p = 3: invert [[1,0,−λ²/3],[0,λ²/3,0],[−λ²/3,0,λ⁴]]·σ²
-        return (
-            (9.0 / (8.0 * var), 0.0, 3.0 / (8.0 * var * lam**2)),
-            (0.0, 3.0 / (var * lam**2), 0.0),
-            (3.0 / (8.0 * var * lam**2), 0.0, 9.0 / (8.0 * var * lam**4)),
-        )
-
     def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
         want = self.kind
         if kind != want:
@@ -905,7 +894,7 @@ class SplineRKHSFeature(AxisFeature):
         dtype = jnp.result_type(ls)
         lam = kernels.lam(kind, ls)
         deg = self.degree
-        c = {2: 4.0 * var * lam**3, 3: (16.0 / 3.0) * var * lam**5}[deg]
+        c = kernels.white_noise_intensity(kind, var, ls)
         integral = jnp.zeros((self.m, self.m), dtype)
         for r in range(deg + 1):
             for s in range(deg + 1):
@@ -913,7 +902,7 @@ class SplineRKHSFeature(AxisFeature):
                 integral = integral + (w * lam ** (2 * deg - r - s)) * jnp.asarray(
                     self._M[r, s], dtype)
         out = integral / c
-        pinv = self._p0_inv_rows(lam, var)
+        pinv = kernels.p0_inv_rows(kind, var, ls)
         for r in range(deg):
             for s in range(deg):
                 if isinstance(pinv[r][s], float) and pinv[r][s] == 0.0:
@@ -1103,6 +1092,48 @@ class CellIntegralFeature(AxisFeature):
 
         return cell_kuf_with_dl(self.mesh_j(p), jnp.reshape(x, (-1,)),
                                 p["variance"], p["lengthscale"])
+
+    def whitened_kuf_fused(self, kind: str, p: Params, finv, ratio, x):
+        """(a, t) = (F⁻¹Kuf, F⁻¹∂Kuf/∂ℓ) fused in one Pallas pass, or None.
+
+        The deepest level of the structured whitening stack (matern12 cell
+        features only): Kuf/∂Kuf tiles are generated in VMEM and contracted
+        against the block-bidiagonal F⁻¹ on the MXU without an HBM round
+        trip. The same ``ratio < 0.7`` gate as ``ops.kms.banded_whiten_apply``
+        falls back to the dense two-matmul path (jitter-dominated corner
+        where the factor genuinely isn't banded)."""
+        from vggp_tpu import config
+
+        if kind != "matern12" or ratio is None or not config.FUSED_WHITEN_KUF:
+            return None
+        x = jnp.reshape(x, (-1,))
+        from vggp_tpu.ops.kms import BAND_BLOCK
+
+        if (self.m % BAND_BLOCK != 0 or self.m // BAND_BLOCK < 2
+                or not config.pallas_kuf_enabled(self.m, x.shape[0])):
+            return None
+        from jax import lax
+
+        from vggp_tpu.ops.pallas_kernels import (cell_kuf_with_dl,
+                                                 fused_banded_whiten_kuf)
+
+        mesh = self.mesh_j(p)
+
+        def fused(args):
+            finv, l, v, xx = args
+            return fused_banded_whiten_kuf(finv, mesh, xx, v, l,
+                                           config.WHITEN_MATMUL_PRECISION,
+                                           config.GRAD_MATMUL_PRECISION)
+
+        def fallback(args):
+            finv, l, v, xx = args
+            kuf, dkuf = cell_kuf_with_dl(mesh, xx, v, l)
+            a = jnp.matmul(finv, kuf, precision=config.WHITEN_MATMUL_PRECISION)
+            t = jnp.matmul(finv, dkuf, precision=config.GRAD_MATMUL_PRECISION)
+            return a, t
+
+        return lax.cond(ratio < 0.7, fused, fallback,
+                        (finv, p["lengthscale"], p["variance"], x))
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
         return _cell_cell_cov(kind, grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])

@@ -234,13 +234,21 @@ def whitened_kuf_scalar(feat, kind: str, rel_jitter: float, p: Params,
         gprec = config.GRAD_MATMUL_PRECISION
         _, dK = jax.jvp(lambda t: kuu_jittered(t, v), (l,), (jnp.ones_like(l),))
         finv, ratio = finv_of_params(l, v)
-        kuf, dkuf = feat.Kuf_with_dl(kind, {"lengthscale": l, "variance": v}, x)
-        a = apply_finv(finv, ratio, kuf)
+        p_lv = {"lengthscale": l, "variance": v}
+        fused_hook = getattr(feat, "whitened_kuf_fused", None)
+        fused = fused_hook(kind, p_lv, finv, ratio, x) if fused_hook else None
+        if fused is not None:
+            # deepest structured path: Kuf/∂Kuf generated in VMEM and
+            # contracted against the banded F⁻¹ in one Pallas pass — the
+            # (m, n) intermediates never round-trip HBM
+            a, t = fused
+        else:
+            kuf, dkuf = feat.Kuf_with_dl(kind, p_lv, x)
+            a = apply_finv(finv, ratio, kuf)
+            t = jnp.matmul(finv, dkuf, precision=gprec)
         M = jnp.matmul(jnp.matmul(finv, dK, precision=prec), finv.T, precision=prec)
         Phi = jnp.tril(M, -1) + 0.5 * jnp.diag(jnp.diagonal(M))
-        da_dl = jnp.matmul(finv, dkuf, precision=gprec) - jnp.matmul(
-            Phi, a, precision=gprec
-        )
+        da_dl = t - jnp.matmul(Phi, a, precision=gprec)
         return a, (a, da_dl, v, x)
 
     def wk_bwd(res, g):

@@ -44,6 +44,15 @@ def _cell_kuf_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref):
 
     a_ref/b_ref: (TM, 1) cell edges; x_ref: (1, TN) points;
     scal_ref: (1, 2) [variance, lengthscale] in SMEM.
+
+    Inside a cell the naive value −(expm1(−u) + expm1(−w)) needs TWO
+    per-element Horner series (TPU expm1 is inexact; ops.stablemath). The
+    identity expm1(−u) + expm1(−w) = expm1(−u−w) − expm1(−u)·expm1(−w)
+    with u + w = δ/ℓ (constant per cell row) moves the series onto the
+    (TM, 1) column: the per-element cost drops to two plain exps. Error
+    of the product term is ≤ (u+w)·ε_exp absolute against a value of size
+    ~δ/ℓ, i.e. ~1e-6 relative in f32 — same order as the series path
+    (validated against the f64 goldens in bench.smoke on-device).
     """
     variance = scal_ref[0, 0]
     lengthscale = scal_ref[0, 1]
@@ -53,10 +62,12 @@ def _cell_kuf_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref):
     u = jnp.abs(x - a) / lengthscale          # (TM, TN)
     w = jnp.abs(x - b) / lengthscale
     inside = (x >= a) & (x <= b)
-    near = jnp.minimum(u, w)
-    dd = (b - a) / lengthscale
-    outside_val = jnp.exp(-near) * (-expm1s(-dd))
-    inside_val = -(expm1s(-u) + expm1s(-w))
+    dd = (b - a) / lengthscale                # (TM, 1)
+    em_dd = expm1s(-dd)                       # series on the cheap axis only
+    e_u = jnp.exp(-u)
+    e_w = jnp.exp(-w)
+    outside_val = jnp.maximum(e_u, e_w) * (-em_dd)   # max(e⁻ᵘ,e⁻ʷ) = e^{-near}
+    inside_val = -em_dd + (e_u - 1.0) * (e_w - 1.0)
     out_ref[:] = variance * lengthscale * jnp.where(inside, inside_val, outside_val)
 
 
@@ -114,14 +125,19 @@ def _cell_kuf_dl_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref, dl_ref):
     w = jnp.abs(x - b) / lengthscale
     inside = (x >= a) & (x <= b)
     near = jnp.minimum(u, w)
-    dd = (b - a) / lengthscale
-    enear = jnp.exp(-near)
-    em_dd = expm1s(-dd)
-    F = jnp.where(inside, -(expm1s(-u) + expm1s(-w)), enear * (-em_dd))
+    dd = (b - a) / lengthscale                # (TM, 1)
+    em_dd = expm1s(-dd)                       # series on the cheap axis only
+    e_dd = 1.0 + em_dd                        # e^{-δ/ℓ}, per cell row
+    e_u = jnp.exp(-u)
+    e_w = jnp.exp(-w)
+    enear = jnp.maximum(e_u, e_w)             # = e^{-near}
+    # inside: expm1(−u)+expm1(−w) = em_dd − em_u·em_w (u+w = δ/ℓ) — see
+    # _cell_kuf_kernel for the accuracy argument
+    F = jnp.where(inside, -em_dd + (e_u - 1.0) * (e_w - 1.0), enear * (-em_dd))
     G = jnp.where(
         inside,
-        -(jnp.exp(-u) * u + jnp.exp(-w) * w),
-        enear * (near * (-em_dd) - jnp.exp(-dd) * dd),
+        -(e_u * u + e_w * w),
+        enear * (near * (-em_dd) - e_dd * dd),
     )
     out_ref[:] = variance * lengthscale * F
     dl_ref[:] = variance * (F + G)
@@ -169,6 +185,128 @@ def cell_kuf_with_dl(mesh, x, variance, lengthscale):
         interpret=_interpret(),
     )(a, b, xp, scal)
     return out[:m, :n], dl[:m, :n]
+
+
+# --------------------------------------------------------------------------- #
+# Fused Kuf → banded-whiten kernel
+#
+# The hot training step consumes Kuf ONLY through the block-bidiagonal
+# whitening apply a = F⁻¹·Kuf (ops.kms banded structure) and its gradient
+# tangent t = F⁻¹·∂Kuf/∂ℓ. Materializing (Kuf, ∂Kuf) in HBM costs a
+# write + two reads of two (m, n) arrays per axis per step — pure bandwidth.
+# This kernel computes the Kuf/∂Kuf tiles in VMEM (two exps per element, see
+# _cell_kuf_kernel) and immediately contracts them against the F⁻¹ diagonal
+# and subdiagonal blocks on the MXU: the (m, n) intermediates never exist.
+# a rides 6-pass f32 (the Titsias-critical precision, config
+# WHITEN_MATMUL_PRECISION); t is gradient-only and rides the configured
+# gradient precision.
+# --------------------------------------------------------------------------- #
+
+_BB = 128    # band block (must equal ops.kms.BAND_BLOCK)
+_FTN = 256   # points per tile in the fused kernel (k-dim stays _BB)
+
+
+def _tile_kuf_dkuf(a, b, x, variance, lengthscale):
+    """(Kuf, ∂Kuf/∂ℓ) math for one (rows, TN) tile — shared tile body."""
+    u = jnp.abs(x - a) / lengthscale
+    w = jnp.abs(x - b) / lengthscale
+    inside = (x >= a) & (x <= b)
+    near = jnp.minimum(u, w)
+    dd = (b - a) / lengthscale
+    em_dd = expm1s(-dd)
+    e_dd = 1.0 + em_dd
+    e_u = jnp.exp(-u)
+    e_w = jnp.exp(-w)
+    enear = jnp.maximum(e_u, e_w)
+    F = jnp.where(inside, -em_dd + (e_u - 1.0) * (e_w - 1.0), enear * (-em_dd))
+    G = jnp.where(inside, -(e_u * u + e_w * w),
+                  enear * (near * (-em_dd) - e_dd * dd))
+    return variance * lengthscale * F, variance * (F + G)
+
+
+def _fused_whiten_kuf_kernel(diag_ref, sub_ref, ac_ref, bc_ref, ap_ref, bp_ref,
+                             x_ref, scal_ref, a_ref, t_ref, *, a_precision,
+                             t_precision):
+    variance = scal_ref[0, 0]
+    lengthscale = scal_ref[0, 1]
+    x = x_ref[:]
+    kuf_c, dk_c = _tile_kuf_dkuf(ac_ref[:], bc_ref[:], x, variance, lengthscale)
+    kuf_p, dk_p = _tile_kuf_dkuf(ap_ref[:], bp_ref[:], x, variance, lengthscale)
+    D = diag_ref[0]   # (BB, BB) F⁻¹[i, i]
+    S = sub_ref[0]    # (BB, BB) F⁻¹[i, i−1] (zeros at i = 0)
+    dn = (((1,), (0,)), ((), ()))
+    a_ref[:] = (jax.lax.dot_general(D, kuf_c, dn, precision=a_precision)
+                + jax.lax.dot_general(S, kuf_p, dn, precision=a_precision))
+    t_ref[:] = (jax.lax.dot_general(D, dk_c, dn, precision=t_precision)
+                + jax.lax.dot_general(S, dk_p, dn, precision=t_precision))
+
+
+_LAX_PRECISION = {"default": jax.lax.Precision.DEFAULT,
+                  "high": jax.lax.Precision.HIGH,
+                  "highest": jax.lax.Precision.HIGHEST}
+
+
+def fused_banded_whiten_kuf(finv, mesh, x, variance, lengthscale,
+                            a_precision: str, t_precision: str):
+    """(a, t) = (F⁻¹·Kuf, F⁻¹·∂Kuf/∂ℓ) without materializing Kuf/∂Kuf.
+
+    Requires the banded structure of ``finv`` (block-bidiagonal at _BB —
+    caller gates on ops.kms's geometric ratio exactly like
+    ``banded_whiten_apply``) and m divisible by _BB with ≥ 2 blocks.
+    Matches banded_whiten_apply(finv, cell_kuf(...)) to roundoff.
+    """
+    x = jnp.reshape(x, (-1,))
+    m = mesh.shape[0] - 1
+    n = x.shape[0]
+    dtype = jnp.result_type(x, mesh)
+    nb = m // _BB
+    np_ = _round_up(max(n, 1), _FTN)
+    xp = jnp.zeros((1, np_), dtype).at[0, :n].set(x)
+
+    f4 = finv.reshape(nb, _BB, nb, _BB)
+    rr = jnp.arange(nb)
+    diag_blocks = f4[rr, :, rr, :]                                # (nb, BB, BB)
+    sub_blocks = jnp.concatenate(
+        [jnp.zeros((1, _BB, _BB), finv.dtype), f4[rr[1:], :, rr[:-1], :]], axis=0)
+
+    a_cur = mesh[:-1].reshape(m, 1)
+    b_cur = mesh[1:].reshape(m, 1)
+    # previous block's rows, rolled down one block; the i = 0 slot holds a
+    # harmless far-away dummy cell (its Kuf underflows to exactly 0, and the
+    # i = 0 sub-block is zero anyway — keeps every lane finite)
+    far = jnp.full((_BB, 1), mesh[0] - 1e6, dtype)
+    a_prev = jnp.concatenate([far, a_cur[:-_BB]], axis=0)
+    b_prev = jnp.concatenate([far + 1.0, b_cur[:-_BB]], axis=0)
+    scal = jnp.stack([jnp.asarray(variance, dtype),
+                      jnp.asarray(lengthscale, dtype)]).reshape(1, 2)
+
+    kernel = functools.partial(_fused_whiten_kuf_kernel,
+                               a_precision=_LAX_PRECISION[a_precision],
+                               t_precision=_LAX_PRECISION[t_precision])
+    row_spec = pl.BlockSpec((_BB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    a_out, t_out = pl.pallas_call(
+        kernel,
+        grid=(nb, np_ // _FTN),
+        in_specs=[
+            pl.BlockSpec((1, _BB, _BB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BB, _BB), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, _FTN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BB, _FTN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, _FTN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, np_), dtype),
+            jax.ShapeDtypeStruct((m, np_), dtype),
+        ],
+        interpret=_interpret(),
+    )(diag_blocks, sub_blocks, a_cur, b_cur, a_prev, b_prev, xp, scal)
+    return a_out[:, :n], t_out[:, :n]
 
 
 @jax.custom_vjp

@@ -139,3 +139,17 @@ def test_poisson_truth_integrals_match_quadrature():
             F = poisson.log_intensity(xs[:, None], ys[None, :])
             val = np.trapezoid(np.trapezoid(F, ys), xs)
             assert abs(val - truth[i, j]) < 1e-6
+
+
+def test_exceedance_experiment_smoke(tmp_path):
+    from vggp_tpu.experiments import exceedance
+
+    res = exceedance.run(m_side=8, n_eval=16, n_obs=600, n_iters=80,
+                         batch_size=256, n_samples=64, n_features=128,
+                         outdir=str(tmp_path))
+    assert np.isfinite(res["final_loss"])
+    assert res["sampler_mean_err"] < 1.0       # smoke, not a fit
+    # the coherence signature: independent marginals overstate the maximum
+    assert res["max_independent"]["mean"] >= res["max_pathwise"]["mean"] - 0.2
+    assert (tmp_path / "metrics.json").exists()
+    assert (tmp_path / "exceedance.png").exists()

@@ -8,6 +8,7 @@ EXPERIMENTS = {
     "northsea": "North Sea SLA gridded products (notebook 7)",
     "spacetime": "3-D lon x lat x time gridded products (beyond-reference)",
     "poisson": "gridded Poisson intensity mapping from count data (beyond-reference)",
+    "exceedance": "joint exceedance/extreme functionals via pathwise sampling (beyond-reference)",
 }
 
 if __name__ == "__main__":

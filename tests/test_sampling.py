@@ -312,3 +312,166 @@ def test_pathwise_vff_posterior_moments():
         spec, p_fit, jax.random.PRNGKey(2), xs, n_samples=3000, n_features=512))
     assert np.all(np.isfinite(samp))
     assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.1
+
+
+# --------------------------------------------------------------------------- #
+# Pathwise sampling across the remaining model families
+# --------------------------------------------------------------------------- #
+
+
+def _data_2d(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.random((n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) * np.cos(3 * np.asarray(X[:, 1]))
+                    + 0.05 * rng.standard_normal(n))
+    return X, y
+
+
+def test_pathwise_collapsed_sgpr_moments():
+    """Collapsed-optimal q(w) = N(L_B⁻ᵀc, B⁻¹) sampling matches the analytic
+    SGPR posterior (mean + variance) at held-out points."""
+    from vggp_tpu.models import sgpr
+
+    X, y = _data_2d()
+    feats = (CellIntegralFeature.from_lims(8, 0.0, 1.0),
+             CellIntegralFeature.from_lims(8, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    p_fit, _ = train.fit(lambda p: sgpr.loss(spec, p, X, y), p0, 200, 0.05)
+    xs = jnp.asarray(np.random.default_rng(1).random((40, 2)))
+    post = sgpr.posterior(spec, p_fit, X, y, xs, full_cov=False)
+    samp = np.asarray(sampling.pathwise(
+        spec, p_fit, jax.random.PRNGKey(5), xs, data=(X, y),
+        n_samples=4000, n_features=512))
+    assert np.all(np.isfinite(samp))
+    assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.08
+    var_rel = np.abs(samp.var(0) - np.asarray(post.var)) / np.maximum(
+        np.asarray(post.var), 1e-4)
+    assert np.median(var_rel) < 0.35, np.median(var_rel)
+
+
+def test_pathwise_free_svgp_moments():
+    """Free-Z collapsed sampling (point-evaluation inducing functionals)
+    matches the analytic FreeSVGP posterior."""
+    from vggp_tpu.models import freesvgp
+
+    X, y = _data_2d(seed=2)
+    spec = freesvgp.FreeSVGPSpec(kinds=("matern32", "matern32"), m=20)
+    p0 = train.non_informative_init(
+        spec.init_params(jnp.float64, seed=3), X, y)
+    p_fit, _ = train.fit(lambda p: freesvgp.loss(spec, p, X, y), p0, 200, 0.05)
+    xs = jnp.asarray(np.random.default_rng(4).random((30, 2)))
+    post = freesvgp.posterior(spec, p_fit, X, y, xs, full_cov=False)
+    samp = np.asarray(sampling.pathwise(
+        spec, p_fit, jax.random.PRNGKey(6), xs, data=(X, y),
+        n_samples=4000, n_features=512))
+    assert np.all(np.isfinite(samp))
+    assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.08
+    var_rel = np.abs(samp.var(0) - np.asarray(post.var)) / np.maximum(
+        np.asarray(post.var), 1e-4)
+    assert np.median(var_rel) < 0.35, np.median(var_rel)
+
+
+def test_pathwise_exact_gp_moments():
+    """Matheron-against-the-data sampling matches the exact GP posterior.
+    The only bias is the RFF kernel approximation (~1/√F)."""
+    from vggp_tpu.models import exact
+
+    rng = np.random.default_rng(7)
+    n = 80
+    X = jnp.asarray(np.sort(rng.random(n)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X)) + 0.05 * rng.standard_normal(n))
+    spec = exact.ExactGPSpec(kinds=("matern32",))
+    p0 = exact.ExactGPSpec(kinds=("matern32",)).init_params(jnp.float64)
+    p_fit, _ = train.fit(lambda p: exact.loss(spec, p, X, y), p0, 300, 0.05)
+    xs = jnp.asarray(np.linspace(0.0, 1.0, 25))
+    post = exact.posterior(spec, p_fit, X, y, xs, full_cov=False)
+    samp = np.asarray(sampling.pathwise(
+        spec, p_fit, jax.random.PRNGKey(8), xs, data=(X, y),
+        n_samples=4000, n_features=1024))
+    assert np.all(np.isfinite(samp))
+    assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.08
+    var_rel = np.abs(samp.var(0) - np.asarray(post.var)) / np.maximum(
+        np.asarray(post.var), 1e-4)
+    assert np.median(var_rel) < 0.35, np.median(var_rel)
+
+
+def test_pathwise_dispatch_requires_data():
+    from vggp_tpu.models import sgpr
+
+    feats = (CellIntegralFeature.from_lims(4, 0.0, 1.0),)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=feats)
+    with pytest.raises(ValueError, match="needs data"):
+        sampling.pathwise(spec, spec.init_params(jnp.float64),
+                          jax.random.PRNGKey(0), jnp.linspace(0, 1, 5))
+
+
+def test_pathwise_q_v_moments_svgp():
+    """Joint draws of the gridded product match analytic q(v): mean,
+    per-cell variance, AND cross-cell covariance (coherence)."""
+    spec, params = _fit_small_svgp(variational="kron")
+    grid = (CellIntegralFeature.from_lims(5, 0.1, 0.9),
+            CellIntegralFeature.from_lims(5, 0.1, 0.9))
+    qv = svgp.q_v(spec, params, grid, full_cov=True)
+    S = 6000
+    samp = np.asarray(sampling.pathwise_q_v(
+        spec, params, jax.random.PRNGKey(11), grid, n_samples=S,
+        n_features=512))
+    assert samp.shape == (S, 25)
+    mean_err = np.abs(samp.mean(0) - np.asarray(qv.mean)).max()
+    assert mean_err < 0.05, mean_err
+    cov_emp = np.cov(samp.T)
+    cov_an = np.asarray(qv.cov)
+    scale = np.sqrt(np.outer(np.diag(cov_an), np.diag(cov_an))) + 1e-6
+    # off-diagonal coherence: correlations match to MC accuracy
+    assert np.abs((cov_emp - cov_an) / scale).max() < 0.25
+
+
+def test_pathwise_q_v_moments_collapsed():
+    from vggp_tpu.models import sgpr
+
+    X, y = _data_2d(seed=5)
+    feats = (CellIntegralFeature.from_lims(8, 0.0, 1.0),
+             CellIntegralFeature.from_lims(8, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    p_fit, _ = train.fit(lambda p: sgpr.loss(spec, p, X, y), p0, 200, 0.05)
+    grid = (CellIntegralFeature.from_lims(5, 0.1, 0.9),
+            CellIntegralFeature.from_lims(5, 0.1, 0.9))
+    qv = sgpr.q_v(spec, p_fit, X, y, grid, full_cov=True)
+    samp = np.asarray(sampling.pathwise_q_v(
+        spec, p_fit, jax.random.PRNGKey(12), grid, n_samples=6000,
+        n_features=512, data=(X, y)))
+    mean_err = np.abs(samp.mean(0) - np.asarray(qv.mean)).max()
+    assert mean_err < 0.05, mean_err
+    cov_emp = np.cov(samp.T)
+    cov_an = np.asarray(qv.cov)
+    scale = np.sqrt(np.outer(np.diag(cov_an), np.diag(cov_an))) + 1e-6
+    assert np.abs((cov_emp - cov_an) / scale).max() < 0.25
+
+
+def test_pathwise_additive_moments():
+    """Sum-of-1D-paths prior + concatenated functionals matches the analytic
+    additive posterior."""
+    from vggp_tpu.models import additive
+
+    X, y0 = _data_2d(seed=9)
+    # genuinely additive truth so the fit is well-specified
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) + 0.5 * np.asarray(X[:, 1])
+                    + 0.05 * np.random.default_rng(9).standard_normal(X.shape[0]))
+    feats = (CellIntegralFeature.from_lims(10, 0.0, 1.0),
+             CellIntegralFeature.from_lims(10, 0.0, 1.0))
+    spec = additive.AdditiveSGPRSpec(kinds=("matern32", "matern32"),
+                                     features=feats)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    p_fit, _ = train.fit(lambda p: additive.loss(spec, p, X, y), p0, 200, 0.05)
+    xs = jnp.asarray(np.random.default_rng(10).random((30, 2)))
+    post = additive.posterior(spec, p_fit, X, y, xs, full_cov=False)
+    samp = np.asarray(sampling.pathwise(
+        spec, p_fit, jax.random.PRNGKey(13), xs, data=(X, y),
+        n_samples=4000, n_features=512))
+    assert np.all(np.isfinite(samp))
+    assert np.abs(samp.mean(0) - np.asarray(post.mean)).max() < 0.08
+    var_rel = np.abs(samp.var(0) - np.asarray(post.var)) / np.maximum(
+        np.asarray(post.var), 1e-4)
+    assert np.median(var_rel) < 0.35, np.median(var_rel)

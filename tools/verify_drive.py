@@ -82,4 +82,28 @@ post = svgp.posterior(spec2, p2, X2[:64], full_cov=False)
 serr = float(np.abs(np.asarray(samp).mean(0) - np.asarray(post.mean)).max())
 print(f"pathwise sample-mean vs posterior-mean err {serr:.3f} (S=8 → loose)")
 assert serr < 1.0
+
+# pathwise sampling of the remaining families + the gridded product itself
+spec_c = sgpr.SGPRSpec(kinds=("matern12", "matern12"),
+                       features=(CellIntegralFeature.from_lims(12, 0.0, 1.0),
+                                 CellIntegralFeature.from_lims(12, 0.0, 1.0)))
+p0c = train.non_informative_init(spec_c.init_params(jnp.float32), X2, y2)
+pc, hc = train.fit(lambda p: sgpr.loss(spec_c, p, X2, y2), p0c, 300, 0.05)
+sc = sampling.pathwise(spec_c, pc, jax.random.PRNGKey(1), X2[:32],
+                       data=(X2, y2), n_samples=8, n_features=256)
+assert np.all(np.isfinite(np.asarray(sc))), "collapsed pathwise not finite"
+sv = sampling.pathwise_q_v(spec_c, pc, jax.random.PRNGKey(2), grids2,
+                           n_samples=8, n_features=256, data=(X2, y2))
+assert np.all(np.isfinite(np.asarray(sv))), "q_v pathwise not finite"
+verr = float(np.abs(np.asarray(sv).mean(0) - np.asarray(
+    sgpr.q_v(spec_c, pc, X2, y2, grids2, full_cov=False).mean)).max())
+print(f"pathwise q_v sample-mean err {verr:.3f} (S=8 → loose)")
+assert verr < 1.0
+spec_e = exact.ExactGPSpec(kinds=("matern32",))
+pe, _ = train.fit(lambda p: exact.loss(spec_e, p, X, y),
+                  spec_e.init_params(jnp.float32), 200, 0.05)
+se = sampling.pathwise(spec_e, pe, jax.random.PRNGKey(3),
+                       jnp.linspace(0.0, 1.0, 16), data=(X, y),
+                       n_samples=8, n_features=256)
+assert np.all(np.isfinite(np.asarray(se))), "exact pathwise not finite"
 print("DRIVE OK")

@@ -170,11 +170,25 @@ def prior_inducing_sample(omegas, phases, amp, spec: SVGPSpec, params) -> jnp.nd
     RKHS projection functionals (below). The running product over axes is
     accumulated in (re, im) pairs; only the final real part is kept."""
     factors = _point_factors(omegas, spec, params)
+    return _accumulate_factors(phases, amp, factors)
+
+
+def _accumulate_factors(phases, amp, factors) -> jnp.ndarray:
+    """amp · Σ_j Re[e^{i b_j} Π_k factor_kj] over per-axis (re, im) factors."""
     pr, pi = jnp.cos(phases), jnp.sin(phases)          # (F,)
     for fr, fi in factors:                             # (m_k, F) each
         pr, pi = (pr[..., None, :] * fr - pi[..., None, :] * fi,
                   pr[..., None, :] * fi + pi[..., None, :] * fr)
     return amp * jnp.sum(pr, axis=-1)
+
+
+def prior_grid_integral_sample(omegas, phases, amp, grid_axes) -> jnp.ndarray:
+    """EXACT v_prior = cell integrals of the prior path over a product
+    prediction grid → (g₁, …, g_d). Same closed-form ∫_cell e^{iωs} ds
+    machinery as the inducing functionals — zero discretization error."""
+    factors = [_cell_integral_pair(jnp.asarray(g.mesh, omegas.dtype), omegas[k])
+               for k, g in enumerate(grid_axes)]
+    return _accumulate_factors(phases, amp, factors)
 
 
 # --------------------------------------------------------------------------- #
@@ -398,28 +412,42 @@ def _rkhs_spline_factor(feat: SplineRKHSFeature, kind: str, p_ax, omega):
                              np.asarray(feat._coeffs), feat.m, state)
 
 
+def _axis_factor(feat, kind: str, p_ax, omega):
+    """One axis's inducing functionals of e^{iωx} → an (re, im) pair,
+    each (m, F)."""
+    if isinstance(feat, CellIntegralFeature):
+        mesh = jnp.asarray(feat.mesh, omega.dtype)
+        return _cell_integral_pair(mesh, omega)
+    if isinstance(feat, PointFeature):
+        z = p_ax["z"]
+        arg = z[:, None] * omega[None, :]
+        return (jnp.cos(arg), jnp.sin(arg))
+    if isinstance(feat, FourierFeature):
+        return _rkhs_fourier_factor(feat, kind, p_ax, omega)
+    if isinstance(feat, SplineRKHSFeature):
+        return _rkhs_spline_factor(feat, kind, p_ax, omega)
+    if isinstance(feat, B1SplineFeature):
+        return _rkhs_b1_factor(feat, kind, p_ax, omega)
+    raise NotImplementedError(type(feat).__name__)
+
+
 def _point_factors(omegas, spec, params):
     """Per-axis inducing functionals of e^{iωx} → list of (re, im) pairs."""
-    factors = []
-    for k in range(spec.ndim):
-        feat = spec.features[k]
-        p_ax = common.axis_params(params, k)
-        if isinstance(feat, CellIntegralFeature):
-            mesh = jnp.asarray(feat.mesh, omegas.dtype)
-            factors.append(_cell_integral_pair(mesh, omegas[k]))
-        elif isinstance(feat, PointFeature):
-            z = p_ax["z"]
-            arg = z[:, None] * omegas[k][None, :]
-            factors.append((jnp.cos(arg), jnp.sin(arg)))
-        elif isinstance(feat, FourierFeature):
-            factors.append(_rkhs_fourier_factor(feat, spec.kinds[k], p_ax, omegas[k]))
-        elif isinstance(feat, SplineRKHSFeature):
-            factors.append(_rkhs_spline_factor(feat, spec.kinds[k], p_ax, omegas[k]))
-        elif isinstance(feat, B1SplineFeature):
-            factors.append(_rkhs_b1_factor(feat, spec.kinds[k], p_ax, omegas[k]))
-        else:
-            raise NotImplementedError(type(feat).__name__)
-    return factors
+    return [
+        _axis_factor(spec.features[k], spec.kinds[k],
+                     common.axis_params(params, k), omegas[k])
+        for k in range(spec.ndim)
+    ]
+
+
+def _whiten_axes(w: jnp.ndarray, chols) -> jnp.ndarray:
+    """Apply the per-axis whitening solve F_k⁻¹ along every axis of ``w``."""
+    for k in range(w.ndim):
+        moved = jnp.moveaxis(w, k, 0).reshape(w.shape[k], -1)
+        solved = chols[k].whiten(moved)
+        w = jnp.moveaxis(solved.reshape(w.shape[k], *[s for i, s in
+                         enumerate(w.shape) if i != k]), 0, k)
+    return w
 
 
 def pathwise_posterior(
@@ -452,12 +480,7 @@ def pathwise_posterior(
         u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
 
         # w_prior = F⁻¹ u_prior: per-axis whitening solves along each axis
-        w = u_prior
-        for k in range(d):
-            moved = jnp.moveaxis(w, k, 0).reshape(w.shape[k], -1)
-            solved = chols[k].whiten(moved)
-            w = jnp.moveaxis(solved.reshape(w.shape[k], *[s for i, s in
-                             enumerate(w.shape) if i != k]), 0, k)
+        w = _whiten_axes(u_prior, chols)
 
         # w_q ~ N(μ, ⊗ LᵢLᵢᵀ)
         if spec.variational == "full":
@@ -484,3 +507,300 @@ def pathwise_posterior(
 
     keys = jax.random.split(key, n_samples)
     return jax.vmap(one)(keys)
+
+
+# --------------------------------------------------------------------------- #
+# Pathwise sampling for the collapsed families (SGPR / FreeSVGP) and the
+# exact GP — together with ``pathwise_posterior`` above this makes coherent
+# function draws available for EVERY model family in the framework. The
+# reference (pointwise gpytorch moments throughout,
+# e.g. ``univariate_structure.py:184-232``) has no sampling path at all.
+#
+# Collapsed models: the Titsias-optimal posterior over the whitened inducing
+# coordinates w = F⁻¹u is available in closed form from the factored state
+# (A, L_B, c) that the ELBO already computes (``common.factored_state``):
+#     q*(w) = N(L_B⁻ᵀ c,  B⁻¹),      B = L_B L_Bᵀ = I + AAᵀ,
+# so a sample is w_q = L_B⁻ᵀ (c + z), z ~ N(0, I) — one extra triangular
+# solve per draw. The Matheron correction is then identical to the SVGP
+# case: f_s(x) = f_prior,s(x) + a(x)ᵀ (w_q,s − F⁻¹ u_prior,s).
+#
+# Exact GP: Matheron's rule against the data itself,
+#     f_s(x) = f_prior,s(x) + k(x,X) (Kxx + σ²I)⁻¹ (y − f_prior,s(X) − ε_s),
+# ε_s ~ N(0, σ²I) — the classical form (Wilson et al. 2020, eq. 7).
+# --------------------------------------------------------------------------- #
+
+
+def pathwise_posterior_collapsed(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Coherent draws from the collapsed-optimal posterior of an
+    ``SGPRSpec`` model (any feature family, any ndim) → (S, n*)."""
+    from vggp_tpu.ops import tri_solve
+
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    chols, A, LB, c, y = common.factored_state(
+        spec, params, X, y, common.khatri_rao_all)
+    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
+    a = common.khatri_rao_all(blocks_star)          # (m, n*)
+    m = a.shape[0]
+
+    def one(key_s):
+        kp, kw = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        f_prior = eval_path(omegas, phases, amp, xstar)
+        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        w = _whiten_axes(u_prior, chols).reshape(-1)
+        z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
+        w_q = tri_solve(LB, c + z, trans=True)       # L_B⁻ᵀ (c + z)
+        return f_prior + a.T @ (w_q - w)
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
+
+
+def pathwise_posterior_free(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Coherent draws for the free-inducing-point ``FreeSVGPSpec`` model
+    (collapsed-optimal q; inducing functionals are point evaluations at the
+    trained d-dimensional Z) → (S, n*)."""
+    from vggp_tpu.models import freesvgp
+    from vggp_tpu.ops import tri_solve
+
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    chol, A, LB, c, y = freesvgp._factored_state(spec, params, X, y)
+    a = chol.whiten(freesvgp._hadamard_gram(spec, params, params["z"], xstar))
+    m = a.shape[0]
+
+    def one(key_s):
+        kp, kw = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        f_prior = eval_path(omegas, phases, amp, xstar)
+        u_prior = eval_path(omegas, phases, amp, params["z"])   # (m,)
+        w = chol.whiten(u_prior[:, None])[:, 0]
+        z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
+        w_q = tri_solve(LB, c + z, trans=True)
+        return f_prior + a.T @ (w_q - w)
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
+
+
+def pathwise_posterior_exact(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Coherent draws from the exact GP posterior via Matheron's rule
+    against the data (Wilson et al. 2020, eq. 7) → (S, n*)."""
+    from vggp_tpu.models import exact
+    from vggp_tpu.ops import tri_solve
+
+    if X.ndim == 1:
+        X = X[:, None]
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    y = jnp.reshape(y, (-1,))
+    L = exact._chol_ky(spec, params, X)              # chol(Kxx + σ²I)
+    ksx = common.gram_full(spec, params, xstar, X)   # (n*, n)
+    sigma = jnp.sqrt(params["noise"])
+
+    def one(key_s):
+        kp, ke = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        f_star = eval_path(omegas, phases, amp, xstar)
+        f_X = eval_path(omegas, phases, amp, X)
+        eps = sigma * jax.random.normal(ke, f_X.shape, dtype=f_X.dtype)
+        resid = y - f_X - eps
+        alpha = tri_solve(L, tri_solve(L, resid), trans=True)
+        return f_star + ksx @ alpha
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
+
+
+def pathwise_posterior_additive(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Coherent draws for the additive-structure model (``AdditiveSGPRSpec``).
+
+    The prior path for f(x) = Σ_d f_d(x_d) is a SUM of independent 1-D
+    spectral paths (one per component, each with its own variance), and the
+    inducing functionals are the per-component functionals of that
+    component's path, concatenated — mirroring the model's block-diagonal
+    Kuu. The collapsed-optimal q(w) sample is the same L_B⁻ᵀ(c + z) as SGPR.
+    """
+    from vggp_tpu.models import additive
+    from vggp_tpu.ops import tri_solve
+
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    d = spec.ndim
+    chols, A, LB, c, y = additive._factored_state(spec, params, X, y)
+    blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
+    a = jnp.concatenate(blocks_star, axis=0)         # (m, n*)
+    m = a.shape[0]
+
+    def one(key_s):
+        keys = jax.random.split(key_s, 2 * d + 1)
+        f_prior = jnp.zeros((xstar.shape[0],), dtype=a.dtype)
+        w_parts = []
+        for i in range(d):
+            p_ax = common.axis_params(params, i)
+            om = sample_frequencies(keys[2 * i], spec.kinds[i],
+                                    p_ax["lengthscale"], n_features)
+            ph = jax.random.uniform(keys[2 * i + 1], (n_features,),
+                                    maxval=2.0 * jnp.pi)
+            amp = jnp.sqrt(2.0 * p_ax["variance"] / n_features)
+            f_prior = f_prior + eval_path(om[None, :], ph, amp,
+                                          xstar[:, i:i + 1])
+            factor = _axis_factor(spec.features[i], spec.kinds[i], p_ax, om)
+            u_i = _accumulate_factors(ph, amp, [factor])
+            w_parts.append(chols[i].whiten(u_i[:, None])[:, 0])
+        w = jnp.concatenate(w_parts)
+        z = jax.random.normal(keys[-1], (m,), dtype=a.dtype)
+        w_q = tri_solve(LB, c + z, trans=True)
+        return f_prior + a.T @ (w_q - w)
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
+
+
+def pathwise(spec, params, key, xstar, data=None, n_samples: int = 8,
+             n_features: int = 1024) -> jnp.ndarray:
+    """Family-dispatching entry: coherent posterior draws for ANY model spec.
+
+    ``data=(X, y)`` is required for the collapsed/exact families (their
+    posterior is a function of the data); the uncollapsed SVGP ignores it.
+    """
+    from vggp_tpu.models.additive import AdditiveSGPRSpec
+    from vggp_tpu.models.exact import ExactGPSpec
+    from vggp_tpu.models.freesvgp import FreeSVGPSpec
+    from vggp_tpu.models.sgpr import SGPRSpec
+
+    if isinstance(spec, SVGPSpec):
+        return pathwise_posterior(spec, params, key, xstar,
+                                  n_samples=n_samples, n_features=n_features)
+    if data is None:
+        raise ValueError(f"{type(spec).__name__} needs data=(X, y) to sample "
+                         "its (collapsed/exact) posterior")
+    X, y = data
+    if isinstance(spec, SGPRSpec):
+        fn = pathwise_posterior_collapsed
+    elif isinstance(spec, FreeSVGPSpec):
+        fn = pathwise_posterior_free
+    elif isinstance(spec, ExactGPSpec):
+        fn = pathwise_posterior_exact
+    elif isinstance(spec, AdditiveSGPRSpec):
+        fn = pathwise_posterior_additive
+    else:
+        raise NotImplementedError(type(spec).__name__)
+    return fn(spec, params, key, X, y, xstar,
+              n_samples=n_samples, n_features=n_features)
+
+
+# --------------------------------------------------------------------------- #
+# Pathwise sampling of the GRIDDED PRODUCT v (cell-integral functionals)
+#
+# The library's headline output is q(v), the posterior over cell integrals of
+# the latent field on a product prediction grid (reference
+# ``gridded_kronecker_structure.py`` heads). ``q_v`` gives its mean/variance;
+# sampling it coherently needs joint draws of the m-dimensional functional
+# vector — which Matheron's rule gives in closed form, because BOTH the
+# inducing functionals u AND the product functionals v of the cosine prior
+# path are exact per-axis integrals:
+#
+#     v_s = v_prior,s + R (w_q,s − F⁻¹ u_prior,s),     R_i = Kvu_i F_i⁻ᵀ.
+#
+# No lattice discretization anywhere: the sample v_s IS a draw of the exact
+# integral functionals, enabling distributions of nonlinear functionals OF
+# THE PRODUCT (exceedance areas of gridded SSH, basin totals, extremes).
+# --------------------------------------------------------------------------- #
+
+
+def pathwise_q_v(
+    spec,
+    params,
+    key,
+    grid_axes,
+    n_samples: int = 8,
+    n_features: int = 1024,
+    data=None,
+) -> jnp.ndarray:
+    """Coherent joint draws of the gridded product v → (S, g) flat row-major
+    (``numpy.kron`` convention, matching ``q_v``).
+
+    Supports the uncollapsed ``SVGPSpec`` (kron or full variational family)
+    and the collapsed ``SGPRSpec`` (pass ``data=(X, y)``).
+    """
+    from vggp_tpu.models.sgpr import SGPRSpec
+    from vggp_tpu.models.svgp import _kron_contract
+    from vggp_tpu.ops import tri_solve
+
+    collapsed = isinstance(spec, SGPRSpec)
+    if collapsed:
+        if data is None:
+            raise ValueError("SGPRSpec needs data=(X, y) to sample q(v)")
+        X, y = data
+        chols, A, LB, c, _ = common.factored_state(
+            spec, params, X, y, common.khatri_rao_all)
+    else:
+        chols = common.axis_chol_kuu(spec, params)
+        q = params["q"]
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T
+                     for i in range(spec.ndim))      # (g_i, m_i)
+    m = int(np.prod([b.shape[1] for b in r_blocks]))
+
+    def one(key_s):
+        kp, kw = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        v_prior = prior_grid_integral_sample(omegas, phases, amp, grid_axes)
+        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        w = _whiten_axes(u_prior, chols)
+        if collapsed:
+            z = jax.random.normal(kw, (m,), dtype=v_prior.dtype)
+            diff = (tri_solve(LB, c + z, trans=True) - w.reshape(-1)
+                    ).reshape(w.shape)
+        elif spec.variational == "full":
+            z = jax.random.normal(kw, (m,), dtype=v_prior.dtype)
+            w_q = q["mu"] + chol_from_raw(q["raw_L"]) @ z
+            diff = (w_q - w.reshape(-1)).reshape(w.shape)
+        else:
+            Ls = _kron_chols(spec, q)
+            z = jax.random.normal(kw, tuple(spec.axis_m), dtype=v_prior.dtype)
+            lz = z
+            for k in range(len(Ls)):
+                lz = jnp.moveaxis(
+                    (Ls[k] @ jnp.moveaxis(lz, k, 0).reshape(lz.shape[k], -1))
+                    .reshape(lz.shape[k], *[s for i, s in enumerate(lz.shape)
+                                            if i != k]), 0, k)
+            diff = q["mu"] + lz - w
+        corr = _kron_contract(diff, r_blocks, out="grid")
+        return v_prior.reshape(-1) + corr
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))

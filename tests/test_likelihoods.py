@@ -154,16 +154,89 @@ def test_student_t_robust_to_outliers():
     assert fits["student_t"] < 0.15, fits
 
 
-def test_natgrad_objective_rejects_non_gaussian():
-    """Review-found: elbo_muS silently optimized the Gaussian objective for
-    any likelihood; it must reject non-conjugate specs."""
+def test_elbo_muS_matches_elbo_non_gaussian():
+    """elbo_muS(μ, S) must equal elbo() at the same q for every likelihood
+    (elbo_muS is the natural-gradient objective; a mismatch would silently
+    optimize a different bound)."""
+    rng = np.random.default_rng(3)
     g = CellIntegralFeature.from_lims(6, 0.0, 1.0)
-    spec = svgp.SVGPSpec(kinds=("matern12",), features=(g,), num_data=10,
-                         likelihood="poisson")
-    params = spec.init_params(jnp.float64)
-    mu = jnp.zeros(6)
-    S = jnp.eye(6)
-    x = jnp.asarray(np.linspace(0, 1, 8))
-    y = jnp.asarray(np.ones(8))
-    with pytest.raises(ValueError, match="Gaussian"):
-        svgp.elbo_muS(spec, params, mu, S, x, y)
+    x = jnp.asarray(np.linspace(0.05, 0.95, 8))
+    for lik, y in [("poisson", rng.poisson(2.0, 8).astype(np.float64)),
+                   ("bernoulli", rng.integers(0, 2, 8).astype(np.float64)),
+                   ("student_t", rng.standard_normal(8))]:
+        spec = svgp.SVGPSpec(kinds=("matern12",), features=(g,), num_data=8,
+                             likelihood=lik, variational="full")
+        p = train.constrain(train.unconstrain(spec.init_params(jnp.float64)))
+        mu = jnp.asarray(rng.standard_normal(6))
+        A = rng.standard_normal((6, 6)) * 0.2
+        S = jnp.asarray(A @ A.T + 0.5 * np.eye(6))
+        Ls = np.linalg.cholesky(np.asarray(S))
+        q = dict(p["q"])
+        q["mu"] = mu
+        q["raw_L"] = svgp.raw_from_chol(jnp.asarray(Ls))
+        p2 = dict(p)
+        p2["q"] = q
+        np.testing.assert_allclose(
+            float(svgp.elbo_muS(spec, p, mu, S, x, jnp.asarray(y))),
+            float(svgp.elbo(spec, p2, x, jnp.asarray(y))), rtol=1e-10)
+
+
+def test_natgrad_poisson_converges():
+    """Natural-gradient variational steps work for non-conjugate likelihoods
+    (γ < 1): the hybrid trainer must reach at least Adam's bound on the same
+    Poisson count problem in far fewer iterations."""
+    rng = np.random.default_rng(4)
+    n = 400
+    X = jnp.asarray(np.sort(rng.random(n)))
+    lam = np.exp(1.0 + np.sin(2 * np.pi * np.asarray(X)))
+    y = jnp.asarray(rng.poisson(lam).astype(np.float64))
+
+    g = CellIntegralFeature.from_lims(16, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n,
+                         likelihood="poisson", variational="full")
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+
+    p_ng, hist_ng = train.fit_natgrad(spec, p0, X, y, n_iters=60, gamma=0.2,
+                                      hyper_lr=0.02)
+    losses = np.asarray(hist_ng["loss"])
+    assert np.all(np.isfinite(losses))
+
+    p_ad, hist_ad = train.fit(lambda q: svgp.loss(spec, q, X, y), p0,
+                              n_iters=300, learning_rate=0.05)
+    assert losses[-1] < np.asarray(hist_ad["loss"])[-1] + 1.0
+
+    lam_hat, _ = svgp.predict_y(spec, p_ng, X)
+    rel = np.abs(np.asarray(lam_hat) - lam) / lam
+    assert np.median(rel) < 0.3, np.median(rel)
+
+
+def test_sample_observations_moments():
+    """y-draws match the known conditional moments for each observation model."""
+    import jax
+    from vggp_tpu import likelihoods
+
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(np.linspace(-1.0, 1.5, 6))
+    F = jnp.tile(f, (200000, 1))
+
+    yg = np.asarray(likelihoods.sample_observations(
+        "gaussian", key, F, {"noise": jnp.asarray(0.25)}))
+    np.testing.assert_allclose(yg.mean(0), np.asarray(f), atol=0.01)
+    np.testing.assert_allclose(yg.var(0), 0.25, atol=0.01)
+
+    yb = np.asarray(likelihoods.sample_observations("bernoulli", key, F))
+    from jax.scipy.special import ndtr
+    np.testing.assert_allclose(yb.mean(0), np.asarray(ndtr(f)), atol=0.01)
+
+    yp = np.asarray(likelihoods.sample_observations("poisson", key, F))
+    lam = np.exp(np.asarray(f))
+    np.testing.assert_allclose(yp.mean(0), lam, atol=0.04)
+    np.testing.assert_allclose(yp.var(0), lam, rtol=0.05)
+
+    yt = np.asarray(likelihoods.sample_observations(
+        "student_t", key, F, {"noise": jnp.asarray(0.25)}, opts=(("df", 6.0),)))
+    np.testing.assert_allclose(yt.mean(0), np.asarray(f), atol=0.02)
+    np.testing.assert_allclose(yt.var(0), 0.25 * 6.0 / 4.0, atol=0.03)
+
+    with pytest.raises(ValueError, match="unknown likelihood"):
+        likelihoods.sample_observations("nope", key, F)

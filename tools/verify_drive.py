@@ -106,4 +106,33 @@ se = sampling.pathwise(spec_e, pe, jax.random.PRNGKey(3),
                        jnp.linspace(0.0, 1.0, 16), data=(X, y),
                        n_samples=8, n_features=256)
 assert np.all(np.isfinite(np.asarray(se))), "exact pathwise not finite"
+
+# observation-space sampling: push latent draws through each observation model
+from vggp_tpu import likelihoods
+for lname, lp in [("gaussian", {"noise": jnp.asarray(0.01)}),
+                  ("bernoulli", None), ("poisson", None),
+                  ("student_t", {"noise": jnp.asarray(0.01)})]:
+    ys = likelihoods.sample_observations(lname, jax.random.PRNGKey(7), sc, lp)
+    assert ys.shape == sc.shape and np.all(np.isfinite(np.asarray(ys))), lname
+print("observation-space sampling ok (4 likelihoods)")
+
+# natural-gradient steps on a non-conjugate (Poisson) model — elbo_muS path
+rngp = np.random.default_rng(5)
+Xp = jnp.asarray(np.sort(rngp.random(200)), jnp.float32)
+lam_p = np.exp(1.0 + np.sin(2 * np.pi * np.asarray(Xp)))
+yp = jnp.asarray(rngp.poisson(lam_p).astype(np.float32))
+gp = CellIntegralFeature.from_lims(12, 0.0, 1.0)
+spec_p = svgp.SVGPSpec(kinds=("matern32",), features=(gp,), num_data=200,
+                       likelihood="poisson", variational="full")
+p0p = train.non_informative_init(spec_p.init_params(jnp.float32), Xp, yp)
+p_ng, h_ng = train.fit_natgrad(spec_p, p0p, Xp, yp, n_iters=40, gamma=0.2,
+                               hyper_lr=0.02)
+ng_losses = np.asarray(h_ng["loss"])
+assert np.all(np.isfinite(ng_losses)), "natgrad Poisson loss not finite"
+assert ng_losses[-1] < ng_losses[0], "natgrad Poisson did not improve"
+lam_ng, _ = jax.jit(lambda p: svgp.predict_y(spec_p, p, Xp))(p_ng)
+rel_ng = float(np.median(np.abs(np.asarray(lam_ng) - lam_p) / lam_p))
+print(f"natgrad Poisson: loss {ng_losses[0]:.1f}->{ng_losses[-1]:.1f}, "
+      f"median rel intensity err {rel_ng:.3f}")
+assert rel_ng < 0.5
 print("DRIVE OK")

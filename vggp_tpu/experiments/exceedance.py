@@ -111,6 +111,36 @@ def run(
         return {"mean": float(np.mean(v)), "std": float(np.std(v)),
                 "q05": float(np.quantile(v, 0.05)), "q95": float(np.quantile(v, 0.95))}
 
+    # ---- product-level: coherent draws of the gridded product itself ----
+    # The library's headline output is q(v) (cell averages of the latent
+    # field); pathwise_q_v gives JOINT draws of those functionals with the
+    # prior-path integrals taken in closed form — so exceedance areas and
+    # extremes of the GRIDDED PRODUCT get full distributions too.
+    n_cells = 32
+    pg = tuple(CellIntegralFeature.from_lims(n_cells, 0.0, 1.0) for _ in range(2))
+    cell_area = (1.0 / n_cells) ** 2
+    qv = jax.jit(lambda p: svgp.q_v(spec, p, pg, full_cov=False))(p_fit)
+    v_mean = np.asarray(qv.mean) / cell_area
+    v_std = np.sqrt(np.asarray(qv.var)) / cell_area
+    vs = np.asarray(jax.jit(
+        lambda p, k: sampling.pathwise_q_v(
+            spec, p, k, pg, n_samples=n_samples, n_features=n_features)
+    )(p_fit, jax.random.PRNGKey(seed + 3))) / cell_area       # (S, c²) means
+
+    # truth cell means by per-cell Gauss–Legendre (q=8 nodes/axis: exact to
+    # machine precision for this smooth field)
+    nodes, wts = np.polynomial.legendre.leggauss(8)
+    edges = np.linspace(0.0, 1.0, n_cells + 1)
+    half = 0.5 * (edges[1:] - edges[:-1])
+    mid = 0.5 * (edges[1:] + edges[:-1])
+    xq = mid[:, None] + half[:, None] * nodes[None, :]        # (c, 8)
+    wq = half[:, None] * wts[None, :]                          # (c, 8)
+    Fq = field(xq[:, :, None, None], xq[None, None, :, :])     # (c,8,c,8)
+    truth_v = np.einsum("ip,jr,ipjr->ij", wq, wq, Fq) / cell_area
+    tau_v = float(np.quantile(truth_v.ravel(), 0.8))
+    indep_v = v_mean[None, :] + v_std[None, :] * np.random.default_rng(
+        seed + 4).standard_normal((n_samples, v_mean.size))
+
     results: Dict = {
         "final_loss": float(np.asarray(hist["loss"])[-1]),
         "steps_per_sec": n_iters / wall,
@@ -125,6 +155,19 @@ def run(
         "max_independent": dist(max_indep),
         "n_obs": n_obs, "m_total": m_side**2,
         "n_samples": n_samples, "n_features": n_features,
+        "product": {
+            "n_cells": n_cells,
+            "tau": tau_v,
+            "qv_mean_rmse": float(np.sqrt(np.mean(
+                (v_mean - truth_v.ravel()) ** 2))),
+            "sampler_mean_err": float(np.abs(vs.mean(0) - v_mean).max()),
+            "area_truth": float(np.mean(truth_v.ravel() > tau_v)),
+            "area_pathwise": dist((vs > tau_v).mean(axis=1)),
+            "area_independent": dist((indep_v > tau_v).mean(axis=1)),
+            "max_truth": float(truth_v.max()),
+            "max_pathwise": dist(vs.max(axis=1)),
+            "max_independent": dist(indep_v.max(axis=1)),
+        },
     }
 
     if outdir:

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vggp_tpu import train
+from vggp_tpu import sampling, train
 from vggp_tpu.experiments import misc, plotting
 from vggp_tpu.features import CellIntegralFeature
 from vggp_tpu.models import svgp
@@ -64,6 +64,9 @@ def run(
     batch_size: int = 1024,
     learning_rate: float = 0.05,
     seed: int = 0,
+    n_quad: int = 48,
+    n_count_samples: int = 512,
+    n_count_features: int = 2048,
     outdir: str | None = None,
 ) -> Dict:
     X, y, lam_true = generate_counts(n=n_obs, seed=seed)
@@ -100,6 +103,44 @@ def run(
     lam_hat, _ = jax.jit(lambda p: svgp.predict_y(spec, p, Xj))(p_fit)
     rel = np.abs(np.asarray(lam_hat) - lam_true) / lam_true
 
+    # ---- region-total counts: a joint functional of the latent surface ----
+    # N_region | f ~ Poisson(Λ), Λ = ∬_region e^{f}. Λ is a nonlinear
+    # functional of the WHOLE field — its distribution needs coherent draws
+    # (sampling.pathwise_posterior); treating the quadrature points as
+    # independent marginals decoheres e^{f} under the integral and shrinks
+    # the Λ spread. Count draws then ride likelihoods.sample_observations.
+    x0, x1, y0, y1 = 0.0, 0.5, 0.0, 0.5
+    nq, n_s, n_feat = n_quad, n_count_samples, n_count_features
+    gq = (np.arange(nq) + 0.5) / nq
+    qx, qy = x0 + gq * (x1 - x0), y0 + gq * (y1 - y0)
+    QX, QY = np.meshgrid(qx, qy, indexing="ij")
+    Xq = jnp.asarray(np.stack([QX.ravel(), QY.ravel()], -1), jnp.float32)
+    w_cell = (x1 - x0) * (y1 - y0) / nq**2
+
+    samp = np.asarray(jax.jit(
+        lambda p, k: sampling.pathwise_posterior(
+            spec, p, k, Xq, n_samples=n_s, n_features=n_feat)
+    )(p_fit, jax.random.PRNGKey(seed + 11)))             # (S, nq²) latent f
+    lam_big = np.exp(log_intensity(QX, QY)).ravel()
+    lam_tot_truth = float(w_cell * lam_big.sum())        # ∬ e^f truth (midpoint)
+    lam_tot = w_cell * np.exp(samp).sum(axis=1)          # (S,) pathwise Λ
+
+    post_q = jax.jit(lambda p: svgp.posterior(spec, p, Xq, full_cov=False))(p_fit)
+    mq, sq = np.asarray(post_q.mean), np.sqrt(np.asarray(post_q.var))
+    indep = mq[None, :] + sq[None, :] * np.random.default_rng(
+        seed + 12).standard_normal((n_s, mq.size))
+    lam_tot_indep = w_cell * np.exp(indep).sum(axis=1)
+
+    from vggp_tpu import likelihoods
+    counts = np.asarray(likelihoods.sample_observations(
+        "poisson", jax.random.PRNGKey(seed + 13),
+        jnp.asarray(np.log(lam_tot))[:, None]))[:, 0]     # N_s ~ Poisson(Λ_s)
+
+    def dist(v):
+        return {"mean": float(np.mean(v)), "std": float(np.std(v)),
+                "q05": float(np.quantile(v, 0.05)),
+                "q95": float(np.quantile(v, 0.95))}
+
     results: Dict = {
         "final_loss": float(np.asarray(hist["loss"])[-1]),
         "steps_per_sec": n_iters / wall,
@@ -108,6 +149,14 @@ def run(
         "intensity_median_rel_err": float(np.median(rel)),
         "n_obs": int(X.shape[0]),
         "m_total": int(m_side) ** 2,
+        "region_counts": {
+            "region": [x0, x1, y0, y1],
+            "lambda_truth": lam_tot_truth,
+            "lambda_pathwise": dist(lam_tot),
+            "lambda_independent": dist(lam_tot_indep),
+            "counts_predictive": dist(counts),
+            "n_samples": n_s, "n_quad": nq * nq,
+        },
     }
 
     if outdir:
@@ -116,7 +165,8 @@ def run(
                      steps_per_sec=round(results["steps_per_sec"], 1),
                      qv_max_err=results["qv_max_err"],
                      intensity_median_rel_err=results["intensity_median_rel_err"],
-                     n_obs=results["n_obs"], m_total=results["m_total"])
+                     n_obs=results["n_obs"], m_total=results["m_total"],
+                     region_counts=results["region_counts"])
         with open(os.path.join(outdir, "metrics.json"), "w") as fh:
             json.dump(table, fh, indent=2)
         plotting.plot_grid_heatmaps(

@@ -124,3 +124,44 @@ def predict_poisson(mean, var):
     E[λ] = e^{μ+σ²/2}; Var[y] = E[λ] + E[λ]²(e^{σ²} − 1)."""
     lam = jnp.exp(mean + 0.5 * var)
     return lam, lam + lam * lam * jnp.expm1(var)
+
+
+# --------------------------------------------------------------------------- #
+# Observation-space sampling  f-draws → y-draws
+#
+# Composes with ``sampling.pathwise*``: coherent latent draws pushed through
+# the observation model give joint predictive samples of the observables —
+# e.g. the distribution of TOTAL counts over a region (Poisson), or joint
+# exceedance patterns of noisy measurements. Marginal moment transforms
+# (above) cannot express any cross-location functional.
+# --------------------------------------------------------------------------- #
+
+def sample_observations(name: str, key, f_samples: jnp.ndarray, params=None,
+                        opts=()):
+    """Draw y ~ p(y | f) elementwise over latent draws ``f_samples`` (S, n).
+
+    ``name``/``params``/``opts`` follow the same conventions as
+    :func:`expected_log_lik` (so a spec's ``likelihood`` string and fitted
+    constrained params drop straight in): ``gaussian`` adds N(0, noise);
+    ``bernoulli`` returns {0,1} with p = Φ(f); ``poisson`` returns counts
+    with λ = eᶠ; ``student_t`` adds √noise-scaled t_ν noise with the
+    (static) degrees of freedom from ``opts``.
+    """
+    import jax
+
+    p = params or {}
+    o = dict(opts)
+    if name == "gaussian":
+        z = jax.random.normal(key, f_samples.shape, dtype=f_samples.dtype)
+        return f_samples + jnp.sqrt(p["noise"]) * z
+    if name == "bernoulli":
+        u = jax.random.uniform(key, f_samples.shape, dtype=f_samples.dtype)
+        return (u < ndtr(f_samples)).astype(f_samples.dtype)
+    if name == "poisson":
+        return jax.random.poisson(key, jnp.exp(f_samples)).astype(f_samples.dtype)
+    if name == "student_t":
+        df = float(o.get("df", 4.0))
+        t = jax.random.t(key, df, f_samples.shape, dtype=f_samples.dtype)
+        return f_samples + jnp.sqrt(p["noise"]) * t
+    raise ValueError(
+        f"unknown likelihood {name!r}; have {sorted(EXPECTED_LOG_LIK)}")

@@ -331,18 +331,17 @@ def elbo_muS(
 
     The (μ, S) parameterization is what natural-gradient updates differentiate
     against (``train.fit_natgrad``); ``params["q"]`` is ignored. Full
-    variational family only.
+    variational family only. Any registered likelihood works: the
+    natural-gradient recipe only needs ∂ELBO/∂(μ, S), and the non-conjugate
+    expected log-likelihoods (:mod:`vggp_tpu.likelihoods`) are smooth
+    functions of the marginal (mean, var) pair (Salimbeni et al. 2018's
+    "natural gradients in practice" setting — γ < 1 instead of the
+    conjugate single-step jump).
     """
     if spec.variational != "full":
         raise ValueError("elbo_muS supports the full variational family")
-    if spec.likelihood != "gaussian":
-        raise ValueError(
-            "elbo_muS (the natural-gradient objective) is derived for the "
-            "conjugate Gaussian likelihood; got " + spec.likelihood
-        )
     yb = jnp.reshape(yb, (-1,))
     nb = yb.shape[0]
-    noise = params["noise"]
     _, blocks = _whitened_blocks(spec, params, xb)
     a = common.khatri_rao_all(blocks)             # (m, n)
     mean = a.T @ mu
@@ -350,7 +349,15 @@ def elbo_muS(
     var_add = jnp.sum(a * (S @ a), axis=0)
     kff = common.kdiag(spec, params, xb)
     var_f = jnp.maximum(kff - var_red, 0.0) + var_add
-    ell_i = -0.5 * jnp.log(2.0 * jnp.pi * noise) - ((yb - mean) ** 2 + var_f) / (2.0 * noise)
+    if spec.likelihood == "gaussian":
+        noise = params["noise"]
+        ell_i = (-0.5 * jnp.log(2.0 * jnp.pi * noise)
+                 - ((yb - mean) ** 2 + var_f) / (2.0 * noise))
+    else:
+        from vggp_tpu.likelihoods import expected_log_lik
+
+        ell_i = expected_log_lik(spec.likelihood, yb, mean, var_f, params,
+                                 spec.likelihood_opts)
     m = S.shape[0]
     Ls = jnp.linalg.cholesky(S)
     kl_val = 0.5 * (

@@ -256,7 +256,12 @@ def fit_natgrad(
     (Hensman/Salimbeni recipe). For a Gaussian likelihood and full batch,
     γ = 1 jumps to the optimal q(u) in a single step — the collapsed-SGPR
     bound — so convergence is limited only by the hyperparameters. The
-    reference's Adam-on-everything loops (nb61 cell 35) have no analogue.
+    recipe is likelihood-agnostic: non-conjugate observation models
+    (probit / Poisson / Student-t via :mod:`vggp_tpu.likelihoods`) work
+    with γ < 1 (≈ 0.1–0.5 — Salimbeni et al. 2018), where natural-gradient
+    variational steps converge in tens of iterations vs thousands for Adam
+    on the same q. The reference's Adam-on-everything loops (nb61 cell 35)
+    have no analogue.
 
     A guarded update skips steps that would make −2θ₂ non-PD or non-finite.
     """

@@ -1,0 +1,203 @@
+"""Streaming assimilation: chunked online updates == optimal batch posterior.
+
+The module's contract is exactness (vggp_tpu/streaming.py docstring): after
+assimilating any chunking/ordering of a dataset, the state equals the
+collapsed-SGPR optimum at the same hyperparameters. These tests pin that
+against models/sgpr.py (itself dense-oracle tested) in float64.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggp_tpu import streaming, train
+from vggp_tpu.features import CellIntegralFeature, FourierFeature
+from vggp_tpu.models import sgpr, svgp
+
+
+def _data_1d(n=120, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(np.sort(rng.random(n)))
+    y = jnp.asarray(np.sin(6 * np.asarray(X)) + 0.1 * rng.standard_normal(n))
+    return X, y
+
+
+def _specs_1d(n, likelihood="gaussian"):
+    g = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    vspec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n,
+                          likelihood=likelihood)
+    cspec = sgpr.SGPRSpec(kinds=("matern32",), features=(g,))
+    return vspec, cspec
+
+
+def _hypers(vspec, noise=0.05, ell=0.3, var=1.2):
+    p = vspec.init_params(jnp.float64)
+    p = dict(p)
+    p["noise"] = jnp.asarray(noise, jnp.float64)
+    axes = []
+    for ax in p["axes"]:
+        ax = dict(ax)
+        ax["lengthscale"] = jnp.asarray(ell, jnp.float64)
+        ax["variance"] = jnp.asarray(var, jnp.float64)
+        axes.append(ax)
+    p["axes"] = tuple(axes)
+    return p
+
+
+def test_streamed_equals_batch_sgpr_1d():
+    X, y = _data_1d()
+    n = X.shape[0]
+    vspec, cspec = _specs_1d(n)
+    p = _hypers(vspec)
+
+    state = streaming.init_state(vspec, jnp.float64)
+    for lo in range(0, n, 40):  # three uneven-boundary chunks
+        state = streaming.assimilate(vspec, p, state, X[lo:lo + 40], y[lo:lo + 40])
+    pq = streaming.to_params(vspec, p, state)
+
+    xs = jnp.asarray(np.linspace(0.0, 1.0, 33))
+    got = svgp.posterior(vspec, pq, xs, full_cov=False)
+    want = sgpr.posterior(cspec, p, X, y, xs, full_cov=False)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.var),
+                               np.asarray(want.var) - float(p["noise"]) * 0,
+                               atol=1e-9)
+    assert float(state["n_seen"]) == n
+
+
+def test_streamed_equals_batch_sgpr_2d_qv():
+    rng = np.random.default_rng(1)
+    n = 150
+    X = jnp.asarray(rng.random((n, 2)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) *
+                    np.cos(4 * np.asarray(X[:, 1])) + 0.05 * rng.standard_normal(n))
+    f1 = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    f2 = FourierFeature(a=0.0, b=1.0, n_frequencies=4)
+    vspec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(f1, f2),
+                          num_data=n)
+    cspec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=(f1, f2))
+    p = _hypers(vspec, noise=0.02, ell=0.4)
+
+    state = streaming.init_state(vspec, jnp.float64)
+    state = streaming.assimilate(vspec, p, state, X[:70], y[:70])
+    state = streaming.assimilate(vspec, p, state, X[70:], y[70:])
+    pq = streaming.to_params(vspec, p, state)
+
+    grid = tuple(CellIntegralFeature.from_lims(5, 0.1, 0.9) for _ in range(2))
+    got = svgp.q_v(vspec, pq, grid, full_cov=True)
+    want = sgpr.q_v(cspec, p, X, y, grid, full_cov=True)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.cov), np.asarray(want.cov), atol=1e-9)
+
+
+def test_order_and_chunking_invariance():
+    X, y = _data_1d(n=90, seed=2)
+    vspec, _ = _specs_1d(90)
+    p = _hypers(vspec)
+
+    s1 = streaming.init_state(vspec, jnp.float64)
+    s1 = streaming.assimilate(vspec, p, s1, X, y)
+
+    perm = np.random.default_rng(3).permutation(90)
+    Xp, yp = X[perm], y[perm]
+    s2 = streaming.init_state(vspec, jnp.float64)
+    for lo in range(0, 90, 17):  # ragged chunks, shuffled order
+        s2 = streaming.assimilate(vspec, p, s2, Xp[lo:lo + 17], yp[lo:lo + 17])
+
+    np.testing.assert_allclose(np.asarray(s1["lam"]), np.asarray(s2["lam"]),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1["eta"]), np.asarray(s2["eta"]),
+                               atol=1e-10)
+
+
+def test_scan_matches_loop():
+    X, y = _data_1d(n=80, seed=4)
+    vspec, _ = _specs_1d(80)
+    p = _hypers(vspec)
+    Xc = X.reshape(4, 20)
+    yc = y.reshape(4, 20)
+
+    s_loop = streaming.init_state(vspec, jnp.float64)
+    for i in range(4):
+        s_loop = streaming.assimilate(vspec, p, s_loop, Xc[i], yc[i])
+    s_scan = jax.jit(lambda s: streaming.assimilate_scan(vspec, p, s, Xc, yc))(
+        streaming.init_state(vspec, jnp.float64))
+    np.testing.assert_allclose(np.asarray(s_loop["lam"]), np.asarray(s_scan["lam"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_loop["eta"]), np.asarray(s_scan["eta"]),
+                               rtol=1e-12)
+
+
+def test_heteroscedastic_noise_oracle():
+    """Per-point noise: state must equal the dense whitened-normal-equations
+    optimum Λ = I + A D⁻¹ Aᵀ, η = A D⁻¹ y built in numpy."""
+    X, y = _data_1d(n=60, seed=5)
+    vspec, _ = _specs_1d(60)
+    p = _hypers(vspec)
+    nvec = jnp.asarray(0.01 + 0.1 * np.random.default_rng(6).random(60))
+
+    state = streaming.init_state(vspec, jnp.float64)
+    state = streaming.assimilate(vspec, p, state, X[:25], y[:25], noise=nvec[:25])
+    state = streaming.assimilate(vspec, p, state, X[25:], y[25:], noise=nvec[25:])
+
+    from vggp_tpu.models import common
+    chols = common.axis_chol_kuu(vspec, p)
+    A = np.asarray(common.khatri_rao_all(
+        common.axis_whitened_kuf(vspec, p, chols, X)))
+    D = np.asarray(nvec)
+    lam = np.eye(A.shape[0]) + (A / D) @ A.T
+    eta = (A / D) @ np.asarray(y)
+    np.testing.assert_allclose(np.asarray(state["lam"]), lam, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(state["eta"]), eta, atol=1e-10)
+
+
+def test_forget_limits():
+    X, y = _data_1d(n=50, seed=7)
+    vspec, _ = _specs_1d(50)
+    p = _hypers(vspec)
+    s = streaming.assimilate(vspec, p, streaming.init_state(vspec, jnp.float64),
+                             X, y)
+    s1 = streaming.forget(s, 1.0)
+    np.testing.assert_allclose(np.asarray(s1["lam"]), np.asarray(s["lam"]))
+    s0 = streaming.forget(s, 0.0)
+    np.testing.assert_allclose(np.asarray(s0["lam"]), np.eye(10))
+    np.testing.assert_allclose(np.asarray(s0["eta"]), 0.0)
+    # partial forgetting keeps Λ ⪰ I (a valid posterior precision)
+    sh = streaming.forget(s, 0.3)
+    w = np.linalg.eigvalsh(np.asarray(sh["lam"]))
+    assert w.min() >= 1.0 - 1e-10
+
+
+def test_assimilated_q_is_elbo_optimum():
+    """The written-back q maximizes the whitened ELBO at fixed hypers: any
+    perturbation of (μ, L_S) lowers it."""
+    X, y = _data_1d(n=70, seed=8)
+    vspec, _ = _specs_1d(70)
+    p = _hypers(vspec)
+    s = streaming.assimilate(vspec, p, streaming.init_state(vspec, jnp.float64),
+                             X, y)
+    pq = streaming.to_params(vspec, p, s)
+    e_opt = float(svgp.elbo(vspec, pq, X, y))
+
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        q2 = dict(pq["q"])
+        q2["mu"] = q2["mu"] + 0.05 * jnp.asarray(rng.standard_normal(10))
+        q2["raw_L"] = q2["raw_L"] + 0.05 * jnp.asarray(
+            np.tril(rng.standard_normal((10, 10))))
+        p2 = dict(pq)
+        p2["q"] = q2
+        assert float(svgp.elbo(vspec, p2, X, y)) < e_opt
+
+
+def test_rejects_non_gaussian_and_kron():
+    g = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    sp = svgp.SVGPSpec(kinds=("matern12",), features=(g,), num_data=10,
+                       likelihood="poisson")
+    with pytest.raises(ValueError, match="Gaussian"):
+        streaming.init_state(sp)
+    sk = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g, g),
+                       num_data=10, variational="kron")
+    with pytest.raises(ValueError, match="full"):
+        streaming.init_state(sk)

@@ -135,4 +135,33 @@ rel_ng = float(np.median(np.abs(np.asarray(lam_ng) - lam_p) / lam_p))
 print(f"natgrad Poisson: loss {ng_losses[0]:.1f}->{ng_losses[-1]:.1f}, "
       f"median rel intensity err {rel_ng:.3f}")
 assert rel_ng < 0.5
+
+# streaming assimilation: chunked online state == batch SGPR posterior (f32)
+from vggp_tpu import streaming
+rngs = np.random.default_rng(6)
+Xs = jnp.asarray(np.sort(rngs.random(240)), jnp.float32)
+ys = jnp.asarray(np.sin(6 * np.asarray(Xs)) +
+                 0.05 * rngs.standard_normal(240), jnp.float32)
+gs = CellIntegralFeature.from_lims(12, 0.0, 1.0)
+spec_s = svgp.SVGPSpec(kinds=("matern32",), features=(gs,), num_data=240)
+cspec_s = sgpr.SGPRSpec(kinds=("matern32",), features=(gs,))
+p_s = train.non_informative_init(cspec_s.init_params(jnp.float32), Xs, ys)
+p_s, _ = train.fit(lambda p: sgpr.loss(cspec_s, p, Xs, ys), p_s, 300, 0.05)
+p_sv = dict(spec_s.init_params(jnp.float32))
+p_sv["axes"], p_sv["noise"] = p_s["axes"], p_s["noise"]
+assim = jax.jit(lambda s, xb, yb: streaming.assimilate(spec_s, p_sv, s, xb, yb))
+st = streaming.init_state(spec_s, jnp.float32)
+st = assim(st, Xs[:100], ys[:100])
+st = assim(st, Xs[100:].reshape(-1), ys[100:])
+p_q = jax.jit(lambda s: streaming.to_params(spec_s, p_sv, s))(st)
+xq16 = jnp.linspace(0.0, 1.0, 16)
+post_s = jax.jit(lambda p: svgp.posterior(spec_s, p, xq16, full_cov=False))(p_q)
+post_b = jax.jit(lambda p: sgpr.posterior(cspec_s, p, Xs, ys, xq16,
+                                          full_cov=False))(p_s)
+sgap = float(np.abs(np.asarray(post_s.mean) - np.asarray(post_b.mean)).max())
+print(f"streaming vs batch posterior-mean gap {sgap:.2e}")
+assert sgap < 1e-3, "streamed state drifted from the batch optimum"
+qv_s = jax.jit(lambda p: svgp.q_v(spec_s, p, (grid,), full_cov=False))(p_q)
+assert np.all(np.isfinite(np.asarray(qv_s.mean)))
+assert float(np.min(np.asarray(qv_s.var))) > 0
 print("DRIVE OK")

@@ -9,6 +9,7 @@ EXPERIMENTS = {
     "spacetime": "3-D lon x lat x time gridded products (beyond-reference)",
     "poisson": "gridded Poisson intensity mapping from count data (beyond-reference)",
     "exceedance": "joint exceedance/extreme functionals via pathwise sampling (beyond-reference)",
+    "streaming": "sequential mission assimilation, no refits (beyond-reference)",
 }
 
 if __name__ == "__main__":

@@ -14,12 +14,14 @@ psum/all-gather (scaling-book recipe).
 """
 
 from vggp_tpu.parallel.mesh import make_mesh, data_model_mesh
-from vggp_tpu.parallel.dp import make_sharded_svgp_step, shard_params, shard_batch
+from vggp_tpu.parallel.dp import (make_sharded_svgp_step, make_sharded_assimilate,
+                                  shard_params, shard_batch)
 
 __all__ = [
     "make_mesh",
     "data_model_mesh",
     "make_sharded_svgp_step",
+    "make_sharded_assimilate",
     "shard_params",
     "shard_batch",
 ]

@@ -115,3 +115,39 @@ def make_sharded_svgp_step(
         return raw, opt_state, val
 
     return init_fn, step_fn
+
+
+def make_sharded_assimilate(
+    spec: svgp.SVGPSpec,
+    params: Dict,
+    mesh: Mesh,
+    data_axis: str = "data",
+    heteroscedastic: bool = False,
+):
+    """Jitted data-parallel streaming assimilation over ``mesh``.
+
+    The stream update (``vggp_tpu.streaming``) is a sum over data points —
+    Λ += A D⁻¹ Aᵀ, η += A D⁻¹ y — so sharding the pass over ``data_axis``
+    while the (m, m) state stays replicated makes the GSPMD partitioner emit
+    exactly one psum of per-shard outer products over ICI: each chip whitens
+    its own track segments, the pod reduces. Returned
+    ``fn(state, xb, yb[, noise]) -> state`` expects ``shard_batch``-placed
+    inputs; hyperparameters are closed over (they define the whitening and
+    must be identical across the stream).
+    """
+    from vggp_tpu import streaming
+
+    rep = NamedSharding(mesh, P())
+    state_sh = {"lam": rep, "eta": rep, "n_seen": rep}
+
+    if heteroscedastic:
+        @jax.jit
+        def fn(state, xb, yb, noise):
+            out = streaming.assimilate(spec, params, state, xb, yb, noise=noise)
+            return jax.lax.with_sharding_constraint(out, state_sh)
+    else:
+        @jax.jit
+        def fn(state, xb, yb):
+            out = streaming.assimilate(spec, params, state, xb, yb)
+            return jax.lax.with_sharding_constraint(out, state_sh)
+    return fn

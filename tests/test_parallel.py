@@ -210,3 +210,44 @@ def test_sharded_step_with_banded_apply():
     xb, yb = shard_batch(X, y, mesh)
     raw, st, val = step_fn(raw, st, xb, yb)
     assert np.isfinite(float(val))
+
+
+def test_sharded_assimilate_matches_single_device():
+    """Data-parallel streaming assimilation == unsharded update: the Λ/η
+    accumulations are data-point sums, so GSPMD's psum of per-shard outer
+    products must be exact (up to reduction order)."""
+    from vggp_tpu import streaming
+    from vggp_tpu.parallel import make_sharded_assimilate
+
+    rng = np.random.default_rng(11)
+    n = 64
+    X = jnp.asarray(rng.random((n, 2)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) + 0.1 * rng.standard_normal(n))
+    g1 = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g1, g2),
+                         num_data=n, variational="full")
+    params = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+
+    s0 = streaming.assimilate(spec, params, streaming.init_state(spec, jnp.float64),
+                              X, y)
+
+    mesh = make_mesh(("data",), (8,))
+    fn = make_sharded_assimilate(spec, params, mesh)
+    xb, yb = shard_batch(X, y, mesh)
+    s1 = fn(streaming.init_state(spec, jnp.float64), xb, yb)
+    np.testing.assert_allclose(np.asarray(s0["lam"]), np.asarray(s1["lam"]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s0["eta"]), np.asarray(s1["eta"]),
+                               rtol=1e-10, atol=1e-12)
+
+    # heteroscedastic variant partitions too
+    nvec = jnp.asarray(0.01 + 0.1 * rng.random(n))
+    s0h = streaming.assimilate(spec, params, streaming.init_state(spec, jnp.float64),
+                               X, y, noise=nvec)
+    fnh = make_sharded_assimilate(spec, params, mesh, heteroscedastic=True)
+    nb = jax.device_put(nvec, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    s1h = fnh(streaming.init_state(spec, jnp.float64), xb, yb, nb)
+    np.testing.assert_allclose(np.asarray(s0h["lam"]), np.asarray(s1h["lam"]),
+                               rtol=1e-10, atol=1e-12)

@@ -201,3 +201,81 @@ def test_rejects_non_gaussian_and_kron():
                        num_data=10, variational="kron")
     with pytest.raises(ValueError, match="full"):
         streaming.init_state(sk)
+
+
+def test_reanchor_identity_and_u_space_oracle():
+    """reanchor with unchanged hypers is the identity; with changed hypers,
+    the implied q(u) must equal the dense u-space combination of the old
+    data information J_u = F₀⁻ᵀ(Λ−I)F₀⁻¹ with the NEW prior:
+    cov = (K₁⁻¹ + J_u)⁻¹, mean = cov·F₀⁻ᵀη (exact Woodbury identity)."""
+    from vggp_tpu.models import common as mcommon
+
+    X, y = _data_1d(n=100, seed=10)
+    vspec, _ = _specs_1d(100)
+    p0 = _hypers(vspec, noise=0.05, ell=0.3, var=1.2)
+    p1 = _hypers(vspec, noise=0.08, ell=0.45, var=0.8)
+
+    s = streaming.assimilate(vspec, p0, streaming.init_state(vspec, jnp.float64),
+                             X, y)
+    s_id = streaming.reanchor(vspec, p0, p0, s)
+    np.testing.assert_allclose(np.asarray(s_id["lam"]), np.asarray(s["lam"]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_id["eta"]), np.asarray(s["eta"]),
+                               atol=1e-9)
+
+    s1 = streaming.reanchor(vspec, p0, p1, s)
+    qu = svgp.q_u(vspec, streaming.to_params(vspec, p1, s1))
+
+    F0 = np.asarray(mcommon.axis_chol_kuu(vspec, p0)[0].F)
+    F1 = np.asarray(mcommon.axis_chol_kuu(vspec, p1)[0].F)
+    lam0 = np.asarray(s["lam"]) - np.eye(10)
+    F0i = np.linalg.inv(F0)
+    Ju = F0i.T @ lam0 @ F0i          # F0⁻ᵀ (Λ − I) F0⁻¹
+    Ju = 0.5 * (Ju + Ju.T)
+    hu = np.linalg.solve(F0.T, np.asarray(s["eta"]))
+    P = np.linalg.inv(F1 @ F1.T) + Ju
+    cov = np.linalg.inv(P)
+    mean = cov @ hu
+    np.testing.assert_allclose(np.asarray(qu.mean), mean, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qu.cov), cov, atol=1e-8)
+
+
+def test_reanchor_tracks_hyper_refit():
+    """End-to-end drift pattern: assimilating at bad initial hypers, then
+    refitting hypers on a window and reanchoring must improve held-out NLPD
+    over staying at the initial hypers."""
+    rng = np.random.default_rng(12)
+    n = 300
+    X = jnp.asarray(np.sort(rng.random(n)))
+    f = np.sin(9 * np.asarray(X))
+    y = jnp.asarray(f + 0.05 * rng.standard_normal(n))
+    g = CellIntegralFeature.from_lims(20, 0.0, 1.0)
+    vspec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n)
+    cspec = sgpr.SGPRSpec(kinds=("matern32",), features=(g,))
+
+    p_bad = _hypers(vspec, noise=0.5, ell=1.5, var=0.3)  # far-off hypers
+    s = streaming.assimilate(vspec, p_bad,
+                             streaming.init_state(vspec, jnp.float64),
+                             X[:150], y[:150])
+
+    # refit hypers on the window seen so far, reanchor, keep assimilating
+    p_fit, _ = train.fit(lambda q: sgpr.loss(cspec, q, X[:150], y[:150]),
+                         train.non_informative_init(
+                             cspec.init_params(jnp.float64), X[:150], y[:150]),
+                         n_iters=400, learning_rate=0.05)
+    p_new = dict(p_bad)
+    p_new["axes"], p_new["noise"] = p_fit["axes"], p_fit["noise"]
+    s_re = streaming.reanchor(vspec, p_bad, p_new, s)
+    s_re = streaming.assimilate(vspec, p_new, s_re, X[150:], y[150:])
+    s_stale = streaming.assimilate(vspec, p_bad, s, X[150:], y[150:])
+
+    xs = jnp.asarray(np.linspace(0.02, 0.98, 64))
+    ts = np.sin(9 * np.asarray(xs))
+
+    def nlpd(p, st):
+        q = svgp.posterior(vspec, streaming.to_params(vspec, p, st), xs,
+                           full_cov=False)
+        m, v = np.asarray(q.mean), np.asarray(q.var) + float(p["noise"])
+        return float(np.mean(0.5 * np.log(2 * np.pi * v) + (ts - m) ** 2 / (2 * v)))
+
+    assert nlpd(p_new, s_re) < nlpd(p_bad, s_stale) - 0.3

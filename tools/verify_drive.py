@@ -164,4 +164,17 @@ assert sgap < 1e-3, "streamed state drifted from the batch optimum"
 qv_s = jax.jit(lambda p: svgp.q_v(spec_s, p, (grid,), full_cov=False))(p_q)
 assert np.all(np.isfinite(np.asarray(qv_s.mean)))
 assert float(np.min(np.asarray(qv_s.var))) > 0
+
+# reanchor the stream state to shifted hyperparameters (online hyper drift)
+p_sv2 = dict(p_sv)
+p_sv2["axes"] = tuple(dict(ax, lengthscale=ax["lengthscale"] * 1.3)
+                      for ax in p_sv["axes"])
+st2 = jax.jit(lambda s: streaming.reanchor(spec_s, p_sv, p_sv2, s))(st)
+p_q2 = jax.jit(lambda s: streaming.to_params(spec_s, p_sv2, s))(st2)
+post_r = jax.jit(lambda p: svgp.posterior(spec_s, p, xq16, full_cov=False))(p_q2)
+assert np.all(np.isfinite(np.asarray(post_r.mean)))
+assert float(np.min(np.asarray(post_r.var))) > 0
+rgap = float(np.abs(np.asarray(post_r.mean) - np.asarray(post_s.mean)).max())
+print(f"reanchor (l x1.3) posterior-mean shift {rgap:.2e}")
+assert rgap < 0.5, "reanchored posterior diverged"
 print("DRIVE OK")

@@ -131,13 +131,21 @@ def run(
     topar = jax.jit(lambda s: streaming.to_params(spec, p_full, s))
     state = streaming.init_state(spec, jnp.float32)
     per_pass = []
-    t0 = time.time()
     for p, (Xp, yp) in enumerate(passes):
         state = assim(state, jnp.asarray(Xp), jnp.asarray(yp))
         rmse, nlpd, mstd = _qv_metrics(spec, topar(state), grid, truth, cell_area)
         per_pass.append({"pass": p + 1, "n_seen": int(state["n_seen"]),
                          "qv_rmse": rmse, "qv_nlpd": nlpd, "mean_std": mstd})
-    jax.block_until_ready(state["lam"])
+
+    # assimilation throughput: one jitted scan over the stacked passes (per-
+    # dispatch timing lies on remote backends — CLAUDE.md bench rules)
+    Xst = jnp.asarray(np.stack([p[0] for p in passes]))
+    yst = jnp.asarray(np.stack([p[1] for p in passes]))
+    scan_fn = jax.jit(lambda s: streaming.assimilate_scan(spec, p_full, s,
+                                                          Xst, yst))
+    float(scan_fn(streaming.init_state(spec, jnp.float32))["lam"][0, 0])  # warm
+    t0 = time.time()
+    float(scan_fn(streaming.init_state(spec, jnp.float32))["lam"][0, 0])
     stream_wall = time.time() - t0
 
     # ---- exactness: streamed state == batch SGPR on all passes ----
@@ -164,6 +172,21 @@ def run(
     rmse_f, nlpd_f, _ = _qv_metrics(spec, topar(s_forget), grid, truth_d, cell_area)
     rmse_a, nlpd_a, _ = _qv_metrics(spec, topar(s_anchor), grid, truth_d, cell_area)
 
+    # ---- hyper refresh: refit on the drifted window, reanchor, compare ----
+    # (the full online pipeline: the accumulated data information carries
+    # across the hyper change — no replay of past passes)
+    Xw = jnp.asarray(np.concatenate([p[0] for p in drift_passes[-3:]]))
+    yw = jnp.asarray(np.concatenate([p[1] for p in drift_passes[-3:]]))
+    p_re, _ = train.fit(lambda q: sgpr.loss(cspec, q, Xw, yw),
+                        train.non_informative_init(
+                            cspec.init_params(jnp.float32), Xw, yw),
+                        n_iters=max(200, n_hyper_iters // 3), learning_rate=0.05)
+    p_full2 = dict(p_full)
+    p_full2["axes"], p_full2["noise"] = p_re["axes"], p_re["noise"]
+    s_re = jax.jit(lambda s: streaming.reanchor(spec, p_full, p_full2, s))(s_forget)
+    topar2 = jax.jit(lambda s: streaming.to_params(spec, p_full2, s))
+    rmse_r, nlpd_r, _ = _qv_metrics(spec, topar2(s_re), grid, truth_d, cell_area)
+
     results: Dict = {
         "per_pass": per_pass,
         "stream_vs_batch_qv_mean_gap": mean_gap,
@@ -173,7 +196,8 @@ def run(
         "m_total": m_side**2, "n_per_pass": n_tracks * n_per_track,
         "drift": {"phase": drift_phase, "rho": rho,
                   "rmse_forget": rmse_f, "rmse_anchored": rmse_a,
-                  "nlpd_forget": nlpd_f, "nlpd_anchored": nlpd_a},
+                  "nlpd_forget": nlpd_f, "nlpd_anchored": nlpd_a,
+                  "rmse_reanchored": rmse_r, "nlpd_reanchored": nlpd_r},
     }
 
     if outdir:

@@ -179,6 +179,41 @@ def to_q(state: State) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 @common.highest_precision
+def reanchor(spec: SVGPSpec, params_old: Params, params_new: Params,
+             state: State) -> State:
+    """Transfer the stream state to new hyperparameters (online hyper drift).
+
+    The accumulated data information is whitened against the OLD prior
+    (u = F_old w). The inducing features are fixed, so that information is an
+    exact quadratic form in u; re-expressing it in the new prior's whitening
+    with T = F_old⁻¹ F_new (Kronecker of per-axis triangular solves):
+
+        Λ' = I + Tᵀ (Λ − I) T          η' = Tᵀ η
+
+    The prior swap itself is exact — only the summarized Kuf whitenings of
+    PAST batches stay at the hypers they were assimilated under (the
+    streaming-variational-GP approximation of Bui, Nguyen & Turner 2017).
+    Supported drift pattern: refit hypers on a recent window
+    (``train.fit`` / ``fit_minibatch``), ``reanchor``, keep assimilating.
+    """
+    _check(spec)
+    chols_old = common.axis_chol_kuu(spec, params_old)
+    chols_new = common.axis_chol_kuu(spec, params_new)
+    ts = [chols_old[i].whiten(chols_new[i].F) for i in range(spec.ndim)]
+    from vggp_tpu.ops import kron_dense
+
+    T = ts[0] if spec.ndim == 1 else kron_dense(ts)
+    m = T.shape[0]
+    eye = jnp.eye(m, dtype=T.dtype)
+    lam = eye + T.T @ ((state["lam"] - eye) @ T)
+    return {
+        "lam": 0.5 * (lam + lam.T),
+        "eta": T.T @ state["eta"],
+        "n_seen": state["n_seen"],
+    }
+
+
+@common.highest_precision
 def to_params(spec: SVGPSpec, params: Params, state: State) -> Params:
     """Write the stream state's q(w) into an SVGP param dict.
 

@@ -279,3 +279,80 @@ def test_reanchor_tracks_hyper_refit():
         return float(np.mean(0.5 * np.log(2 * np.pi * v) + (ts - m) ** 2 / (2 * v)))
 
     assert nlpd(p_new, s_re) < nlpd(p_bad, s_stale) - 0.3
+
+
+def test_natgrad_gaussian_reduces_to_exact():
+    """For the Gaussian likelihood the CVI site is exact and q-independent:
+    assimilate_natgrad(gamma=1, n_inner=1) must equal assimilate."""
+    X, y = _data_1d(n=80, seed=13)
+    vspec, _ = _specs_1d(80)
+    p = _hypers(vspec)
+    s0 = streaming.init_state(vspec, jnp.float64)
+    se = streaming.assimilate(vspec, p, s0, X, y)
+    sn = streaming.assimilate_natgrad(vspec, p, s0, X, y, gamma=1.0, n_inner=1)
+    np.testing.assert_allclose(np.asarray(sn["lam"]), np.asarray(se["lam"]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sn["eta"]), np.asarray(se["eta"]),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_natgrad_poisson_stream():
+    """Single-pass Poisson streaming reaches nearly the batch natural-
+    gradient optimum, keeps Lambda >= I (log-concave sites), and recovers
+    the intensity."""
+    rng = np.random.default_rng(14)
+    n = 360
+    X = jnp.asarray(np.sort(rng.random(n)))
+    lam_true = np.exp(1.0 + np.sin(2 * np.pi * np.asarray(X)))
+    y = jnp.asarray(rng.poisson(lam_true).astype(np.float64))
+    g = CellIntegralFeature.from_lims(14, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n,
+                         likelihood="poisson", variational="full")
+    p = _hypers(spec, noise=0.05, ell=0.25, var=1.0)
+
+    s = streaming.init_state(spec, jnp.float64)
+    order = rng.permutation(n)
+    Xs, ys = X[order], y[order]
+    for lo in range(0, n, 120):
+        s = streaming.assimilate_natgrad(spec, p, s, Xs[lo:lo + 120],
+                                         ys[lo:lo + 120], gamma=0.5, n_inner=6)
+    w = np.linalg.eigvalsh(np.asarray(s["lam"]))
+    assert w.min() >= 1.0 - 1e-8
+
+    pq = streaming.to_params(spec, p, s)
+    lam_hat, _ = svgp.predict_y(spec, pq, X)
+    rel = np.abs(np.asarray(lam_hat) - lam_true) / lam_true
+    assert np.median(rel) < 0.3, np.median(rel)
+
+    # within a few nats of the batch natural-gradient fit at the SAME hypers
+    p_ng, _ = train.fit_natgrad(spec, pq, X, y, n_iters=40, gamma=0.3,
+                                hyper_lr=0.0)
+    e_stream = float(svgp.elbo(spec, pq, X, y))
+    e_batch = float(svgp.elbo(spec, p_ng, X, y))
+    assert e_stream > e_batch - 5.0, (e_stream, e_batch)
+
+
+def test_natgrad_probit_stream():
+    """Probit classification stream: predictive accuracy beats chance by a
+    wide margin and the state stays a valid precision."""
+    rng = np.random.default_rng(15)
+    n = 300
+    X = jnp.asarray(np.sort(rng.random(n)))
+    f = 2.5 * np.sin(2 * np.pi * np.asarray(X))
+    yb = (rng.random(n) < 1.0 / (1.0 + np.exp(-2 * f))).astype(np.float64)
+    g = CellIntegralFeature.from_lims(12, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n,
+                         likelihood="bernoulli", variational="full")
+    p = _hypers(spec, noise=0.05, ell=0.3, var=2.0)
+
+    s = streaming.init_state(spec, jnp.float64)
+    for lo in range(0, n, 100):
+        s = streaming.assimilate_natgrad(spec, p, s, X[lo:lo + 100],
+                                         jnp.asarray(yb[lo:lo + 100]),
+                                         gamma=0.5, n_inner=6)
+    w = np.linalg.eigvalsh(np.asarray(s["lam"]))
+    assert w.min() >= 1.0 - 1e-8
+    pq = streaming.to_params(spec, p, s)
+    prob = np.asarray(svgp.predict_y(spec, pq, X))
+    acc = np.mean((prob > 0.5) == (yb > 0.5))
+    assert acc > 0.8, acc

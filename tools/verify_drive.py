@@ -177,4 +177,16 @@ assert float(np.min(np.asarray(post_r.var))) > 0
 rgap = float(np.abs(np.asarray(post_r.mean) - np.asarray(post_s.mean)).max())
 print(f"reanchor (l x1.3) posterior-mean shift {rgap:.2e}")
 assert rgap < 0.5, "reanchored posterior diverged"
+
+# non-conjugate streaming: CVI sites on the Poisson count data from above
+st_p = streaming.init_state(spec_p, jnp.float32)
+ng_assim = jax.jit(lambda s, xb, yb: streaming.assimilate_natgrad(
+    spec_p, p_ng, s, xb, yb, gamma=0.5, n_inner=6))
+st_p = ng_assim(st_p, Xp[:100], yp[:100])
+st_p = ng_assim(st_p, Xp[100:], yp[100:])
+p_qp = jax.jit(lambda s: streaming.to_params(spec_p, p_ng, s))(st_p)
+lam_st, _ = jax.jit(lambda p: svgp.predict_y(spec_p, p, Xp))(p_qp)
+rel_st = float(np.median(np.abs(np.asarray(lam_st) - lam_p) / lam_p))
+print(f"streamed Poisson (CVI sites): median rel intensity err {rel_st:.3f}")
+assert np.isfinite(rel_st) and rel_st < 0.5
 print("DRIVE OK")

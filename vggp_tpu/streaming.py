@@ -24,6 +24,12 @@ Beyond exact assimilation the state supports:
 - **exponential forgetting** toward the prior for nonstationary streams:
   ``Λ ← I + ρ(Λ−I), η ← ρη`` discounts past data by ρ per epoch while the
   prior component stays intact,
+- **non-conjugate streams** — :func:`assimilate_natgrad` folds in batches
+  under probit/Poisson/Student-t observation models via online
+  conjugate-computation VI (Gaussian sites from expected-log-lik gradients;
+  reduces exactly to the RLS update for the Gaussian likelihood),
+- **hyperparameter re-anchoring** — :func:`reanchor` carries the state
+  across a hyper change (Bui et al. 2017),
 - **direct handoff** to every SVGP head: :func:`to_params` writes q(w) into
   an SVGP param dict, so ``svgp.posterior`` / ``svgp.q_v`` / coherent
   ``sampling.pathwise`` draws all work on the assimilated state unchanged.
@@ -49,13 +55,7 @@ Params = Dict
 State = Dict
 
 
-def _check(spec: SVGPSpec) -> None:
-    if spec.likelihood != "gaussian":
-        raise ValueError(
-            "streaming assimilation is the closed-form Gaussian-likelihood "
-            f"update; got likelihood={spec.likelihood!r} (use train.fit_natgrad "
-            "for non-conjugate observation models)"
-        )
+def _check_family(spec: SVGPSpec) -> None:
     if spec.variational != "full":
         raise ValueError(
             "streaming assimilation maintains a dense whitened precision; "
@@ -63,9 +63,19 @@ def _check(spec: SVGPSpec) -> None:
         )
 
 
+def _check(spec: SVGPSpec) -> None:
+    if spec.likelihood != "gaussian":
+        raise ValueError(
+            "exact streaming assimilation is the closed-form Gaussian-"
+            f"likelihood update; got likelihood={spec.likelihood!r} (use "
+            "assimilate_natgrad for non-conjugate observation models)"
+        )
+    _check_family(spec)
+
+
 def init_state(spec: SVGPSpec, dtype=jnp.float32) -> State:
     """Fresh stream state = the whitened prior: Λ = I, η = 0."""
-    _check(spec)
+    _check_family(spec)
     m = spec.num_inducing
     return {
         "lam": jnp.eye(m, dtype=dtype),
@@ -137,6 +147,78 @@ def assimilate_scan(
     return out
 
 
+@common.highest_precision
+def assimilate_natgrad(
+    spec: SVGPSpec,
+    params: Params,
+    state: State,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    gamma: float = 0.5,
+    n_inner: int = 4,
+    clip_h: bool = False,
+) -> State:
+    """Fold one batch into the stream state under a NON-conjugate likelihood.
+
+    Online conjugate-computation VI (Khan & Lin 2017): the batch contributes
+    a Gaussian "site" in natural parameters obtained from the gradients of
+    the expected log-likelihood w.r.t. the mean parameters of q,
+
+        ΔΛ = −2 Σᵢ hᵢ aᵢaᵢᵀ,   Δη = Σᵢ (gᵢ − 2 hᵢ mᵢ) aᵢ,
+        gᵢ = ∂ℓᵢ/∂mᵢ,  hᵢ = ∂ℓᵢ/∂vᵢ   at  q(fᵢ) = N(mᵢ, vᵢ),
+
+    damped toward the batch-conditional fixed point with ``n_inner``
+    iterations of site replacement at step size ``gamma`` (the site, not the
+    state, is damped — assimilating a batch twice never double-counts
+    within this call). For the Gaussian likelihood the site is exact and
+    q-independent, and ``gamma=1, n_inner=1`` reproduces :func:`assimilate`
+    bit-for-bit (the ℓᵢ are quadratic; tests pin this).
+
+    Log-concave likelihoods (gaussian/bernoulli/poisson) have hᵢ ≤ 0, so
+    the site is PSD and Λ stays ⪰ I. Non-log-concave ones (student_t) can
+    produce indefinite sites; ``clip_h=True`` floors hᵢ at 0 to force PSD
+    at the cost of underestimating the precision gain.
+    """
+    _check_family(spec)
+    from vggp_tpu.likelihoods import expected_log_lik
+
+    y = jnp.reshape(y, (-1,))
+    chols = common.axis_chol_kuu(spec, params)
+    blocks = common.axis_whitened_kuf(spec, params, chols, X)
+    a = common.khatri_rao_all(blocks)                     # (m, n)
+
+    def ell_sum(mean, var):
+        return jnp.sum(expected_log_lik(spec.likelihood, y, mean, var,
+                                        params, spec.likelihood_opts))
+
+    dmean = jax.grad(ell_sum, argnums=0)
+    dvar = jax.grad(ell_sum, argnums=1)
+    m = a.shape[0]
+    site_lam = jnp.zeros((m, m), dtype=a.dtype)
+    site_eta = jnp.zeros((m,), dtype=a.dtype)
+    for _ in range(n_inner):
+        cur = {"lam": state["lam"] + site_lam,
+               "eta": state["eta"] + site_eta,
+               "n_seen": state["n_seen"]}
+        mu, Ls = _mu_and_chol_S(cur)
+        mean = a.T @ mu
+        sa = Ls.T @ a
+        var = jnp.sum(sa * sa, axis=0)
+        g = dmean(mean, var)
+        h = dvar(mean, var)
+        if clip_h:
+            h = jnp.minimum(h, 0.0)
+        fresh_lam = -2.0 * (a * h[None, :]) @ a.T
+        fresh_eta = a @ (g - 2.0 * h * mean)
+        site_lam = (1.0 - gamma) * site_lam + gamma * fresh_lam
+        site_eta = (1.0 - gamma) * site_eta + gamma * fresh_eta
+    return {
+        "lam": state["lam"] + 0.5 * (site_lam + site_lam.T),
+        "eta": state["eta"] + site_eta,
+        "n_seen": state["n_seen"] + y.shape[0],
+    }
+
+
 def forget(state: State, rho: float) -> State:
     """Exponentially discount past data toward the prior.
 
@@ -196,7 +278,7 @@ def reanchor(spec: SVGPSpec, params_old: Params, params_new: Params,
     Supported drift pattern: refit hypers on a recent window
     (``train.fit`` / ``fit_minibatch``), ``reanchor``, keep assimilating.
     """
-    _check(spec)
+    _check_family(spec)
     chols_old = common.axis_chol_kuu(spec, params_old)
     chols_new = common.axis_chol_kuu(spec, params_new)
     ts = [chols_old[i].whiten(chols_new[i].F) for i in range(spec.ndim)]
@@ -222,7 +304,7 @@ def to_params(spec: SVGPSpec, params: Params, state: State) -> Params:
     been trained. S = Λ⁻¹ ⪯ I, so its Cholesky is well-conditioned whenever
     Λ's is.
     """
-    _check(spec)
+    _check_family(spec)
     mu, Ls = _mu_and_chol_S(state)
     p = dict(params)
     p["q"] = {"mu": mu, "raw_L": raw_from_chol(Ls)}

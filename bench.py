@@ -298,6 +298,7 @@ def main(sharded: bool = False):
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
     _sharded = "--sharded" in sys.argv
@@ -308,6 +309,16 @@ if __name__ == "__main__":
     except Exception as e:  # pragma: no cover
         import traceback
 
+        if ("not in the list of known backends" in str(e)
+                and not os.environ.get("VGGP_BENCH_REEXEC")):
+            # The axon PJRT plugin registers in sitecustomize, which swallows
+            # transient tunnel failures — the backend then cannot be
+            # re-registered in this process. Re-exec the interpreter once.
+            traceback.print_exc()
+            print("bench: axon plugin failed to register; re-exec once",
+                  file=sys.stderr)
+            os.environ["VGGP_BENCH_REEXEC"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         if "INTERNAL" not in str(e):
             raise  # deterministic failure — don't mask it with a retry
         traceback.print_exc()

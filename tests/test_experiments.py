@@ -153,3 +153,17 @@ def test_exceedance_experiment_smoke(tmp_path):
     assert res["max_independent"]["mean"] >= res["max_pathwise"]["mean"] - 0.2
     assert (tmp_path / "metrics.json").exists()
     assert (tmp_path / "exceedance.png").exists()
+
+
+def test_streaming_experiment_smoke(tmp_path):
+    from vggp_tpu.experiments import streaming as sexp
+
+    res = sexp.run(m_side=6, n_cells=8, n_passes=3, n_tracks=3,
+                   n_per_track=24, n_hyper_iters=60, outdir=str(tmp_path))
+    assert len(res["per_pass"]) == 3
+    assert all(np.isfinite(r["qv_rmse"]) for r in res["per_pass"])
+    # exactness contract: streamed state == batch SGPR on the same data
+    assert res["stream_vs_batch_qv_mean_gap"] < 1e-2
+    # forgetting must track the drifted field better than the anchored state
+    assert res["drift"]["rmse_forget"] <= res["drift"]["rmse_anchored"] + 0.05
+    assert (tmp_path / "metrics.json").exists()

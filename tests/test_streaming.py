@@ -60,8 +60,7 @@ def test_streamed_equals_batch_sgpr_1d():
     got = svgp.posterior(vspec, pq, xs, full_cov=False)
     want = sgpr.posterior(cspec, p, X, y, xs, full_cov=False)
     np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(got.var),
-                               np.asarray(want.var) - float(p["noise"]) * 0,
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
                                atol=1e-9)
     assert float(state["n_seen"]) == n
 
@@ -193,10 +192,16 @@ def test_assimilated_q_is_elbo_optimum():
 
 def test_rejects_non_gaussian_and_kron():
     g = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    # non-Gaussian specs may INIT a state (assimilate_natgrad needs one) but
+    # the exact Gaussian update must refuse them — a silent RLS update would
+    # treat e.g. Poisson counts as Gaussian observations.
     sp = svgp.SVGPSpec(kinds=("matern12",), features=(g,), num_data=10,
                        likelihood="poisson")
+    s = streaming.init_state(sp, jnp.float64)
+    X = jnp.asarray(np.linspace(0.1, 0.9, 10))
+    y = jnp.asarray(np.ones(10))
     with pytest.raises(ValueError, match="Gaussian"):
-        streaming.init_state(sp)
+        streaming.assimilate(sp, _hypers(sp), s, X, y)
     sk = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g, g),
                        num_data=10, variational="kron")
     with pytest.raises(ValueError, match="full"):
@@ -356,3 +361,51 @@ def test_natgrad_probit_stream():
     prob = np.asarray(svgp.predict_y(spec, pq, X))
     acc = np.mean((prob > 0.5) == (yb > 0.5))
     assert acc > 0.8, acc
+
+
+def test_natgrad_single_batch_matches_batch_fixed_point():
+    """On a COARSE inducing grid (k_ff − ‖a‖² a large fraction of k_ff) the
+    one-batch CVI fixed point must coincide with the batch natural-gradient
+    optimum: regression for the site gradients being evaluated at the full
+    q(f) marginal variance k_ff − ‖a‖² + aᵀSa, not just aᵀSa (which biases
+    Poisson sites exactly where the grid is coarse)."""
+    rng = np.random.default_rng(21)
+    n = 200
+    X = jnp.asarray(np.sort(rng.random(n)))
+    lam_true = np.exp(0.8 + np.sin(2 * np.pi * np.asarray(X)))
+    y = jnp.asarray(rng.poisson(lam_true).astype(np.float64))
+    g = CellIntegralFeature.from_lims(6, 0.0, 1.0)   # very coarse: m = 6
+    spec = svgp.SVGPSpec(kinds=("matern32",), features=(g,), num_data=n,
+                         likelihood="poisson", variational="full")
+    p = _hypers(spec, noise=0.05, ell=0.35, var=1.0)
+
+    s = streaming.assimilate_natgrad(spec, p, streaming.init_state(spec, jnp.float64),
+                                     X, y, gamma=0.5, n_inner=80)
+    pq = streaming.to_params(spec, p, s)
+    p_ng, _ = train.fit_natgrad(spec, pq, X, y, n_iters=200, gamma=0.3,
+                                hyper_lr=0.0)
+    e_stream = float(svgp.elbo(spec, pq, X, y))
+    e_batch = float(svgp.elbo(spec, p_ng, X, y))
+    # pre-fix (var = aᵀSa only) this gap was O(1) nats at m = 6
+    assert abs(e_stream - e_batch) < 0.1, (e_stream, e_batch)
+
+
+def test_to_q_f32_keeps_prior_variance_on_long_streams():
+    """Regression: the Λ factorization must use an ABSOLUTE jitter. A
+    diag-relative floor scales like the streamed data volume (mean diag of
+    Λ ≈ n/σ²) and collapses the f32 posterior variance in data-free
+    directions (measured 9× overconfident at mean-diag ≈ 8e6)."""
+    rng = np.random.default_rng(22)
+    m = 8
+    v = rng.standard_normal(m)
+    v /= np.linalg.norm(v)
+    lam = np.eye(m) + (1e7 / 3.0) * np.outer(v, v)
+    state = {"lam": jnp.asarray(lam, jnp.float32),
+             "eta": jnp.zeros((m,), jnp.float32),
+             "n_seen": jnp.asarray(1e6, jnp.float32)}
+    _, S = streaming.to_q(state)
+    w = rng.standard_normal(m)
+    w -= v * (v @ w)
+    w /= np.linalg.norm(w)               # unit vector ⊥ the data direction
+    var_w = float(w @ np.asarray(S, np.float64) @ w)
+    assert var_w > 0.9, var_w            # true value 1.0; relative jitter gave ~0.11

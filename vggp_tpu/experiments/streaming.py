@@ -77,8 +77,11 @@ def truth_cell_means(n_cells: int, phase: float = 0.0) -> np.ndarray:
     return np.einsum("ip,jr,ipjr->ij", wq, wq, Fq).ravel() / cell_area
 
 
-def _qv_metrics(spec, pq, grid, truth, cell_area):
-    g = jax.jit(lambda p: svgp.q_v(spec, p, grid, full_cov=False))(pq)
+def _qv_metrics(qv_fn, pq, truth, cell_area):
+    # qv_fn is jitted ONCE per run — a fresh jax.jit(lambda) per call would
+    # recompile the identical q_v graph on every invocation (5–400 s each on
+    # the remote TPU backend; CLAUDE.md).
+    g = qv_fn(pq)
     mean = np.asarray(g.mean) / cell_area
     var = np.asarray(g.var) / cell_area**2
     err = mean - truth
@@ -129,11 +132,12 @@ def run(
     # ---- sequential assimilation: one jitted update per pass ----
     assim = jax.jit(lambda s, xb, yb: streaming.assimilate(spec, p_full, s, xb, yb))
     topar = jax.jit(lambda s: streaming.to_params(spec, p_full, s))
+    qv_fn = jax.jit(lambda p: svgp.q_v(spec, p, grid, full_cov=False))
     state = streaming.init_state(spec, jnp.float32)
     per_pass = []
     for p, (Xp, yp) in enumerate(passes):
         state = assim(state, jnp.asarray(Xp), jnp.asarray(yp))
-        rmse, nlpd, mstd = _qv_metrics(spec, topar(state), grid, truth, cell_area)
+        rmse, nlpd, mstd = _qv_metrics(qv_fn, topar(state), truth, cell_area)
         per_pass.append({"pass": p + 1, "n_seen": int(state["n_seen"]),
                          "qv_rmse": rmse, "qv_nlpd": nlpd, "mean_std": mstd})
 
@@ -151,8 +155,7 @@ def run(
     # ---- exactness: streamed state == batch SGPR on all passes ----
     Xall = jnp.asarray(np.concatenate([p[0] for p in passes]))
     yall = jnp.asarray(np.concatenate([p[1] for p in passes]))
-    qv_stream = jax.jit(lambda p: svgp.q_v(spec, p, grid, full_cov=False))(
-        topar(state))
+    qv_stream = qv_fn(topar(state))
     qv_batch = jax.jit(
         lambda p: sgpr.q_v(cspec, p, Xall, yall, grid, full_cov=False))(p_hyp)
     mean_gap = float(np.abs(np.asarray(qv_stream.mean)
@@ -169,8 +172,8 @@ def run(
     for Xp, yp in drift_passes:
         s_forget = assim(fget(s_forget), jnp.asarray(Xp), jnp.asarray(yp))
         s_anchor = assim(s_anchor, jnp.asarray(Xp), jnp.asarray(yp))
-    rmse_f, nlpd_f, _ = _qv_metrics(spec, topar(s_forget), grid, truth_d, cell_area)
-    rmse_a, nlpd_a, _ = _qv_metrics(spec, topar(s_anchor), grid, truth_d, cell_area)
+    rmse_f, nlpd_f, _ = _qv_metrics(qv_fn, topar(s_forget), truth_d, cell_area)
+    rmse_a, nlpd_a, _ = _qv_metrics(qv_fn, topar(s_anchor), truth_d, cell_area)
 
     # ---- hyper refresh: refit on the drifted window, reanchor, compare ----
     # (the full online pipeline: the accumulated data information carries
@@ -185,7 +188,7 @@ def run(
     p_full2["axes"], p_full2["noise"] = p_re["axes"], p_re["noise"]
     s_re = jax.jit(lambda s: streaming.reanchor(spec, p_full, p_full2, s))(s_forget)
     topar2 = jax.jit(lambda s: streaming.to_params(spec, p_full2, s))
-    rmse_r, nlpd_r, _ = _qv_metrics(spec, topar2(s_re), grid, truth_d, cell_area)
+    rmse_r, nlpd_r, _ = _qv_metrics(qv_fn, topar2(s_re), truth_d, cell_area)
 
     results: Dict = {
         "per_pass": per_pass,

@@ -139,15 +139,24 @@ def make_sharded_assimilate(
 
     rep = NamedSharding(mesh, P())
     state_sh = {"lam": rep, "eta": rep, "n_seen": rep}
+    # Pin the batch inputs to data_axis so the partitioner splits the
+    # whitening over chips even if the caller passed unplaced arrays.
+    batch_sh = (NamedSharding(mesh, P(data_axis))
+                if data_axis in mesh.axis_names else rep)
 
     if heteroscedastic:
         @jax.jit
         def fn(state, xb, yb, noise):
+            xb = jax.lax.with_sharding_constraint(xb, batch_sh)
+            yb = jax.lax.with_sharding_constraint(yb, batch_sh)
+            noise = jax.lax.with_sharding_constraint(noise, batch_sh)
             out = streaming.assimilate(spec, params, state, xb, yb, noise=noise)
             return jax.lax.with_sharding_constraint(out, state_sh)
     else:
         @jax.jit
         def fn(state, xb, yb):
+            xb = jax.lax.with_sharding_constraint(xb, batch_sh)
+            yb = jax.lax.with_sharding_constraint(yb, batch_sh)
             out = streaming.assimilate(spec, params, state, xb, yb)
             return jax.lax.with_sharding_constraint(out, state_sh)
     return fn

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from vggp_tpu.models import common
 from vggp_tpu.models.svgp import SVGPSpec, raw_from_chol
-from vggp_tpu.ops import safe_cholesky, tri_solve
+from vggp_tpu.ops import solve_psd, tri_solve
 
 Params = Dict
 State = Dict
@@ -106,6 +106,7 @@ def assimilate(
     default 1-pass bf16 it puts ~1e-2 relative error on Λ, which was the
     whole streamed-vs-batch gap at the 256-inducing scale.
     """
+    _check(spec)
     y = jnp.reshape(y, (-1,))
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, X)
@@ -194,6 +195,10 @@ def assimilate_natgrad(
     dmean = jax.grad(ell_sum, argnums=0)
     dvar = jax.grad(ell_sum, argnums=1)
     m = a.shape[0]
+    # q(f_i) marginal variance is k_ff − ‖a‖² + aᵀSa (svgp.elbo's var_f);
+    # the first two terms are q-independent so hoist them out of the loop.
+    kff = common.kdiag(spec, params, X)
+    var_gap = jnp.maximum(kff - jnp.sum(a * a, axis=0), 0.0)
     site_lam = jnp.zeros((m, m), dtype=a.dtype)
     site_eta = jnp.zeros((m,), dtype=a.dtype)
     for _ in range(n_inner):
@@ -203,7 +208,7 @@ def assimilate_natgrad(
         mu, Ls = _mu_and_chol_S(cur)
         mean = a.T @ mu
         sa = Ls.T @ a
-        var = jnp.sum(sa * sa, axis=0)
+        var = var_gap + jnp.sum(sa * sa, axis=0)
         g = dmean(mean, var)
         h = dvar(mean, var)
         if clip_h:
@@ -247,8 +252,16 @@ def _mu_and_chol_S(state: State) -> Tuple[jnp.ndarray, jnp.ndarray]:
     (the ‖F⁻¹·‖²-amplification gotcha of ops/kms.py, in reverse).
     """
     flip = slice(None, None, -1)
-    G = safe_cholesky(state["lam"][flip, flip], 1e-12)
-    mu = tri_solve(G, tri_solve(G, state["eta"][flip]), trans=True)[flip]
+    lam = state["lam"][flip, flip]
+    lam = 0.5 * (lam + lam.T)
+    # ABSOLUTE jitter: Λ ⪰ I pins the scale, and mean(diag Λ) grows like
+    # n/σ² with the stream — safe_cholesky's diag-relative floor would
+    # inflate the unit prior eigenvalues linearly in stream length and
+    # collapse the f32 posterior variance in data-free directions (measured
+    # 9× overconfidence at mean-diag ≈ 8e6).
+    eps = 1e-12 if lam.dtype == jnp.float64 else 1e-6
+    G = jnp.linalg.cholesky(lam + eps * jnp.eye(lam.shape[0], dtype=lam.dtype))
+    mu = solve_psd(G, state["eta"][flip])[flip]
     ginv = tri_solve(G, jnp.eye(G.shape[0], dtype=G.dtype))
     return mu, ginv.T[flip, flip]
 

@@ -475,3 +475,15 @@ def test_pathwise_additive_moments():
     var_rel = np.abs(samp.var(0) - np.asarray(post.var)) / np.maximum(
         np.asarray(post.var), 1e-4)
     assert np.median(var_rel) < 0.35, np.median(var_rel)
+
+
+def test_pathwise_q_v_rejects_unsupported_family():
+    from vggp_tpu.models import additive
+
+    feats = (CellIntegralFeature.from_lims(4, 0.0, 1.0),
+             CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    spec = additive.AdditiveSGPRSpec(kinds=("matern12", "matern12"),
+                                     features=feats)
+    with pytest.raises(NotImplementedError, match="AdditiveSGPRSpec"):
+        sampling.pathwise_q_v(spec, spec.init_params(jnp.float64),
+                              jax.random.PRNGKey(0), feats)

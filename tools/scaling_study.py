@@ -27,7 +27,7 @@ REFERENCE_2D_GRIDDED_IT_S = 25.1  # BASELINE.md, nb61 cell 54 (20×20 grid)
 N_TIMED = 200
 
 
-def measure(m_axis: int, batch: int) -> dict:
+def measure(m_axis: int, batch: int, ndim: int = 2) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -37,11 +37,11 @@ def measure(m_axis: int, batch: int) -> dict:
     from vggp_tpu.models import svgp
 
     g = CellIntegralFeature.from_lims(m_axis, 0.0, 1.0)
-    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(g, g),
+    spec = svgp.SVGPSpec(kinds=("matern12",) * ndim, features=(g,) * ndim,
                          num_data=1_000_000, variational="kron")
     params = spec.init_params(jnp.float32)
     rng = np.random.default_rng(0)
-    xb = jnp.asarray(rng.random((batch, 2)), jnp.float32)
+    xb = jnp.asarray(rng.random((batch, ndim)), jnp.float32)
     yb = jnp.asarray(
         np.sin(6 * np.asarray(xb[:, 0])) * np.cos(5 * np.asarray(xb[:, 1]))
         + 0.1 * rng.standard_normal(batch), jnp.float32)
@@ -72,7 +72,8 @@ def measure(m_axis: int, batch: int) -> dict:
         float(vals[-1])                     # force completion via transfer
         steps_per_sec = max(steps_per_sec, N_TIMED / (time.perf_counter() - t0))
     return {
-        "m_axis": m_axis, "m_total": m_axis * m_axis, "batch": batch,
+        "m_axis": m_axis, "ndim": ndim, "m_total": m_axis ** ndim,
+        "batch": batch,
         "steps_per_sec": round(steps_per_sec, 2),
         "vs_reference_20x20": round(steps_per_sec / REFERENCE_2D_GRIDDED_IT_S, 2),
         "points_per_sec": round(steps_per_sec * batch, 0),
@@ -90,13 +91,16 @@ def main():
     import jax
 
     if args.quick:
-        grid = [(64, 1024), (128, 1024)]
+        grid = [(64, 1024, 2), (128, 1024, 2)]
     else:
-        grid = [(m, b) for m in (128, 256, 512, 1024) for b in (1024, 4096)]
+        grid = [(m, b, 2) for m in (128, 256, 512, 1024) for b in (1024, 4096)]
+        # 3-D lon×lat×time rows (the spacetime-experiment family): 64³ has
+        # the same m_total as 512², so the pair isolates the ndim cost.
+        grid += [(32, 4096, 3), (64, 4096, 3)]
 
     rows = []
-    for m_axis, batch in grid:
-        row = measure(m_axis, batch)
+    for m_axis, batch, ndim in grid:
+        row = measure(m_axis, batch, ndim=ndim)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -39,36 +39,45 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _cell_kuf_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref):
-    """One (TM, TN) tile of σℓ·Cov[∫_cell f, f(x)].
+def _tile_kuf_F(a, b, x, lengthscale):
+    """F of one (rows, TN) tile: Kuf = σ²ℓ·F. THE single copy of the
+    compensated cell-Kuf tile numerics — every kernel builds on it.
 
-    a_ref/b_ref: (TM, 1) cell edges; x_ref: (1, TN) points;
-    scal_ref: (1, 2) [variance, lengthscale] in SMEM.
+    a/b: (rows, 1) cell edges; x: (1, TN) points.
 
     Inside a cell the naive value −(expm1(−u) + expm1(−w)) needs TWO
     per-element Horner series (TPU expm1 is inexact; ops.stablemath). The
     identity expm1(−u) + expm1(−w) = expm1(−u−w) − expm1(−u)·expm1(−w)
     with u + w = δ/ℓ (constant per cell row) moves the series onto the
-    (TM, 1) column: the per-element cost drops to two plain exps. Error
+    (rows, 1) column: the per-element cost drops to two plain exps. Error
     of the product term is ≤ (u+w)·ε_exp absolute against a value of size
     ~δ/ℓ, i.e. ~1e-6 relative in f32 — same order as the series path
     (validated against the f64 goldens in bench.smoke on-device).
+
+    Returns (F, intermediates) so the ∂/∂ℓ tile can reuse the exp chain.
     """
-    variance = scal_ref[0, 0]
-    lengthscale = scal_ref[0, 1]
-    a = a_ref[:]          # (TM, 1)
-    b = b_ref[:]
-    x = x_ref[:]          # (1, TN)
-    u = jnp.abs(x - a) / lengthscale          # (TM, TN)
+    u = jnp.abs(x - a) / lengthscale          # (rows, TN)
     w = jnp.abs(x - b) / lengthscale
     inside = (x >= a) & (x <= b)
-    dd = (b - a) / lengthscale                # (TM, 1)
+    dd = (b - a) / lengthscale                # (rows, 1)
     em_dd = expm1s(-dd)                       # series on the cheap axis only
     e_u = jnp.exp(-u)
     e_w = jnp.exp(-w)
-    outside_val = jnp.maximum(e_u, e_w) * (-em_dd)   # max(e⁻ᵘ,e⁻ʷ) = e^{-near}
-    inside_val = -em_dd + (e_u - 1.0) * (e_w - 1.0)
-    out_ref[:] = variance * lengthscale * jnp.where(inside, inside_val, outside_val)
+    enear = jnp.maximum(e_u, e_w)             # = e^{-near}
+    F = jnp.where(inside, -em_dd + (e_u - 1.0) * (e_w - 1.0), enear * (-em_dd))
+    return F, (u, w, inside, dd, em_dd, e_u, e_w, enear)
+
+
+def _cell_kuf_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref):
+    """One (TM, TN) tile of σℓ·Cov[∫_cell f, f(x)] (see ``_tile_kuf_F``).
+
+    a_ref/b_ref: (TM, 1) cell edges; x_ref: (1, TN) points;
+    scal_ref: (1, 2) [variance, lengthscale] in SMEM.
+    """
+    variance = scal_ref[0, 0]
+    lengthscale = scal_ref[0, 1]
+    F, _ = _tile_kuf_F(a_ref[:], b_ref[:], x_ref[:], lengthscale)
+    out_ref[:] = variance * lengthscale * F
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -118,29 +127,8 @@ def _cell_kuf_dl_kernel(a_ref, b_ref, x_ref, scal_ref, out_ref, dl_ref):
     """
     variance = scal_ref[0, 0]
     lengthscale = scal_ref[0, 1]
-    a = a_ref[:]
-    b = b_ref[:]
-    x = x_ref[:]
-    u = jnp.abs(x - a) / lengthscale
-    w = jnp.abs(x - b) / lengthscale
-    inside = (x >= a) & (x <= b)
-    near = jnp.minimum(u, w)
-    dd = (b - a) / lengthscale                # (TM, 1)
-    em_dd = expm1s(-dd)                       # series on the cheap axis only
-    e_dd = 1.0 + em_dd                        # e^{-δ/ℓ}, per cell row
-    e_u = jnp.exp(-u)
-    e_w = jnp.exp(-w)
-    enear = jnp.maximum(e_u, e_w)             # = e^{-near}
-    # inside: expm1(−u)+expm1(−w) = em_dd − em_u·em_w (u+w = δ/ℓ) — see
-    # _cell_kuf_kernel for the accuracy argument
-    F = jnp.where(inside, -em_dd + (e_u - 1.0) * (e_w - 1.0), enear * (-em_dd))
-    G = jnp.where(
-        inside,
-        -(e_u * u + e_w * w),
-        enear * (near * (-em_dd) - e_dd * dd),
-    )
-    out_ref[:] = variance * lengthscale * F
-    dl_ref[:] = variance * (F + G)
+    out_ref[:], dl_ref[:] = _tile_kuf_dkuf(a_ref[:], b_ref[:], x_ref[:],
+                                           variance, lengthscale)
 
 
 def cell_kuf_with_dl(mesh, x, variance, lengthscale):
@@ -207,18 +195,12 @@ _FTN = 256   # points per tile in the fused kernel (k-dim stays _BB)
 
 
 def _tile_kuf_dkuf(a, b, x, variance, lengthscale):
-    """(Kuf, ∂Kuf/∂ℓ) math for one (rows, TN) tile — shared tile body."""
-    u = jnp.abs(x - a) / lengthscale
-    w = jnp.abs(x - b) / lengthscale
-    inside = (x >= a) & (x <= b)
+    """(Kuf, ∂Kuf/∂ℓ) math for one (rows, TN) tile — shared tile body
+    (Kuf = σ²ℓ·F, ∂Kuf/∂ℓ = σ²(F + G); F from ``_tile_kuf_F``)."""
+    F, (u, w, inside, dd, em_dd, e_u, e_w, enear) = _tile_kuf_F(
+        a, b, x, lengthscale)
     near = jnp.minimum(u, w)
-    dd = (b - a) / lengthscale
-    em_dd = expm1s(-dd)
-    e_dd = 1.0 + em_dd
-    e_u = jnp.exp(-u)
-    e_w = jnp.exp(-w)
-    enear = jnp.maximum(e_u, e_w)
-    F = jnp.where(inside, -em_dd + (e_u - 1.0) * (e_w - 1.0), enear * (-em_dd))
+    e_dd = 1.0 + em_dd                        # e^{-δ/ℓ}, per cell row
     G = jnp.where(inside, -(e_u * u + e_w * w),
                   enear * (near * (-em_dd) - e_dd * dd))
     return variance * lengthscale * F, variance * (F + G)

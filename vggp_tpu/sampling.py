@@ -174,12 +174,19 @@ def prior_inducing_sample(omegas, phases, amp, spec: SVGPSpec, params) -> jnp.nd
 
 
 def _accumulate_factors(phases, amp, factors) -> jnp.ndarray:
-    """amp · Σ_j Re[e^{i b_j} Π_k factor_kj] over per-axis (re, im) factors."""
+    """amp · Σ_j Re[e^{i b_j} Π_k factor_kj] over per-axis (re, im) factors.
+
+    The running (re, im) product covers all but the LAST factor; the final
+    factor is contracted over F as a matmul (MXU, no (m₁, …, m_d, F)
+    intermediate — elementwise-accumulating every factor peaks at
+    O(Π m_k · F) HBM, ~2 GB per sample at a 512² grid with F = 1024)."""
     pr, pi = jnp.cos(phases), jnp.sin(phases)          # (F,)
-    for fr, fi in factors:                             # (m_k, F) each
+    for fr, fi in factors[:-1]:                        # (m_k, F) each
         pr, pi = (pr[..., None, :] * fr - pi[..., None, :] * fi,
                   pr[..., None, :] * fi + pi[..., None, :] * fr)
-    return amp * jnp.sum(pr, axis=-1)
+    fr, fi = factors[-1]
+    # Re[(pr + i·pi)(fr + i·fi)] summed over F: (..., F) @ (F, m_last)
+    return amp * (pr @ fr.T - pi @ fi.T)
 
 
 def prior_grid_integral_sample(omegas, phases, amp, grid_axes) -> jnp.ndarray:
@@ -450,6 +457,7 @@ def _whiten_axes(w: jnp.ndarray, chols) -> jnp.ndarray:
     return w
 
 
+@common.highest_precision
 def pathwise_posterior(
     spec: SVGPSpec,
     params,
@@ -530,6 +538,7 @@ def pathwise_posterior(
 # --------------------------------------------------------------------------- #
 
 
+@common.highest_precision
 def pathwise_posterior_collapsed(
     spec,
     params,
@@ -565,6 +574,7 @@ def pathwise_posterior_collapsed(
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
 
+@common.highest_precision
 def pathwise_posterior_free(
     spec,
     params,
@@ -600,6 +610,7 @@ def pathwise_posterior_free(
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
 
+@common.highest_precision
 def pathwise_posterior_exact(
     spec,
     params,
@@ -637,6 +648,7 @@ def pathwise_posterior_exact(
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
 
+@common.highest_precision
 def pathwise_posterior_additive(
     spec,
     params,
@@ -742,6 +754,7 @@ def pathwise(spec, params, key, xstar, data=None, n_samples: int = 8,
 # --------------------------------------------------------------------------- #
 
 
+@common.highest_precision
 def pathwise_q_v(
     spec,
     params,
@@ -768,9 +781,14 @@ def pathwise_q_v(
         X, y = data
         chols, A, LB, c, _ = common.factored_state(
             spec, params, X, y, common.khatri_rao_all)
-    else:
+    elif isinstance(spec, SVGPSpec):
         chols = common.axis_chol_kuu(spec, params)
         q = params["q"]
+    else:
+        raise NotImplementedError(
+            f"pathwise_q_v supports SVGPSpec and SGPRSpec; got "
+            f"{type(spec).__name__} (use sampling.pathwise for function-"
+            "space draws of the other families)")
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
     r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T
                      for i in range(spec.ndim))      # (g_i, m_i)

@@ -75,3 +75,59 @@ def test_cg_scales_past_dense_range():
         for a, b in zip(grids[0].mesh[:-1], grids[0].mesh[1:])
     ])
     assert np.corrcoef(mean, cell_truth)[0, 1] > 0.99
+
+
+@pytest.mark.parametrize("make", [
+    lambda: features.CellIntegralFeature.from_lims(40, 0.0, 1.0),
+    lambda: features.B1SplineFeature(np.linspace(0.0, 1.0, 40)),
+])
+def test_kuu_diag_matches_dense(make):
+    feat = make()
+    dense = np.diagonal(np.asarray(feat.Kuu("matern12", P)))
+    fast = np.asarray(feat.kuu_diag("matern12", P))
+    np.testing.assert_allclose(fast, dense, rtol=1e-12)
+
+
+def test_b1_preconditioner_converges_fast_when_stiff():
+    """Regression: Jacobi must use the TRUE diagonal. For the B1-spline RKHS
+    Gram at ℓ/δ ≫ 1 the interior row sums cancel to ~δ/ℓ while the diagonal
+    is ~ℓ/δ; the old Kuu@1 row-sum proxy made the 'preconditioned' system
+    (ℓ/δ)² worse-conditioned and CG could not reach the dense answer in any
+    small iteration budget."""
+    m = 400
+    feat = features.B1SplineFeature(np.linspace(0.0, 1.0, m))   # δ = 1/399
+    stiff = {"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.5)}
+    X, y = _data(n=100, seed=3)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": (dict(stiff),), "noise": jnp.asarray(0.01)}
+    grids = (features.CellIntegralFeature.from_lims(10, 0.0, 1.0),)
+    want = np.asarray(sgpr.q_v(spec, p, X, y, grids, full_cov=False).mean)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-10,
+                                           maxiter=80))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_cg_breakdown_returns_finite_iterate():
+    """pᵀAp ≤ 0 (numerically indefinite A) must exit with the best iterate,
+    not substitute a tiny denominator (alpha → 1/tiny poisons x with inf)."""
+    b = jnp.asarray(np.ones(5))
+    x, iters, rel = cg_solve(lambda v: -v, b, maxiter=50, return_info=True)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert int(iters) == 1
+
+
+def test_cg_f32_default_tol_terminates_early():
+    """The dtype-aware default tol must be reachable in f32 — a fixed 1e-8
+    target sits below the f32 stagnation floor and burns all maxiter."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(60, 60))
+    A = jnp.asarray((a @ a.T + 60 * np.eye(60)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=60), jnp.float32)
+    x, iters, rel = cg_solve(lambda v: A @ v, b, maxiter=1000,
+                             return_info=True)
+    assert int(iters) < 200, int(iters)
+    assert float(rel) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A, np.float64),
+                                       np.asarray(b, np.float64)),
+        rtol=2e-3, atol=2e-4)

@@ -21,9 +21,15 @@ Layer map (mirrors SURVEY.md §7):
   axis sharding for very large inducing grids
 - :mod:`vggp_tpu.utils`     — data loaders/generators, scalers, metrics,
   integrators, experiment helpers
+- :mod:`vggp_tpu.sampling`  — pathwise posterior draws (Matheron + spectral
+  prior paths) for every model family, incl. coherent gridded-product draws
+- :mod:`vggp_tpu.streaming` — exact online assimilation of the whitened
+  posterior (natural-parameter RLS; CVI sites for non-conjugate streams)
+- :mod:`vggp_tpu.basis`     — standalone basis-function API (reference
+  ``src/basis/`` parity layer)
 """
 
 __version__ = "0.1.0"
 
 from vggp_tpu import kernels, ops, features, models, train, utils, parallel, data  # noqa: F401,E402
-from vggp_tpu import likelihoods, sampling  # noqa: F401,E402
+from vggp_tpu import basis, likelihoods, sampling, streaming  # noqa: F401,E402

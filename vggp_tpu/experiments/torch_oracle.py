@@ -203,9 +203,8 @@ def build_matrices(name: str, p: Dict, X: torch.Tensor, grid_mesh: torch.Tensor,
         z = p["z"]
         kuu = gram_1d(z[:, 0], z[:, 0], v1, l1) * gram_1d(z[:, 1], z[:, 1], v2, l2)
         kuf = gram_1d(z[:, 0], x1, v1, l1) * gram_1d(z[:, 1], x2, v2, l2)
-        c1 = cell_point(grid_mesh, z[:, 0], v1, l1)
-        c2 = cell_point(grid_mesh, z[:, 1], v2, l2)
-        kvu = torch.cat([c1[i][None, :] * c2 for i in range(c1.shape[0])], dim=0)
+        kvu = khatri_rao_rows(cell_point(grid_mesh, z[:, 0], v1, l1),
+                              cell_point(grid_mesh, z[:, 1], v2, l2))
         return kuu, kuf, kvu
     if name == "vffgp":
         kuu = torch.kron(vff_kuu_1d(n_omegas, lims, v1, l1),

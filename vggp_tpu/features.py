@@ -387,6 +387,14 @@ class AxisFeature:
         """
         return self.Kuu(kind, p) @ v
 
+    def kuu_diag(self, kind: str, p: Params) -> jnp.ndarray:
+        """diag(Kuu) — the exact Jacobi preconditioner ingredient for the
+        matrix-free CG path. Dense fallback; structured features override
+        (row-sum proxies are NOT safe: the B1-spline Gram's negative
+        off-diagonals cancel its row sums to ~0 while the true diagonal is
+        O(ℓ/δ) — a row-sum preconditioner actively hurts there)."""
+        return jnp.diagonal(self.Kuu(kind, p))
+
     def Kuf_dl(self, kind: str, p: Params, x: jnp.ndarray):
         """Analytic ∂Kuf/∂ℓ, or None → the caller forward-differentiates
         :meth:`Kuf` (valid whenever Kuf is a plain jnp computation)."""
@@ -716,6 +724,10 @@ class B1SplineFeature(AxisFeature):
 
         return banded.banded_matvec(self.kuu_bands(kind, p), v)
 
+    def kuu_diag(self, kind: str, p: Params) -> jnp.ndarray:
+        """diag(Kuu) = the bands' main diagonal, O(m)."""
+        return self.kuu_bands(kind, p)[0]
+
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Hat-function evaluations Φ(x) — (m, n), vectorized Cox–de Boor."""
         x = jnp.reshape(x, (-1,))
@@ -1016,6 +1028,11 @@ class CellIntegralFeature(AxisFeature):
         very large 1D cell grids (models.iterative).
         """
         return toeplitz.sym_toeplitz_matvec(self.kuu_first_row(kind, p), v)
+
+    def kuu_diag(self, kind: str, p: Params) -> jnp.ndarray:
+        """diag(Kuu): the Toeplitz Gram is constant-diagonal — first-row[0]."""
+        row = self.kuu_first_row(kind, p)
+        return jnp.full((self.m,), row[0], dtype=row.dtype)
 
     def extra_f32_jitter(self, kind: str) -> float:
         """Per-kind f32 jitter floor on top of models.common.KIND_JITTER_F32.

@@ -16,6 +16,13 @@ memory. The reference materializes every Kuu
 these sizes at all. Uncertainty still requires a factorization — use the
 dense path (or subsampled grids) for variances; means are what the
 nb7-style monthly products plot.
+
+``solve_w`` is public so a caller wanting BOTH the pointwise means and the
+gridded product pays the CG solve once:
+
+    w = iterative.solve_w(spec, params, X, y)
+    fmean = iterative.posterior_mean_from_w(spec, params, xstar, w)
+    vmean = iterative.q_v_mean_from_w(spec, params, grid_axes, w)
 """
 
 from __future__ import annotations
@@ -31,9 +38,14 @@ from vggp_tpu.ops.cg import cg_solve
 Params = dict
 
 
-def _solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
-             tol: float, maxiter: int) -> jnp.ndarray:
-    """w = (σ² Kuu + Kuf Kufᵀ)⁻¹ Kuf y via Jacobi-preconditioned CG."""
+@common.highest_precision
+def solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+            tol: float | None = None, maxiter: int = 1000) -> jnp.ndarray:
+    """w = (σ² Kuu + Kuf Kufᵀ)⁻¹ Kuf y via Jacobi-preconditioned CG.
+
+    ``tol=None`` → the dtype-aware ``cg_solve`` default (a fixed 1e-8 is
+    unreachable in f32 and would silently burn all ``maxiter`` iterations).
+    """
     if spec.ndim != 1:
         raise ValueError("iterative path supports 1D specs (per-axis structure)")
     kind = spec.kinds[0]
@@ -49,12 +61,11 @@ def _solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     def matvec(v):
         return noise * feat.kuu_matvec(kind, p, v) + kuf @ (kuf.T @ v)
 
-    # Jacobi scaling: D = diag(σ²·Kuu) + row-sums of Kuf² — cheap, exact for
-    # the dominant local structure of cell/spline features.
-    kuu_diag = feat.kuu_matvec(kind, p, jnp.ones((feat.m,), dtype=kuf.dtype))
-    # For strongly diagonal matrices matvec(1) ≈ rowsum ≥ diag; use the safe
-    # positive proxy: rowsum of |Kuf|² plus σ²·(Kuu @ 1) clipped positive.
-    d = jnp.maximum(noise * kuu_diag, 0.0) + jnp.sum(kuf * kuf, axis=1)
+    # Jacobi scaling on the EXACT diagonal D = σ²·diag(Kuu) + rowsum(Kuf²).
+    # (A Kuu@1 row-sum proxy is wrong for the B1-spline Gram: its negative
+    # off-diagonals cancel interior row sums to ~δ/ℓ while the diagonal is
+    # ~ℓ/δ — the "preconditioner" then WORSENS conditioning by (ℓ/δ)².)
+    d = noise * feat.kuu_diag(kind, p) + jnp.sum(kuf * kuf, axis=1)
     d = jnp.maximum(d, jnp.finfo(kuf.dtype).tiny)
     s = 1.0 / jnp.sqrt(d)
 
@@ -66,11 +77,9 @@ def _solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
 
 
 @common.highest_precision
-def posterior_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
-                      xstar: jnp.ndarray, tol: float = 1e-8,
-                      maxiter: int = 1000) -> jnp.ndarray:
-    """E_q[f(x*)] = Kuf(x*)ᵀ w — matches ``sgpr.posterior(...).mean``."""
-    w = _solve_w(spec, params, X, y, tol, maxiter)
+def posterior_mean_from_w(spec, params: Params, xstar: jnp.ndarray,
+                          w: jnp.ndarray) -> jnp.ndarray:
+    """E_q[f(x*)] = Kuf(x*)ᵀ w for a precomputed ``solve_w`` result."""
     kind, feat = spec.kinds[0], spec.features[0]
     p = common.axis_params(params, 0)
     xs = xstar[:, 0] if xstar.ndim == 2 else jnp.reshape(xstar, (-1,))
@@ -78,11 +87,26 @@ def posterior_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
 
 
 @common.highest_precision
-def q_v_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
-                grid_axes: Sequence[CellIntegralFeature], tol: float = 1e-8,
-                maxiter: int = 1000) -> jnp.ndarray:
-    """E_q[v] = Kvu w — matches ``sgpr.q_v(...).mean`` without any (m, m)
-    factorization (Kuu enters through matvecs only)."""
-    w = _solve_w(spec, params, X, y, tol, maxiter)
+def q_v_mean_from_w(spec, params: Params,
+                    grid_axes: Sequence[CellIntegralFeature],
+                    w: jnp.ndarray) -> jnp.ndarray:
+    """E_q[v] = Kvu w for a precomputed ``solve_w`` result."""
     kvu = common.grid_kvu(spec, params, grid_axes)[0]  # (g, m)
     return kvu @ w
+
+
+def posterior_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+                      xstar: jnp.ndarray, tol: float | None = None,
+                      maxiter: int = 1000) -> jnp.ndarray:
+    """E_q[f(x*)] = Kuf(x*)ᵀ w — matches ``sgpr.posterior(...).mean``."""
+    w = solve_w(spec, params, X, y, tol, maxiter)
+    return posterior_mean_from_w(spec, params, xstar, w)
+
+
+def q_v_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+                grid_axes: Sequence[CellIntegralFeature],
+                tol: float | None = None, maxiter: int = 1000) -> jnp.ndarray:
+    """E_q[v] = Kvu w — matches ``sgpr.q_v(...).mean`` without any (m, m)
+    factorization (Kuu enters through matvecs only)."""
+    w = solve_w(spec, params, X, y, tol, maxiter)
+    return q_v_mean_from_w(spec, params, grid_axes, w)

@@ -20,17 +20,31 @@ import jax.numpy as jnp
 def cg_solve(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     b: jnp.ndarray,
-    tol: float = 1e-8,
+    tol: float | None = None,
     maxiter: int = 1000,
     x0: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Solve A x = b for PSD A given only ``matvec``; returns x.
+    return_info: bool = False,
+):
+    """Solve A x = b for PSD A given only ``matvec``.
 
-    Plain CG with absolute+relative residual stopping (‖r‖ ≤ tol·‖b‖),
-    fixed-shape state inside ``lax.while_loop`` so it jits and runs entirely
-    on-device. ``b`` is a single (m,) right-hand side.
+    Stops on the RELATIVE residual ‖r‖ ≤ tol·‖b‖; fixed-shape state inside
+    ``lax.while_loop`` so it jits and runs entirely on-device. ``b`` is a
+    single (m,) right-hand side.
+
+    ``tol=None`` picks a dtype-aware default, ``max(1e-8, 50·eps)``: the f32
+    residual stagnates around ~1e-6 relative, so a fixed 1e-8 target is
+    unreachable there and silently burns all ``maxiter`` iterations.
+
+    A breakdown (pᵀAp ≤ 0 — A numerically indefinite from roundoff) exits
+    the loop returning the best iterate so far; substituting a tiny
+    denominator instead would blow ``alpha`` up to ~1/tiny and poison x.
+
+    With ``return_info=True`` returns ``(x, iters, rel_resid)`` so callers
+    can detect stagnation; default returns x alone.
     """
     b = jnp.reshape(b, (-1,))
+    if tol is None:
+        tol = max(1e-8, 50.0 * float(jnp.finfo(b.dtype).eps))
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     p = r
@@ -46,13 +60,18 @@ def cg_solve(
         x, r, p, rs, k = state
         ap = matvec(p)
         denom = jnp.dot(p, ap)
-        alpha = rs / jnp.where(denom > 0, denom, jnp.finfo(b.dtype).tiny)
+        ok = denom > 0
+        alpha = jnp.where(ok, rs / jnp.where(ok, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.dot(r, r)
+        # breakdown: keep the current iterate and force the loop to exit
+        rs_new = jnp.where(ok, jnp.dot(r, r), jnp.zeros_like(rs))
         beta = rs_new / rs
         p = r + beta * p
         return x, r, p, rs_new, k + 1
 
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, jnp.asarray(0)))
+    x, r, _, rs_out, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rs, jnp.asarray(0)))
+    if return_info:
+        return x, k, jnp.sqrt(jnp.dot(r, r) / bnorm2)
     return x

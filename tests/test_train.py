@@ -107,3 +107,64 @@ def test_metrics_logger(tmp_path):
     import json
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[1] == {"step": 1, "loss": 1.2, "noise": 0.09}
+
+
+def test_init_restarts_shapes_and_base():
+    X, y = _data()
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    pb = train.init_restarts(p0, jax.random.PRNGKey(0), 5, spread=0.7)
+    # every leaf grew a leading restart axis
+    for a, b in zip(jax.tree.leaves(pb), jax.tree.leaves(p0)):
+        assert a.shape == (5,) + jnp.shape(b)
+    # restart 0 is the base init verbatim; others are jittered but positive
+    np.testing.assert_allclose(float(pb["noise"][0]), float(p0["noise"]))
+    np.testing.assert_allclose(float(pb["axes"][0]["variance"][0]),
+                               float(p0["axes"][0]["variance"]))
+    assert np.all(np.asarray(pb["noise"]) > 0)
+    assert len(np.unique(np.asarray(pb["noise"]))) == 5
+    # deterministic given the key
+    pb2 = train.init_restarts(p0, jax.random.PRNGKey(0), 5, spread=0.7)
+    np.testing.assert_array_equal(np.asarray(pb["axes"][0]["lengthscale"]),
+                                  np.asarray(pb2["axes"][0]["lengthscale"]))
+
+
+def test_fit_restarts_matches_sequential_and_picks_best():
+    X, y = _data()
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    loss_fn = lambda q: sgpr.loss(spec, q, X, y)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    pb = train.init_restarts(p0, jax.random.PRNGKey(1), 4, spread=0.8)
+    best, hist = train.fit_restarts(loss_fn, pb, n_iters=60, learning_rate=0.05)
+    loss = np.asarray(hist["loss"])
+    assert loss.shape == (4, 60)
+    assert np.isfinite(loss).all()
+    # the vmapped program equals running each restart through train.fit
+    for r in range(4):
+        p_r = jax.tree.map(lambda v: v[r], pb)
+        _, hist_r = train.fit(loss_fn, p_r, 60, 0.05)
+        np.testing.assert_allclose(loss[r], np.asarray(hist_r["loss"]),
+                                   rtol=1e-10, atol=1e-12)
+    # winner = argmin of final (pre-update-convention) losses, and the best
+    # params equal the sequential fit of that same restart
+    assert hist["best"] == int(np.argmin(loss[:, -1]))
+    p_seq, _ = train.fit(
+        loss_fn, jax.tree.map(lambda v: v[hist["best"]], pb), 60, 0.05)
+    np.testing.assert_allclose(float(loss_fn(best)), float(loss_fn(p_seq)),
+                               rtol=1e-10)
+
+
+def test_fit_lbfgs_beats_adam_iteration_count():
+    X, y = _data()
+    grid = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(grid,))
+    loss_fn = lambda q: sgpr.loss(spec, q, X, y)
+    p0 = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    p_lb, hist_lb = train.fit_lbfgs(loss_fn, p0, n_iters=60)
+    lb = np.asarray(hist_lb["loss"])
+    assert np.isfinite(lb).all()
+    # 60 L-BFGS iterations reach at least what 1000 Adam steps reach
+    _, hist_adam = train.fit(loss_fn, p0, 1000, 0.05)
+    assert lb[-1] <= np.asarray(hist_adam["loss"])[-1] + 0.05

@@ -1,0 +1,128 @@
+"""Serving-path study: gridded-product extraction + prediction throughput.
+
+Training speed is bench.py's headline; this measures the OTHER half of a
+production deployment — how fast a trained 512×512 gridded Kronecker SVGP
+emits data products on one chip:
+
+- ``q_v``  : the gridded SSH product (mean + per-cell variance), 512² cells
+- ``q_dv`` : the gridded-gradient product (geostrophic velocity ingredient)
+- ``posterior`` : pointwise mean/var at large query batches (points/s)
+- ``posterior_grad`` : pointwise gradient field at large query batches
+
+Methodology (CLAUDE.md): never time per-dispatch over the remote tunnel —
+every number is a jitted ``lax.scan`` over K applications with a
+parameter perturbation carried between iterations (defeats CSE), forced by a
+real device→host transfer, compile excluded. Writes
+``results/scaling/serving.json``.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vggp_tpu.features import CellIntegralFeature
+from vggp_tpu.models import svgp
+
+M_AXIS = 512
+N_QUERY = 65536
+K_PRODUCT = 30     # scan length for grid-product extraction
+K_QUERY = 30
+
+
+def build(m_axis=M_AXIS, seed=0):
+    grid = CellIntegralFeature.from_lims(m_axis, 0.0, 1.0)
+    spec = svgp.SVGPSpec(kinds=("matern12", "matern12"), features=(grid, grid),
+                         num_data=1_000_000, variational="kron")
+    params = spec.init_params(jnp.float32)
+    rng = np.random.default_rng(seed)
+    params["q"]["mu"] = jnp.asarray(
+        rng.standard_normal((m_axis, m_axis)) * 0.1, jnp.float32)
+    for ax in params["axes"]:
+        ax["lengthscale"] = jnp.asarray(0.2, jnp.float32)
+    return spec, params, grid
+
+
+def timed_scan(fn, params, k):
+    """Mean seconds per fn(params) via a jitted scan; lengthscale is nudged
+    (relatively, by ~1e-6) each iteration so XLA cannot hoist the body."""
+
+    def body(carry, _):
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        axes = []
+        for ax in p["axes"]:
+            ax = dict(ax)
+            ax["lengthscale"] = ax["lengthscale"] * carry
+            axes.append(ax)
+        p["axes"] = tuple(axes)
+        out = fn(p)
+        acc = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(out))
+        return carry * (1.0 + 1e-7), acc
+
+    @jax.jit
+    def run():
+        _, accs = lax.scan(body, jnp.float32(1.0), None, length=k)
+        return jnp.sum(accs)
+
+    out = float(run())  # compile + warm
+    assert np.isfinite(out), "serving scan produced non-finite output"
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run())
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def main():
+    print("backend:", jax.default_backend())
+    spec, params, grid = build()
+    g_prod = (grid, grid)  # product grid == inducing grid (512² cells)
+
+    results = {"m": M_AXIS * M_AXIS, "grid_cells": M_AXIS * M_AXIS,
+               "n_query": N_QUERY}
+
+    t_qv = timed_scan(lambda p: svgp.q_v(spec, p, g_prod, full_cov=False),
+                      params, K_PRODUCT)
+    results["qv_ms"] = t_qv * 1e3
+    print(f"q_v   512² mean+var: {t_qv * 1e3:.2f} ms "
+          f"({M_AXIS * M_AXIS / t_qv / 1e6:.1f} M cells/s)")
+
+    t_qdv = timed_scan(lambda p: svgp.q_dv(spec, p, g_prod, axis=0,
+                                           full_cov=False),
+                       params, K_PRODUCT)
+    results["qdv_ms"] = t_qdv * 1e3
+    print(f"q_dv  512² mean+var: {t_qdv * 1e3:.2f} ms")
+
+    xq = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (N_QUERY, 2)),
+                     jnp.float32)
+    t_post = timed_scan(lambda p: svgp.posterior(spec, p, xq, full_cov=False),
+                        params, K_QUERY)
+    results["posterior_ms"] = t_post * 1e3
+    results["posterior_points_per_s"] = N_QUERY / t_post
+    print(f"posterior mean+var @ {N_QUERY} pts: {t_post * 1e3:.2f} ms "
+          f"({N_QUERY / t_post / 1e6:.1f} M pts/s)")
+
+    spec32, params32, grid32 = build()
+    spec32 = svgp.SVGPSpec(kinds=("matern32", "matern32"),
+                           features=spec32.features, num_data=spec32.num_data,
+                           variational="kron")
+    t_grad = timed_scan(lambda p: svgp.posterior_grad(spec32, p, xq, axis=0),
+                        params32, K_QUERY)
+    results["posterior_grad_ms"] = t_grad * 1e3
+    results["posterior_grad_points_per_s"] = N_QUERY / t_grad
+    print(f"posterior_grad @ {N_QUERY} pts: {t_grad * 1e3:.2f} ms "
+          f"({N_QUERY / t_grad / 1e6:.1f} M pts/s)")
+
+    os.makedirs("results/scaling", exist_ok=True)
+    with open("results/scaling/serving.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,64 @@ err2 = float(np.abs(np.asarray(qv2.mean) - truth2).max())
 print(f"2D kron  q_v err {err2:.4f} (cell scale {np.abs(truth2).max():.4f})")
 assert err2 < 0.01
 
+# gridded-GRADIENT products (q_dv) + on-device stability of kdiff0.
+# Goldens MUST be host numpy float64: evaluating 1 − k(r) through the TPU's
+# f32 exp (~1e-6 abs error) is 5%-wrong at r/ℓ ≈ 4e-3 — the exact failure
+# mode the stable forms exist to avoid.
+from vggp_tpu import kernels as _kern
+
+def _kdiff0_np64(kind, r, var, ell):
+    z = abs(r) / ell
+    if kind == "matern12":
+        return var * -np.expm1(-z)
+    if kind == "matern32":
+        z *= np.sqrt(3.0)
+        return var * (1.0 - (1.0 + z) * np.exp(-z))
+    if kind == "matern52":
+        z *= np.sqrt(5.0)
+        return var * (1.0 - (1.0 + z + z * z / 3.0) * np.exp(-z))
+    return var * -np.expm1(-0.5 * z * z)
+
+for _kind in ("matern12", "matern32", "matern52", "rbf"):
+    got = float(jax.jit(lambda r: _kern.kdiff0(
+        _kind, r, jnp.float32(1.3), jnp.float32(0.27)))(jnp.float32(1e-3)))
+    ref = float(_kdiff0_np64(_kind, np.float64(1e-3), 1.3, 0.27))
+    assert abs(got - ref) / ref < 1e-3, (_kind, got, ref)
+print("kdiff0 stable forms ok on-device")
+
+qdv0 = jax.jit(lambda p: svgp.q_dv(spec2, p, grids2, axis=0, full_cov=False))(p2)
+qdv1 = jax.jit(lambda p: svgp.q_dv(spec2, p, grids2, axis=1, full_cov=False))(p2)
+# f = sin4s·cos3t: ∫cell ∂₀f = Δ(sin4s)·∫cos3t; ∫cell ∂₁f = ∫sin4s·Δ(cos3t)
+truth_d0 = np.kron(np.diff(np.sin(4 * np.asarray(grids2[0].mesh))), np.asarray(i2))
+truth_d1 = np.kron(np.asarray(i1), np.diff(np.cos(3 * np.asarray(grids2[1].mesh))))
+assert np.all(np.isfinite(np.asarray(qdv0.mean))) and float(np.min(np.asarray(qdv0.var))) > 0
+assert np.all(np.isfinite(np.asarray(qdv1.mean))) and float(np.min(np.asarray(qdv1.var))) > 0
+derr0 = float(np.abs(np.asarray(qdv0.mean) - truth_d0).max())
+derr1 = float(np.abs(np.asarray(qdv1.mean) - truth_d1).max())
+print(f"q_dv axis0 err {derr0:.4f} (scale {np.abs(truth_d0).max():.4f}); "
+      f"axis1 err {derr1:.4f} (scale {np.abs(truth_d1).max():.4f})")
+assert derr0 < 0.5 * np.abs(truth_d0).max()
+assert derr1 < 0.5 * np.abs(truth_d1).max()
+# calibration: truth within 4σ everywhere (gradient products expose the
+# posterior's own uncertainty — a broken variance path fails this loudly)
+z0 = np.abs(np.asarray(qdv0.mean) - truth_d0) / np.sqrt(np.asarray(qdv0.var))
+assert float(z0.max()) < 6.0, f"q_dv z-score blowup: {z0.max():.1f}"
+
+# pointwise gradient posterior on a differentiable kernel (1D matern32 fit)
+spec_g = sgpr.SGPRSpec(kinds=("matern32",),
+                       features=(CellIntegralFeature.from_lims(10, 0.0, 1.0),))
+p0g = train.non_informative_init(spec_g.init_params(jnp.float32), X, y)
+p_g, hist_g = train.fit(lambda p: sgpr.loss(spec_g, p, X, y), p0g, 400, 0.05)
+assert np.all(np.isfinite(np.asarray(hist_g["loss"])))
+xg = jnp.linspace(0.05, 0.95, 24)
+qg = jax.jit(lambda p: sgpr.posterior_grad(spec_g, p, X, y, xg, axis=0))(p_g)
+fprime = 5.0 * np.cos(5.0 * np.asarray(xg)) - 2.0 * np.sin(2.0 * np.asarray(xg))
+assert np.all(np.isfinite(np.asarray(qg.mean))) and float(np.min(np.asarray(qg.variance()))) > 0
+corr = float(np.corrcoef(np.asarray(qg.mean), fprime)[0, 1])
+zg = np.abs(np.asarray(qg.mean) - fprime) / np.asarray(qg.stddev())
+print(f"posterior_grad corr {corr:.3f}, max |z| {zg.max():.2f}")
+assert corr > 0.9 and float(zg.max()) < 6.0
+
 # pathwise sampling on-device (new projection functionals ride this path too)
 from vggp_tpu import sampling
 samp = sampling.pathwise_posterior(spec2, p2, jax.random.PRNGKey(0),

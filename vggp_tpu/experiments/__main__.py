@@ -10,6 +10,7 @@ EXPERIMENTS = {
     "poisson": "gridded Poisson intensity mapping from count data (beyond-reference)",
     "exceedance": "joint exceedance/extreme functionals via pathwise sampling (beyond-reference)",
     "streaming": "sequential mission assimilation, no refits (beyond-reference)",
+    "velocity": "geostrophic velocities from the gridded-gradient product (beyond-reference)",
 }
 
 if __name__ == "__main__":

@@ -416,6 +416,22 @@ class AxisFeature:
             )
         return kuf, dkuf
 
+    def dKuf_dx(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """∂Kuf/∂x column-wise: Cov(u_i, ∂f(x_n)) — the gradient-observable
+        cross-covariance block (m, n).
+
+        Default is one forward-mode pass through the closed-form :meth:`Kuf`
+        with a unit tangent on every input — exact because column n depends
+        only on x_n. Features with cheaper/stabler explicit forms override
+        (cell integrals: a plain kernel-eval difference; points: k').
+        Beyond-reference capability (the reference has no gradient
+        observables); kind-differentiability is enforced by the model-level
+        gradient functions, not here.
+        """
+        x = jnp.reshape(x, (-1,))
+        _, d = jax.jvp(lambda t: self.Kuf(kind, p, t), (x,), (jnp.ones_like(x),))
+        return d
+
     # quadrature fallback used by tests to validate closed-form Kvu
     def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
         edges = np.asarray(grid.mesh)
@@ -451,6 +467,12 @@ class PointFeature(AxisFeature):
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
         return _cell_point_cov(kind, grid.mesh_j(p), p["z"], p["variance"], p["lengthscale"])
+
+    def dKuf_dx(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Cov(f(z_i), ∂f(x_n)) = k'(x_n − z_i) — closed form, no AD kinks."""
+        z = jnp.reshape(p["z"], (-1,))[:, None]
+        xs = jnp.reshape(x, (-1,))[None, :]
+        return kernels.dk_dr(kind, xs - z, p["variance"], p["lengthscale"])
 
 
 @dataclass(frozen=True)
@@ -1154,6 +1176,17 @@ class CellIntegralFeature(AxisFeature):
 
     def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
         return _cell_cell_cov(kind, grid.mesh_j(p), self.mesh_j(p), p["variance"], p["lengthscale"])
+
+    def dKuf_dx(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Cov(v_i, ∂f(x)) = ∂/∂x ∫_{α_i}^{β_i} k(t − x) dt
+        = k(x − α_i) − k(x − β_i) — a plain kernel-eval difference (exact for
+        every kind; also sidesteps the matern12 Pallas forward, which carries
+        no JVP rule for the base-class fallback)."""
+        x = jnp.reshape(x, (-1,))
+        mesh = self.mesh_j(p)
+        ka = kernels.gram_1d(kind, mesh[:-1], x, p["variance"], p["lengthscale"])
+        kb = kernels.gram_1d(kind, mesh[1:], x, p["variance"], p["lengthscale"])
+        return ka - kb
 
     def basis_eval(self, x: jnp.ndarray) -> jnp.ndarray:
         """B0 indicator basis evaluation (reference ``bspline.py:4-20,97-103``).

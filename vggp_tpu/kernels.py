@@ -101,6 +101,107 @@ def p0_inv_rows(kind: str, variance, lengthscale):
     )
 
 
+# Kernels whose GP is (at least once) mean-square differentiable — the only
+# ones for which gradient observables ∂f/∂x exist. Matérn-1/2 sample paths
+# are nowhere differentiable (−k''(0) = ∞), so gradient products reject it.
+DIFFERENTIABLE_KINDS = ("matern32", "matern52", "rbf")
+
+
+def require_differentiable(kind: str) -> str:
+    validate_kind(kind)
+    if kind not in DIFFERENTIABLE_KINDS:
+        raise ValueError(
+            f"gradient observables need a once-differentiable GP; {kind!r} is "
+            f"not (use one of {DIFFERENTIABLE_KINDS})"
+        )
+    return kind
+
+
+def dk_dr(kind: str, r: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """k'(r) at SIGNED displacement ``r = x − x'`` (odd function of r).
+
+    Cov(∂f(x), f(x')) = ∂/∂x k(x − x') = k'(x − x'). Closed forms; no
+    AD-through-|r| kinks.
+    """
+    require_differentiable(kind)
+    if kind == "matern32":
+        l_ = SQRT3 / lengthscale
+        return -variance * l_**2 * r * jnp.exp(-l_ * jnp.abs(r))
+    if kind == "matern52":
+        l_ = SQRT5 / lengthscale
+        z = l_ * jnp.abs(r)
+        return -variance * (l_**2 / 3.0) * r * (1.0 + z) * jnp.exp(-z)
+    # rbf
+    z = r / lengthscale
+    return -variance * (r / lengthscale**2) * jnp.exp(-0.5 * z * z)
+
+
+def neg_d2k_dr2(kind: str, r: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """−k''(r) at signed displacement r: Cov(∂f(x), ∂f(x')) = −k''(x − x')."""
+    require_differentiable(kind)
+    if kind == "matern32":
+        l_ = SQRT3 / lengthscale
+        z = l_ * jnp.abs(r)
+        return variance * l_**2 * (1.0 - z) * jnp.exp(-z)
+    if kind == "matern52":
+        l_ = SQRT5 / lengthscale
+        z = l_ * jnp.abs(r)
+        return variance * (l_**2 / 3.0) * (1.0 + z - z * z) * jnp.exp(-z)
+    # rbf
+    z = r / lengthscale
+    return variance * (1.0 - z * z) * jnp.exp(-0.5 * z * z) / lengthscale**2
+
+
+def grad_variance(kind: str, variance, lengthscale):
+    """Var[∂f/∂x] = −k''(0) for the 1D axis process (finite iff differentiable)."""
+    require_differentiable(kind)
+    if kind == "matern32":
+        return 3.0 * variance / lengthscale**2
+    if kind == "matern52":
+        return (5.0 / 3.0) * variance / lengthscale**2
+    return variance / lengthscale**2  # rbf
+
+
+def kdiff0(kind: str, r: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """k(0) − k(r), cancellation-free for r ≪ ℓ.
+
+    This is Var[f(x+r) − f(x)] / 2 — the face-difference (gridded-gradient)
+    prior variance ingredient. The naive ``k(0) - k(r)`` loses (ℓ/r)² relative
+    digits in float32 (same failure mode as the Matérn-1/2 Gram diagonal, see
+    ops.stablemath); every form below keeps all terms O(r²) or smaller.
+    """
+    from vggp_tpu.ops.stablemath import expm1mx, expm1s
+
+    z = jnp.abs(r) / lengthscale
+    if kind == "matern12":
+        return -variance * expm1s(-z)
+    if kind == "matern32":
+        z = SQRT3 * z
+        return -variance * (expm1mx(-z) + z * expm1s(-z))
+    if kind == "matern52":
+        z = SQRT5 * z
+        return -variance * (
+            expm1mx(-z) + z * expm1s(-z) + (z * z / 3.0) * jnp.exp(-z)
+        )
+    if kind == "rbf":
+        return -variance * expm1s(-0.5 * z * z)
+    raise ValueError(kind)
+
+
+def dgram_1d(kind: str, x1: jnp.ndarray, x2: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """D[i, j] = ∂/∂x1_i k(x1_i − x2_j) — Cov(∂f(x1_i), f(x2_j))."""
+    a = jnp.reshape(x1, (-1,))[:, None]
+    b = jnp.reshape(x2, (-1,))[None, :]
+    return dk_dr(kind, a - b, variance, lengthscale)
+
+
+def grad_gram_1d(kind: str, x1: jnp.ndarray, x2: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
+    """G[i, j] = Cov(∂f(x1_i), ∂f(x2_j)) = −k''(x1_i − x2_j)."""
+    a = jnp.reshape(x1, (-1,))[:, None]
+    b = jnp.reshape(x2, (-1,))[None, :]
+    return neg_d2k_dr2(kind, a - b, variance, lengthscale)
+
+
 def spectral_density(kind: str, omega: jnp.ndarray, variance, lengthscale) -> jnp.ndarray:
     """Spectral density S(ω) of the kernel.
 

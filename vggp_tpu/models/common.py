@@ -339,6 +339,120 @@ def grid_kvv(spec, params: Params, grid_axes, dense: bool = True):
 
 
 # --------------------------------------------------------------------------- #
+# gradient observables (beyond-reference): ∂f/∂x_j as a GP linear functional
+#
+# For the separable kernel k(x, x') = Π_i k_i(x_i − x'_i), differentiating
+# along axis j touches only that axis's factor:
+#   Cov(∂_j f(x), u)          = (∂ Kuf_j) ⊙ Π_{i≠j} Kuf_i       (Khatri–Rao)
+#   Var[∂_j f(x)]             = (−k_j''(0)) Π_{i≠j} σ²_i
+# and the gridded-gradient product v'_c = ∫_cell_c ∂_j f dx collapses, by the
+# fundamental theorem of calculus on axis j, to a FACE DIFFERENCE of point
+# evaluations tensored with the other axes' cell integrals:
+#   ∫_cell ∂_j f = [f at x_j = β] − [f at x_j = α]   (cell faces), so
+#   Cov(v', u)   = (Kuf_j(β) − Kuf_j(α)) ⊗ Kvu_{i≠j}
+# — every new block is plain kernel/Kuf evaluations; no new quadrature.
+# The face-difference product exists for EVERY kind (it never differentiates
+# pointwise); the pointwise gradient requires a once-differentiable kernel
+# (kernels.DIFFERENTIABLE_KINDS). The reference has no gradient observables.
+# --------------------------------------------------------------------------- #
+
+
+def grad_kdiag(spec, params: Params, X: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """diag Cov[∂_axis f] = −k_axis''(0) · Π_{i≠axis} σ²_i (stationary)."""
+    if X.ndim == 1:
+        X = X[:, None]
+    n = X.shape[0]
+    p_ax = axis_params(params, axis)
+    v = kernels.grad_variance(spec.kinds[axis], p_ax["variance"], p_ax["lengthscale"])
+    for i in range(len(spec.kinds)):
+        if i != axis:
+            v = v * axis_params(params, i)["variance"]
+    return jnp.ones((n,), dtype=X.dtype) * v
+
+
+def grad_gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray,
+                   axis: int) -> jnp.ndarray:
+    """Dense Cov(∂_axis f(x1), ∂_axis f(x2)) = (−k_axis'') · Π_{i≠axis} k_i."""
+    if x1.ndim == 1:
+        x1 = x1[:, None]
+    if x2.ndim == 1:
+        x2 = x2[:, None]
+    out = None
+    for i, kind in enumerate(spec.kinds):
+        p = axis_params(params, i)
+        if i == axis:
+            g = kernels.grad_gram_1d(kind, x1[:, i], x2[:, i],
+                                     p["variance"], p["lengthscale"])
+        else:
+            g = kernels.gram_1d(kind, x1[:, i], x2[:, i],
+                                p["variance"], p["lengthscale"])
+        out = g if out is None else out * g
+    return out
+
+
+def axis_whitened_dkuf(spec, params: Params, chols, X: jnp.ndarray,
+                       axis: int) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis whitened blocks with axis ``axis`` carrying F⁻¹ ∂Kuf/∂x."""
+    kernels.require_differentiable(spec.kinds[axis])
+    if X.ndim == 1:
+        X = X[:, None]
+    out = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        p = axis_params(params, i)
+        blk = (feat.dKuf_dx(kind, p, X[:, i]) if i == axis
+               else feat.Kuf(kind, p, X[:, i]))
+        out.append(chols[i].whiten(blk))
+    return tuple(out)
+
+
+def grad_grid_kvu(spec, params: Params, grid_axes, axis: int) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis Kv'u blocks of the gridded-gradient product along ``axis``:
+    face differences of Kuf at the cell edges there, plain Kvu elsewhere."""
+    out = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        p = axis_params(params, i)
+        if i == axis:
+            kue = feat.Kuf(kind, p, grid_axes[i].mesh_j(p))   # (m, g+1)
+            out.append((kue[:, 1:] - kue[:, :-1]).T)          # (g, m)
+        else:
+            out.append(feat.Kvu(kind, p, grid_axes[i]))
+    return tuple(out)
+
+
+def _face_diff_gram(kind: str, p: Params, grid) -> jnp.ndarray:
+    """(g, g) Cov of face differences f(β_c) − f(α_c) on the grid's mesh.
+
+    Built as −2·kdiff0 double differences so the dominant k(0) never enters:
+    Cov(Δ_i, Δ_j) = [D(β_i−α_j) + D(α_i−β_j)] − [D(β_i−β_j) + D(α_i−α_j)]
+    with D(r) = k(0) − k(r) (stable, kernels.kdiff0); every term is O(δ²/ℓ²)
+    of scale rather than O(1), which removes the (ℓ/δ)² f32 cancellation of
+    differencing raw Gram entries.
+    """
+    mesh = grid.mesh_j(p)
+    a, b = mesh[:-1], mesh[1:]
+    var, ell = p["variance"], p["lengthscale"]
+
+    def D(u, w):
+        return kernels.kdiff0(kind, u[:, None] - w[None, :], var, ell)
+
+    return (D(b, a) + D(a, b)) - (D(b, b) + D(a, a))
+
+
+def grad_grid_kvv(spec, params: Params, grid_axes, axis: int,
+                  dense: bool = True):
+    """Per-axis prior covariance blocks of the gridded-gradient product."""
+    blocks = []
+    for i, kind in enumerate(spec.kinds):
+        p = axis_params(params, i)
+        if i == axis:
+            blocks.append(_face_diff_gram(kind, p, grid_axes[i]))
+        else:
+            blocks.append(grid_axes[i].Kuu(kind, p))
+    blocks = tuple(blocks)
+    return kron_dense(blocks) if dense else blocks
+
+
+# --------------------------------------------------------------------------- #
 # collapsed-SGPR factored pipeline, parameterized by the axis-block combiner
 #
 # The Kronecker-product models (models.sgpr) assemble the joint whitened

@@ -113,6 +113,87 @@ def _kvx(spec: ExactGPSpec, params: Params, grid_axes, X: jnp.ndarray) -> jnp.nd
 
 
 @common.highest_precision
+def posterior_grad(
+    spec: ExactGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    xstar: jnp.ndarray, axis: int, full_cov: bool = False,
+) -> Gaussian:
+    """Posterior over ∂f/∂x_axis under the exact GP (beyond-reference).
+
+    Cov(∂f(x*), f(X)) factorizes per axis (k' on ``axis``, k elsewhere);
+    mean = that block times (Kxx+σ²I)⁻¹y, variance from −k''(0)·Πσ².
+    Requires a once-differentiable kernel on ``axis``.
+    """
+    from vggp_tpu import kernels
+
+    kernels.require_differentiable(spec.kinds[axis])
+    y = jnp.reshape(y, (-1,))
+    Xs = xstar[:, None] if xstar.ndim == 1 else xstar
+    Xd = X[:, None] if X.ndim == 1 else X
+    L = _chol_ky(spec, params, X)
+    kdx = None  # (n*, n) Cov(∂f(x*), f(X))
+    for i, kind in enumerate(spec.kinds):
+        p = common.axis_params(params, i)
+        if i == axis:
+            g = kernels.dgram_1d(kind, Xs[:, i], Xd[:, i], p["variance"], p["lengthscale"])
+        else:
+            g = kernels.gram_1d(kind, Xs[:, i], Xd[:, i], p["variance"], p["lengthscale"])
+        kdx = g if kdx is None else kdx * g
+    w = tri_solve(L, kdx.T)                  # (n, n*)
+    mean = w.T @ tri_solve(L, y)
+    if full_cov:
+        kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
+        return Gaussian(mean=mean, cov=kss - w.T @ w)
+    kss = common.grad_kdiag(spec, params, xstar, axis)
+    return Gaussian(mean=mean, var=jnp.maximum(kss - jnp.sum(w * w, axis=0), 0.0))
+
+
+@common.highest_precision
+def q_dv(
+    spec: ExactGPSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+    axis: int,
+    full_cov: bool = True,
+) -> Gaussian:
+    """Posterior over grid-cell integrals of ∂f/∂x_axis under the exact GP.
+
+    The axis factor collapses to face differences of point evaluations
+    (fundamental theorem of calculus), so Cov(v', f(X)) is a double-difference
+    of plain Grams Khatri–Rao'd with the other axes' cell/point covs — valid
+    for every kernel kind. Beyond-reference capability.
+    """
+    y = jnp.reshape(y, (-1,))
+    Xd = X[:, None] if X.ndim == 1 else X
+    L = _chol_ky(spec, params, X)
+    from vggp_tpu import kernels
+
+    blocks = []
+    for i, kind in enumerate(spec.kinds):
+        p = common.axis_params(params, i)
+        if i == axis:
+            mesh = grid_axes[i].mesh_j(p)
+            g = kernels.gram_1d(kind, mesh, Xd[:, i], p["variance"], p["lengthscale"])
+            blocks.append(g[1:, :] - g[:-1, :])
+        else:
+            blocks.append(grid_axes[i].Kuf(kind, p, Xd[:, i]))
+    kvx = blocks[0]
+    for b in blocks[1:]:
+        kvx = khatri_rao_rows(kvx, b)
+    w = tri_solve(L, kvx.T)                  # (n, g)
+    mean = w.T @ tri_solve(L, y)
+    kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
+    if full_cov:
+        kvv = kron_dense(kvv_blocks)
+        return Gaussian(mean=mean, cov=kvv - w.T @ w)
+    from vggp_tpu.ops import kron_diag
+
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    return Gaussian(mean=mean, var=common.floor_var(kvv_diag - jnp.sum(w * w, axis=0), kvv_diag))
+
+
+@common.highest_precision
 def q_v(
     spec: ExactGPSpec,
     params: Params,

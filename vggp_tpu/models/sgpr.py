@@ -91,27 +91,76 @@ def posterior_from_state(
     )
 
 
+def _grid_gaussian_from_state(spec: SGPRSpec, state, kvu_blocks, kvv_blocks,
+                              full_cov: bool) -> Gaussian:
+    """Grid-product posterior from a factored state and per-axis cross/prior
+    blocks: R = ⊗(Kvu_i F_i⁻ᵀ), T = R L_B⁻ᵀ, mean = Tc,
+    cov = Kvv − RRᵀ + TTᵀ. Shared by the q(v) and q(∂v) heads."""
+    chols, A, LB, c = state[:4]
+    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    R = kron_dense(r_blocks)
+    T = tri_solve(LB, R.T).T
+    mean = T @ c
+    if full_cov:
+        kvv = kron_dense(kvv_blocks)
+        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
+    from vggp_tpu.ops import kron_diag
+
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
 @common.highest_precision
 def q_v_from_state(
     spec: SGPRSpec, params: Params, state,
     grid_axes: Sequence[CellIntegralFeature], full_cov: bool = False,
 ) -> Gaussian:
     """q(v) from a :func:`precompute` state."""
-    chols, A, LB, c = state
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
-    r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
-    R = kron_dense(r_blocks)
-    T = tri_solve(LB, R.T).T
-    mean = T @ c
-    if full_cov:
-        kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
-        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
-    from vggp_tpu.ops import kron_diag
-
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
-    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
-    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
-    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+    return _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+
+
+@common.highest_precision
+def q_dv_from_state(
+    spec: SGPRSpec, params: Params, state,
+    grid_axes: Sequence[CellIntegralFeature], axis: int, full_cov: bool = False,
+) -> Gaussian:
+    """Gridded-gradient posterior q(∫_cell ∂f/∂x_axis) from a cached state.
+
+    The axis factor is a face difference of point evaluations (fundamental
+    theorem of calculus — ``common.grad_grid_kvu``); all blocks are closed
+    form. Divide by the cell measure for mean-gradient (velocity) fields.
+    Beyond-reference capability.
+    """
+    kvu_blocks = common.grad_grid_kvu(spec, params, grid_axes, axis)
+    kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
+    return _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+
+
+@common.highest_precision
+def posterior_grad_from_state(
+    spec: SGPRSpec, params: Params, state, xstar: jnp.ndarray, axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Posterior over the pointwise gradient ∂f/∂x_axis (collapsed model).
+
+    Same conditional algebra as :func:`posterior_from_state` with the axis
+    block replaced by F⁻¹ ∂Kuf/∂x and the prior marginal by −k''(0)·Πσ².
+    Requires a once-differentiable kernel on ``axis``.
+    """
+    chols, A, LB, c = state[:4]
+    blocks = common.axis_whitened_dkuf(spec, params, chols, xstar, axis)
+    w = common.khatri_rao_all(blocks)
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    if full_cov:
+        kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
+        return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
+    kss = common.grad_kdiag(spec, params, xstar, axis)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
 
 
 def _factored_state(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
@@ -199,24 +248,36 @@ def q_v(
     (``gridded_univariate_structure.py:475-488``). For the direct GriddedGP
     (features == cell integrals on the same mesh) this reduces to q(u).
     """
-    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    state = _factored_state(spec, params, X, y)[:4]
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
-    r_blocks = tuple(
-        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
-    )  # per-axis Kvu_i F_i⁻ᵀ ... (g_i, m_i)
-    R = kron_dense(r_blocks)            # (g, m)
-    T = tri_solve(LB, R.T).T            # (g, m)
-    mean = T @ c
-    if full_cov:
-        kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
-        cov = kvv - R @ R.T + T @ T.T
-        return Gaussian(mean=mean, cov=cov)
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
-    from vggp_tpu.ops import kron_diag
+    return _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
 
-    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
-    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
-    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+@common.highest_precision
+def q_dv(
+    spec: SGPRSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+    axis: int,
+    full_cov: bool = True,
+) -> Gaussian:
+    """Gridded-gradient posterior (see :func:`q_dv_from_state`)."""
+    state = _factored_state(spec, params, X, y)[:4]
+    return q_dv_from_state(spec, params, state, grid_axes, axis, full_cov=full_cov)
+
+
+@common.highest_precision
+def posterior_grad(
+    spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    xstar: jnp.ndarray, axis: int, full_cov: bool = False,
+) -> Gaussian:
+    """Pointwise-gradient posterior (see :func:`posterior_grad_from_state`)."""
+    state = _factored_state(spec, params, X, y)[:4]
+    return posterior_grad_from_state(spec, params, state, xstar, axis,
+                                     full_cov=full_cov)
 
 
 @common.highest_precision

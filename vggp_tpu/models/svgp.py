@@ -466,32 +466,19 @@ def p_v_u(
     return Gaussian(mean=mean, cov=kvv - RR)
 
 
-@common.highest_precision
-def q_v(
-    spec: SVGPSpec,
-    params: Params,
-    grid_axes: Sequence[CellIntegralFeature],
-    full_cov: bool = False,
-) -> Gaussian:
-    """Gridded posterior q(v) from the (whitened) variational distribution.
-
-    R_i = Kvu_i L_i⁻ᵀ per axis. mean = (R₁ ⊗ R₂) μ; covariance
-    Kvv - R Rᵀ + (R L_S)(R L_S)ᵀ. For ``full_cov=False`` only per-cell
-    variances are formed (kron-diagonals — O(g) memory), which is the gridded
-    data product's uncertainty field.
-    """
-    chols = common.axis_chol_kuu(spec, params)
-    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
-    r_blocks = tuple(
-        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
-    )  # R_i = Kvu_i F_i⁻ᵀ  (g_i, m_i)
+def _grid_gaussian(spec: SVGPSpec, params: Params, r_blocks, kvv_blocks,
+                   full_cov: bool) -> Gaussian:
+    """Assemble a grid-product posterior from whitened per-axis cross blocks
+    R_i (g_i, m_i) and per-axis prior blocks Kvv_i: mean = (⊗R_i) μ,
+    cov = Kvv − R Rᵀ + (R L_S)(R L_S)ᵀ. Shared by :func:`q_v` (cell
+    integrals) and :func:`q_dv` (gridded gradients); for ``full_cov=False``
+    only per-cell variances are formed (kron-diagonals — O(g) memory)."""
     q = params["q"]
     if spec.variational == "full":
         R = r_blocks[0] if spec.ndim == 1 else kron_dense(r_blocks)
         Ls = chol_from_raw(q["raw_L"])
         mean = R @ q["mu"]
         RS = R @ Ls
-        kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
         if full_cov:
             kvv = kron_dense(kvv_blocks)
             return Gaussian(mean=mean, cov=kvv - R @ R.T + RS @ RS.T)
@@ -499,10 +486,9 @@ def q_v(
         var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(RS * RS, axis=1)
         return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
     # kron family (any ndim ≥ 2)
-    Lk = _kron_chols(spec, q)
+    Lk = _kron_chols(spec, params["q"])
     mean = _kron_contract(q["mu"], r_blocks, out="grid")
     rs_blocks = [r_blocks[i] @ Lk[i] for i in range(spec.ndim)]
-    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
     if full_cov:
         kvv = kron_dense(kvv_blocks)
         cov = (kvv - kron_dense([R @ R.T for R in r_blocks])
@@ -515,3 +501,82 @@ def q_v(
         + kron_diag([jnp.sum(RS * RS, axis=1) for RS in rs_blocks])
     )
     return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+@common.highest_precision
+def q_v(
+    spec: SVGPSpec,
+    params: Params,
+    grid_axes: Sequence[CellIntegralFeature],
+    full_cov: bool = False,
+) -> Gaussian:
+    """Gridded posterior q(v) from the (whitened) variational distribution.
+
+    R_i = Kvu_i L_i⁻ᵀ per axis; see :func:`_grid_gaussian` for the assembly.
+    This is the gridded data product with its per-cell uncertainty field.
+    """
+    chols = common.axis_chol_kuu(spec, params)
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
+    )  # R_i = Kvu_i F_i⁻ᵀ  (g_i, m_i)
+    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+    return _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov)
+
+
+@common.highest_precision
+def q_dv(
+    spec: SVGPSpec,
+    params: Params,
+    grid_axes: Sequence[CellIntegralFeature],
+    axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Gridded-GRADIENT posterior: q over v'_c = ∫_cell_c ∂f/∂x_axis dx.
+
+    By the fundamental theorem of calculus the axis-``axis`` factor collapses
+    to a face difference of point evaluations (``common.grad_grid_kvu``), so
+    every block is closed-form kernel evaluations — exact, no finite
+    differencing, valid for every kernel kind. Divide by the cell measure for
+    the mean-gradient field (e.g. geostrophic velocities from SSH).
+    Beyond-reference capability.
+    """
+    chols = common.axis_chol_kuu(spec, params)
+    kvu_blocks = common.grad_grid_kvu(spec, params, grid_axes, axis)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
+    )
+    kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
+    return _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov)
+
+
+@common.highest_precision
+def posterior_grad(
+    spec: SVGPSpec, params: Params, xstar: jnp.ndarray, axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Posterior over the pointwise gradient ∂f/∂x_axis at ``xstar``.
+
+    Exact GP linear-functional posterior (mean = ∂aᵀμ, variance
+    −k''(0)·Π σ² − ‖∂a‖² + ‖L_Sᵀ∂a‖² with ∂a = F⁻¹ ∂Kuf) — requires a
+    once-differentiable kernel on ``axis`` (Matérn ≥ 3/2 or RBF).
+    Beyond-reference capability (e.g. geostrophic currents from SSH).
+    """
+    chols = common.axis_chol_kuu(spec, params)
+    blocks = common.axis_whitened_dkuf(spec, params, chols, xstar, axis)
+    mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
+    if not full_cov:
+        kdd = common.grad_kdiag(spec, params, xstar, axis)
+        var = jnp.maximum(kdd - var_red, 0.0) + var_add
+        return Gaussian(mean=mean, var=var)
+    a = common.khatri_rao_all(blocks)
+    kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
+    q = params["q"]
+    if spec.variational == "full":
+        Ls = chol_from_raw(q["raw_L"])
+        sa = Ls.T @ a
+    else:
+        Lk = _kron_chols(spec, q)
+        sa = common.khatri_rao_all(tuple(Lk[i].T @ blocks[i] for i in range(spec.ndim)))
+    cov = kss - a.T @ a + sa.T @ sa
+    return Gaussian(mean=mean, cov=cov)

@@ -18,4 +18,10 @@ from vggp_tpu.utils.scalers import (  # noqa: F401
     z_inverse,
 )
 from vggp_tpu.utils.datagen import gen_1d, gen_2d  # noqa: F401
-from vggp_tpu.utils.integrators import integrate_1d, simpson_grid_2d, average_grid_2d, trapz_grid_2d  # noqa: F401
+from vggp_tpu.utils.integrators import (  # noqa: F401
+    integrate_1d,
+    simpson_grid_2d,
+    average_grid_2d,
+    trapz_grid_2d,
+    grad_trapz_grid_2d,
+)

@@ -84,6 +84,37 @@ def trapz_grid_2d(field: np.ndarray, xs: np.ndarray, ys: np.ndarray, n_grids: in
                     lambda v, c, axis: np.trapezoid(v, x=c, axis=axis))
 
 
+def grad_trapz_grid_2d(field: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                       n_grids: int, axis: int) -> np.ndarray:
+    """Per-cell integrals of ∂field/∂axis — ground truth for q(∂v).
+
+    By the fundamental theorem of calculus the axis integral collapses to a
+    face difference of the field itself, trapezoid-integrated along the other
+    axis: NO numerical differentiation touches the dense field (the same
+    identity the model heads use, ``models.common.grad_grid_kvu``). Cells
+    share edge samples exactly like :func:`trapz_grid_2d`.
+    """
+    field, xs, ys = np.asarray(field), np.asarray(xs), np.asarray(ys)
+    if field.shape != (len(xs), len(ys)):
+        raise ValueError(
+            f"field shape {field.shape} must be (len(xs), len(ys)) = ({len(xs)}, {len(ys)})"
+        )
+    if axis not in (0, 1):
+        raise ValueError("axis must be 0 or 1")
+    sx = _cell_slices(len(xs), n_grids)
+    sy = _cell_slices(len(ys), n_grids)
+    out = np.empty((n_grids, n_grids))
+    for i, si in enumerate(sx):
+        for j, sj in enumerate(sy):
+            if axis == 0:
+                diff = field[si.stop - 1, sj] - field[si.start, sj]
+                out[i, j] = np.trapezoid(diff, x=ys[sj])
+            else:
+                diff = field[si, sj.stop - 1] - field[si, sj.start]
+                out[i, j] = np.trapezoid(diff, x=xs[si])
+    return out
+
+
 def simpson_grid_2d(field: np.ndarray, xs: np.ndarray, ys: np.ndarray, n_grids: int) -> np.ndarray:
     """Per-cell Simpson double integral (reference ``dataloaders.py:513-539``
     semantics, with shared-edge cells and per-axis spacings — see

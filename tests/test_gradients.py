@@ -240,7 +240,68 @@ def _simpson_nodes_weights(a, b, n=33):
     return xs, w * h / 3.0
 
 
-@pytest.mark.parametrize("model", ["sgpr", "svgp_full", "svgp_kron"])
+def _freesvgp_2d(kinds=("matern32", "matern52")):
+    from vggp_tpu.models import freesvgp
+
+    spec = freesvgp.FreeSVGPSpec(kinds=kinds, m=9)
+    params = spec.init_params(jnp.float64, seed=4)
+    for ax in params["axes"]:
+        ax["lengthscale"] = jnp.asarray(0.35)
+        ax["variance"] = jnp.asarray(1.1)
+    params["noise"] = jnp.asarray(0.01)
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.uniform(0, 1, (35, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0])) * np.cos(2 * np.asarray(X[:, 1]))
+                    + 0.05 * rng.standard_normal(35))
+    return spec, params, X, y
+
+
+def _additive_2d(kinds=("matern32", "matern52")):
+    from vggp_tpu.models import additive
+
+    feats = (CellIntegralFeature.from_lims(6, 0.0, 1.0),
+             CellIntegralFeature.from_lims(5, 0.0, 1.0))
+    spec = additive.AdditiveSGPRSpec(kinds=kinds, features=feats)
+    params = _params(feats)
+    rng = np.random.default_rng(13)
+    X = jnp.asarray(rng.uniform(0, 1, (40, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0])) + np.cos(2 * np.asarray(X[:, 1]))
+                    + 0.05 * rng.standard_normal(40))
+    return spec, params, X, y
+
+
+@pytest.mark.parametrize("model", ["freesvgp", "additive"])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_other_models_posterior_grad_oracle(model, axis):
+    if model == "freesvgp":
+        from vggp_tpu.models import freesvgp as mod
+
+        spec, params, X, y = _freesvgp_2d()
+    else:
+        from vggp_tpu.models import additive as mod
+
+        spec, params, X, y = _additive_2d()
+    pts = np.asarray([[0.28, 0.55], [0.66, 0.33]])
+    got = mod.posterior_grad(spec, params, X, y, jnp.asarray(pts), axis)
+
+    def mean_at(s, base):
+        x = base.at[axis].set(s)[None, :]
+        return mod.posterior(spec, params, X, y, x, full_cov=False).mean[0]
+
+    def cov_st(s, t, base):
+        xs = jnp.stack([base.at[axis].set(s), base.at[axis].set(t)])
+        return mod.posterior(spec, params, X, y, xs, full_cov=True).cov[0, 1]
+
+    for i, row in enumerate(pts):
+        base = jnp.asarray(row)
+        s = base[axis]
+        m_or = jax.grad(mean_at)(s, base)
+        v_or = jax.grad(jax.grad(cov_st, argnums=0), argnums=1)(s, s, base)
+        assert float(got.mean[i]) == pytest.approx(float(m_or), rel=1e-8, abs=1e-10)
+        assert float(got.variance()[i]) == pytest.approx(float(v_or), rel=1e-6, abs=1e-10)
+
+
+@pytest.mark.parametrize("model", ["sgpr", "svgp_full", "svgp_kron", "freesvgp", "additive"])
 def test_qdv_2d_quadrature_oracle(model):
     """2D, axis 0: v'_c = ∫_cell2 [f(β1, t) − f(α1, t)] dt — Simpson-quadrature
     the axis-2 integral of the joint posterior at the face points."""
@@ -250,6 +311,18 @@ def test_qdv_2d_quadrature_oracle(model):
         spec, params, X, y = _sgpr_2d()
         got = sgpr.q_dv(spec, params, X, y, (g1, g2), axis=0, full_cov=True)
         post = lambda pts: sgpr.posterior(spec, params, X, y, pts, full_cov=True)
+    elif model == "freesvgp":
+        from vggp_tpu.models import freesvgp
+
+        spec, params, X, y = _freesvgp_2d()
+        got = freesvgp.q_dv(spec, params, X, y, (g1, g2), axis=0, full_cov=True)
+        post = lambda pts: freesvgp.posterior(spec, params, X, y, pts, full_cov=True)
+    elif model == "additive":
+        from vggp_tpu.models import additive
+
+        spec, params, X, y = _additive_2d()
+        got = additive.q_dv(spec, params, X, y, (g1, g2), axis=0, full_cov=True)
+        post = lambda pts: additive.posterior(spec, params, X, y, pts, full_cov=True)
     else:
         spec, params = _svgp_2d("full" if model == "svgp_full" else "kron")
         got = svgp.q_dv(spec, params, (g1, g2), axis=0, full_cov=True)
@@ -358,6 +431,64 @@ def test_grad_trapz_grid_2d_separable_analytic():
     g_int = -np.diff(np.cos(3.0 * edges)) / 3.0
     want1 = g_int[:, None] * np.diff(np.exp(-edges))[None, :]
     np.testing.assert_allclose(got1, want1, rtol=2e-4)
+
+
+@pytest.mark.parametrize("variational", ["full", "kron"])
+def test_pathwise_grads_match_fd_of_sampled_function(variational):
+    """Each joint draw is one deterministic function: its gradient row must
+    equal the central finite difference of its value row — per sample, no
+    Monte-Carlo tolerance."""
+    from vggp_tpu import sampling
+
+    spec, params = _svgp_2d(variational, kinds=("matern52", "rbf"))
+    h = 1e-5
+    base = np.array([0.43, 0.57])
+    for axis in (0, 1):
+        pts = np.tile(base, (3, 1))
+        pts[0, axis] -= h
+        pts[2, axis] += h
+        draws = sampling.pathwise_posterior_with_grads(
+            spec, params, jax.random.PRNGKey(0), jnp.asarray(pts),
+            grad_axes=(axis,), n_samples=6, n_features=128)
+        f = np.asarray(draws[:, 0, :])       # (S, 3)
+        g = np.asarray(draws[:, 1, :])       # (S, 3)
+        fd = (f[:, 2] - f[:, 0]) / (2 * h)
+        np.testing.assert_allclose(g[:, 1], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_pathwise_collapsed_grads_match_fd():
+    from vggp_tpu import sampling
+
+    spec, params, X, y = _sgpr_2d(kinds=("matern32", "matern52"))
+    h = 1e-5
+    base = np.array([0.39, 0.61])
+    pts = np.tile(base, (3, 1))
+    pts[0, 0] -= h
+    pts[2, 0] += h
+    draws = sampling.pathwise_posterior_collapsed_with_grads(
+        spec, params, jax.random.PRNGKey(1), X, y, jnp.asarray(pts),
+        grad_axes=(0,), n_samples=6, n_features=128)
+    f = np.asarray(draws[:, 0, :])
+    g = np.asarray(draws[:, 1, :])
+    fd = (f[:, 2] - f[:, 0]) / (2 * h)
+    np.testing.assert_allclose(g[:, 1], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_pathwise_grads_moments_match_posterior_grad():
+    """Sample moments of the gradient rows converge to posterior_grad."""
+    from vggp_tpu import sampling
+
+    spec, params = _svgp_2d("kron", kinds=("matern52", "matern52"))
+    pts = jnp.asarray([[0.35, 0.45], [0.6, 0.7]])
+    draws = sampling.pathwise_posterior_with_grads(
+        spec, params, jax.random.PRNGKey(2), pts, grad_axes=(0,),
+        n_samples=3000, n_features=2048)
+    g = np.asarray(draws[:, 1, :])
+    want = svgp.posterior_grad(spec, params, pts, axis=0)
+    sd = np.sqrt(np.asarray(want.variance()))
+    np.testing.assert_allclose(g.mean(0), np.asarray(want.mean),
+                               atol=4 * sd.max() / np.sqrt(3000) + 3e-2)
+    np.testing.assert_allclose(g.std(0), sd, rtol=0.15)
 
 
 def test_sgpr_qdv_from_state_matches_direct():

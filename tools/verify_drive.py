@@ -131,6 +131,58 @@ zg = np.abs(np.asarray(qg.mean) - fprime) / np.asarray(qg.stddev())
 print(f"posterior_grad corr {corr:.3f}, max |z| {zg.max():.2f}")
 assert corr > 0.9 and float(zg.max()) < 6.0
 
+# joint (f, ∇f) pathwise draws: each sample's gradient row must equal the
+# finite difference of its own value row (per-sample identity, no MC slack)
+from vggp_tpu import sampling as _sampling
+# FD here is a smoke-level identity only: the f32 Matheron correction
+# carries ~1e-4 absolute noise that decorrelates across x ± h, so the FD
+# quotient floor is ~1e-4/h regardless of truncation (measured: gap 0.097
+# at h=3e-3, 0.39 at 2e-4 — SMALLER h is WORSE). The tight per-sample
+# identity is pinned in f64 on CPU (tests/test_gradients.py). h = 3e-3
+# balances that floor against t₃-tail truncation; bound is gradient-scale
+# relative with ~3× headroom over the measured 3%.
+h_fd = 3e-3
+x_fd = jnp.asarray([0.4 - h_fd, 0.4, 0.4 + h_fd], jnp.float32)
+jd = jax.jit(lambda p: _sampling.pathwise_posterior_collapsed_with_grads(
+    spec_g, p, jax.random.PRNGKey(9), X, y, x_fd, grad_axes=(0,),
+    n_samples=4, n_features=256))(p_g)
+jf, jg = np.asarray(jd[:, 0, :]), np.asarray(jd[:, 1, :])
+fd_g = (jf[:, 2] - jf[:, 0]) / (2 * h_fd)
+jerr = float(np.abs(fd_g - jg[:, 1]).max())
+gscale = max(1.0, float(np.abs(jg[:, 1]).max()))
+print(f"joint pathwise grads: per-sample FD gap {jerr:.4f} (scale {gscale:.2f})")
+assert jerr < 0.1 * gscale, "pathwise gradient rows inconsistent with value rows"
+
+# free-inducing-point + additive families: fit, gridded product, gradient
+# heads — all on-device (matern32 so the pointwise gradient path runs too)
+from vggp_tpu.models import additive, freesvgp
+
+spec_fr = freesvgp.FreeSVGPSpec(kinds=("matern32", "matern32"), m=16)
+p0fr = train.non_informative_init(
+    spec_fr.init_params(jnp.float32, seed=2), X2, y2)
+p_fr, h_fr = train.fit(lambda p: freesvgp.loss(spec_fr, p, X2, y2), p0fr, 200, 0.05)
+assert np.all(np.isfinite(np.asarray(h_fr["loss"]))), "freesvgp: NaN loss"
+qv_fr = jax.jit(lambda p: freesvgp.q_v(spec_fr, p, X2, y2, grids2))(p_fr)
+qdv_fr = jax.jit(lambda p: freesvgp.q_dv(spec_fr, p, X2, y2, grids2, axis=0))(p_fr)
+pg_fr = jax.jit(lambda p: freesvgp.posterior_grad(spec_fr, p, X2, y2, X2[:16], 1))(p_fr)
+for g_ in (qv_fr, qdv_fr, pg_fr):
+    assert np.all(np.isfinite(np.asarray(g_.mean)))
+    assert float(np.min(np.asarray(g_.variance()))) >= 0
+print("freesvgp fit + q_v/q_dv/posterior_grad ok")
+
+feats_ad = (CellIntegralFeature.from_lims(12, 0.0, 1.0),
+            CellIntegralFeature.from_lims(12, 0.0, 1.0))
+spec_ad = additive.AdditiveSGPRSpec(kinds=("matern32", "matern32"), features=feats_ad)
+p0ad = train.non_informative_init(spec_ad.init_params(jnp.float32), X2, y2)
+p_ad, h_ad = train.fit(lambda p: additive.loss(spec_ad, p, X2, y2), p0ad, 200, 0.05)
+assert np.all(np.isfinite(np.asarray(h_ad["loss"]))), "additive: NaN loss"
+qdv_ad = jax.jit(lambda p: additive.q_dv(spec_ad, p, X2, y2, grids2, axis=1))(p_ad)
+pg_ad = jax.jit(lambda p: additive.posterior_grad(spec_ad, p, X2, y2, X2[:16], 0))(p_ad)
+for g_ in (qdv_ad, pg_ad):
+    assert np.all(np.isfinite(np.asarray(g_.mean)))
+    assert float(np.min(np.asarray(g_.variance()))) >= 0
+print("additive fit + q_dv/posterior_grad ok")
+
 # pathwise sampling on-device (new projection functionals ride this path too)
 from vggp_tpu import sampling
 samp = sampling.pathwise_posterior(spec2, p2, jax.random.PRNGKey(0),

@@ -130,6 +130,42 @@ def run(
         "speed_mean_m_s": float(speed.mean()),
     }
 
+    # current-speed distribution via JOINT pathwise (f, ∂₀f, ∂₁f) draws at the
+    # cell centers: speed = ‖(u_g, v_g)‖ is nonlinear in the gradient, so its
+    # distribution (and exceedance maps) need coherent joint samples — the
+    # marginal q_dv moments above cannot produce it. Beyond-reference.
+    from vggp_tpu import sampling
+
+    cx = 0.5 * (grids[0].mesh[:-1] + grids[0].mesh[1:])
+    cy = 0.5 * (grids[1].mesh[:-1] + grids[1].mesh[1:])
+    centers = np.stack(np.meshgrid(cx, cy, indexing="ij"), -1).reshape(-1, 2)
+    draws = jax.jit(lambda p: sampling.pathwise_posterior_collapsed_with_grads(
+        spec, p, jax.random.PRNGKey(seed + 7), Xj, yj, jnp.asarray(centers, jnp.float32),
+        grad_axes=(0, 1), n_samples=96, n_features=1024))(p_fit)
+    d0 = np.asarray(draws[:, 1, :])     # (S, cells) ∂f/∂x_scaled samples
+    d1 = np.asarray(draws[:, 2, :])
+    u_s = -(GRAVITY / f0) * d1 / m_per_y
+    v_s = (GRAVITY / f0) * d0 / m_per_x
+    speed_s = np.hypot(u_s, v_s)        # (S, cells)
+    thresh = 0.5  # m/s — "strong current" exceedance
+    exceed = (speed_s > thresh).mean(0).reshape(n_grid, n_grid)
+    # pointwise truth gradient at the centers (central differences on the
+    # dense 600² field — validation only)
+    gx = np.gradient(field, xs, axis=0)
+    gy = np.gradient(field, ys, axis=1)
+    ix = np.searchsorted(xs, centers[:, 0])
+    iy = np.searchsorted(ys, centers[:, 1])
+    u_t = -(GRAVITY / f0) * gy[ix, iy] / m_per_y
+    v_t = (GRAVITY / f0) * gx[ix, iy] / m_per_x
+    speed_t = np.hypot(u_t, v_t)
+    brier = float(np.mean(((speed_s > thresh).mean(0) - (speed_t > thresh)) ** 2))
+    results["speed"] = {
+        "exceed_threshold_m_s": thresh,
+        "exceed_brier": brier,
+        "speed_rmse_m_s": float(np.sqrt(np.mean((speed_s.mean(0) - speed_t) ** 2))),
+        "speed_corr": float(np.corrcoef(speed_s.mean(0), speed_t)[0, 1]),
+    }
+
     if outdir:
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, "metrics.json"), "w") as fh:
@@ -147,6 +183,12 @@ def run(
              "speed": speed, "u σ": u_sd},
             title="geostrophic velocity from the gridded-gradient product",
             path=os.path.join(outdir, "velocity.png"))
+        plotting.plot_grid_heatmaps(
+            {"P(speed > 0.5 m/s)": exceed,
+             "mean speed (samples)": speed_s.mean(0).reshape(n_grid, n_grid),
+             "speed (truth)": speed_t.reshape(n_grid, n_grid)},
+            title="current-speed exceedance from joint pathwise gradients",
+            path=os.path.join(outdir, "speed_exceedance.png"))
     return results
 
 
@@ -164,6 +206,9 @@ def main():
     v = res["velocity"]
     print(f"velocity: u_rmse={v['u_rmse_m_s']:.3f} m/s v_rmse={v['v_rmse_m_s']:.3f} m/s "
           f"mean speed={v['speed_mean_m_s']:.3f} max={v['speed_max_m_s']:.3f}")
+    s = res["speed"]
+    print(f"speed (pathwise): rmse={s['speed_rmse_m_s']:.3f} m/s "
+          f"corr={s['speed_corr']:.3f} exceed-Brier={s['exceed_brier']:.3f}")
 
 
 if __name__ == "__main__":

@@ -202,6 +202,97 @@ def _kvv_dense(kvv1, kvv2, G1, G2):
 
 
 @common.highest_precision
+def posterior_grad(
+    spec: AdditiveSGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    xstar: jnp.ndarray, axis: int, full_cov: bool = False,
+) -> Gaussian:
+    """Posterior over ∂f/∂x_axis of the ADDITIVE field f = Σ_d f_d(x_d).
+
+    Only component ``axis`` varies along x_axis, so the gradient is f'_axis
+    alone: the cross-covariance block is [0, …, F_axis⁻¹∂Kuf_axis, …, 0] over
+    the stacked features and the prior marginal is −k_axis''(0) (no product
+    over other axes). Requires a once-differentiable kernel on ``axis``.
+    Beyond-reference.
+    """
+    from vggp_tpu import kernels
+
+    kernels.require_differentiable(spec.kinds[axis])
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    n = xstar.shape[0]
+    blocks = []
+    for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
+        p = common.axis_params(params, i)
+        if i == axis:
+            blocks.append(chols[i].whiten(feat.dKuf_dx(kind, p, xstar[:, i])))
+        else:
+            blocks.append(jnp.zeros((feat.m, n), dtype=A.dtype))
+    w = _concat(blocks)
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    p_ax = common.axis_params(params, axis)
+    if full_cov:
+        kss = kernels.grad_gram_1d(spec.kinds[axis], xstar[:, axis], xstar[:, axis],
+                                   p_ax["variance"], p_ax["lengthscale"])
+        return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
+    kss = kernels.grad_variance(spec.kinds[axis], p_ax["variance"],
+                                p_ax["lengthscale"]) * jnp.ones((n,), dtype=A.dtype)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
+
+
+@common.highest_precision
+def q_dv(
+    spec: AdditiveSGPRSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+    axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Gridded-gradient posterior of the additive 2D field along ``axis``.
+
+    v'_{ij} = ∫∫_cell ∂_axis f = δ_other · (f_axis(β) − f_axis(α)) — the
+    other component drops entirely (constant along ``axis``) and the face
+    difference is exact for every kind (fundamental theorem of calculus).
+    The product value is constant in the other axis's cell index.
+    Beyond-reference.
+    """
+    if spec.ndim != 2:
+        raise ValueError("additive q_dv implemented for 2 components")
+    chols, A, LB, c, y = _factored_state(spec, params, X, y)
+    other = 1 - axis
+    g_ax = grid_axes[axis]
+    d_other = grid_axes[other].delta
+    kind = spec.kinds[axis]
+    p = common.axis_params(params, axis)
+    feat = spec.features[axis]
+    kue = feat.Kuf(kind, p, g_ax.mesh_j(p))               # (m_ax, G_ax+1)
+    kv = (kue[:, 1:] - kue[:, :-1]).T * d_other           # (G_ax, m_ax)
+    r_ax = chols[axis].whiten(kv.T).T
+    G_ax, G_oth = g_ax.m, grid_axes[other].m
+    m_oth = spec.features[other].m
+    zeros = jnp.zeros((G_ax * G_oth, m_oth), dtype=A.dtype)
+    if axis == 0:
+        R = jnp.concatenate([jnp.repeat(r_ax, G_oth, axis=0), zeros], axis=1)
+    else:
+        R = jnp.concatenate([zeros, jnp.tile(r_ax, (G_oth, 1))], axis=1)
+    T = tri_solve(LB, R.T).T
+    mean = T @ c
+    kvv_ax = common._face_diff_gram(kind, p, g_ax) * (d_other * d_other)
+    if full_cov:
+        ones = jnp.ones((G_oth, G_oth), dtype=A.dtype)
+        kvv = jnp.kron(kvv_ax, ones) if axis == 0 else jnp.kron(ones, kvv_ax)
+        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
+    dax = jnp.diagonal(kvv_ax)
+    kvv_diag = (jnp.repeat(dax, G_oth) if axis == 0 else jnp.tile(dax, G_oth))
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+@common.highest_precision
 def p_v_u(
     spec: AdditiveSGPRSpec,
     params: Params,

@@ -142,6 +142,88 @@ def posterior_predictive(spec, params, X, y, xstar, full_cov: bool = False) -> G
 
 
 @common.highest_precision
+def posterior_grad(
+    spec: FreeSVGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    xstar: jnp.ndarray, axis: int, full_cov: bool = False,
+) -> Gaussian:
+    """Posterior over ∂f/∂x_axis (free-inducing-point model).
+
+    Cov(f(z_j), ∂f(x*)) = k'_axis(x*_axis − z_{j,axis}) · ∏_{d≠axis} k_d —
+    the axis factor of the Hadamard Gram swaps to the kernel derivative.
+    Requires a once-differentiable kernel on ``axis``. Beyond-reference.
+    """
+    kernels.require_differentiable(spec.kinds[axis])
+    chol, A, LB, c, y = _factored_state(spec, params, X, y)
+    z = params["z"]
+    kdu = None
+    for d, kind in enumerate(spec.kinds):
+        p = common.axis_params(params, d)
+        if d == axis:
+            g = kernels.dgram_1d(kind, xstar[:, d], z[:, d],
+                                 p["variance"], p["lengthscale"])
+        else:
+            g = kernels.gram_1d(kind, xstar[:, d], z[:, d],
+                                p["variance"], p["lengthscale"])
+        kdu = g if kdu is None else kdu * g
+    w = chol.whiten(kdu.T)                    # (m, n*)
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    if full_cov:
+        kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
+        return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
+    kss = common.grad_kdiag(spec, params, xstar, axis)
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
+
+
+@common.highest_precision
+def q_dv(
+    spec: FreeSVGPSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+    axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Gridded-gradient posterior ∫_cell ∂f/∂x_axis (free-point model).
+
+    The axis factor is a face difference of plain kernel evaluations at the
+    cell edges (fundamental theorem of calculus — valid for every kind);
+    other axes keep their cell/point integrals. Beyond-reference.
+    """
+    chol, A, LB, c, y = _factored_state(spec, params, X, y)
+    z = params["z"]
+    blocks = []
+    for d, kind in enumerate(spec.kinds):
+        p = common.axis_params(params, d)
+        if d == axis:
+            mesh = grid_axes[d].mesh_j(p)
+            g = kernels.gram_1d(kind, mesh, z[:, d], p["variance"], p["lengthscale"])
+            blocks.append(g[1:, :] - g[:-1, :])
+        else:
+            blocks.append(_cell_point_cov(kind, grid_axes[d].mesh_j(p), z[:, d],
+                                          p["variance"], p["lengthscale"]))
+    kvu = blocks[0]
+    for b in blocks[1:]:
+        kvu = khatri_rao_rows(kvu, b)
+    R = chol.whiten(kvu.T).T
+    T = tri_solve(LB, R.T).T
+    mean = T @ c
+    kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
+    if full_cov:
+        from vggp_tpu.ops import kron_dense
+
+        kvv = kron_dense(kvv_blocks)
+        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
+    from vggp_tpu.ops import kron_diag
+
+    kvv_diag = kron_diag([jnp.diagonal(b) for b in kvv_blocks])
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+@common.highest_precision
 def q_v(
     spec: FreeSVGPSpec,
     params: Params,

@@ -114,6 +114,18 @@ def eval_path(omegas, phases, amp, X: jnp.ndarray) -> jnp.ndarray:
     return amp * jnp.sum(jnp.cos(arg), axis=1)
 
 
+def eval_path_grad(omegas, phases, amp, X: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """∂/∂x_axis of the prior path at (n, d) inputs → (n,).
+
+    The path is a finite cosine sum, so its gradient is exact:
+    ∂_axis amp Σ_j cos(ωᵀx + b_j) = −amp Σ_j ω_{axis,j} sin(ωᵀx + b_j).
+    """
+    if X.ndim == 1:
+        X = X[:, None]
+    arg = X @ omegas + phases[None, :]          # (n, F)
+    return -amp * jnp.sum(omegas[axis][None, :] * jnp.sin(arg), axis=1)
+
+
 # --------------------------------------------------------------------------- #
 # Real-pair complex arithmetic
 #
@@ -475,8 +487,6 @@ def pathwise_posterior(
     """
     if xstar.ndim == 1:
         xstar = xstar[:, None]
-    d = spec.ndim
-    q = params["q"]
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, xstar)
 
@@ -484,37 +494,91 @@ def pathwise_posterior(
         kp, kw = jax.random.split(key_s)
         omegas, phases, amp = prior_paths(kp, spec, params, n_features)
         f_prior = eval_path(omegas, phases, amp, xstar)
-
-        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
-
-        # w_prior = F⁻¹ u_prior: per-axis whitening solves along each axis
-        w = _whiten_axes(u_prior, chols)
-
-        # w_q ~ N(μ, ⊗ LᵢLᵢᵀ)
-        if spec.variational == "full":
-            m = spec.num_inducing
-            z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
-            w_q = q["mu"] + chol_from_raw(q["raw_L"]) @ z
-            diff = (w_q - w.reshape(-1))
-            a = common.khatri_rao_all(blocks)
-            corr = a.T @ diff
-        else:
-            Ls = _kron_chols(spec, q)
-            z = jax.random.normal(kw, tuple(spec.axis_m), dtype=f_prior.dtype)
-            lz = z
-            for k in range(d):
-                lz = jnp.moveaxis(
-                    (Ls[k] @ jnp.moveaxis(lz, k, 0).reshape(lz.shape[k], -1))
-                    .reshape(lz.shape[k], *[s for i, s in enumerate(lz.shape)
-                                            if i != k]), 0, k)
-            diff = q["mu"] + lz - w
-            from vggp_tpu.models.svgp import _kron_contract
-
-            corr = _kron_contract(diff, blocks, out="n")
-        return f_prior + corr
+        diff = _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp,
+                                 f_prior.dtype)
+        return f_prior + _apply_blocks(spec, diff, blocks)
 
     keys = jax.random.split(key, n_samples)
     return jax.vmap(one)(keys)
+
+
+def _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp, dtype):
+    """One Matheron residual w_q − F⁻¹u_prior for the (whitened) SVGP family:
+    (m,) for the full family, (m₁, …, m_d) for the Kronecker family."""
+    q = params["q"]
+    u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+    w = _whiten_axes(u_prior, chols)   # F⁻¹ u_prior, per-axis solves
+    if spec.variational == "full":
+        m = spec.num_inducing
+        z = jax.random.normal(kw, (m,), dtype=dtype)
+        w_q = q["mu"] + chol_from_raw(q["raw_L"]) @ z
+        return w_q - w.reshape(-1)
+    Ls = _kron_chols(spec, q)
+    z = jax.random.normal(kw, tuple(spec.axis_m), dtype=dtype)
+    lz = z
+    for k in range(spec.ndim):
+        lz = jnp.moveaxis(
+            (Ls[k] @ jnp.moveaxis(lz, k, 0).reshape(lz.shape[k], -1))
+            .reshape(lz.shape[k], *[s for i, s in enumerate(lz.shape)
+                                    if i != k]), 0, k)
+    return q["mu"] + lz - w
+
+
+def _apply_blocks(spec, diff, blocks):
+    """Contract a Matheron residual against per-axis whitened blocks → (n,)."""
+    if diff.ndim == 1:
+        a = common.khatri_rao_all(blocks)
+        return a.T @ diff
+    from vggp_tpu.models.svgp import _kron_contract
+
+    return _kron_contract(diff, blocks, out="n")
+
+
+@common.highest_precision
+def pathwise_posterior_with_grads(
+    spec: SVGPSpec,
+    params,
+    key,
+    xstar: jnp.ndarray,
+    grad_axes=None,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """JOINT coherent draws of (f, ∂f/∂x_j for j in grad_axes) at ``xstar``
+    → (S, 1 + len(grad_axes), n*).
+
+    Every row of a sample rides the SAME prior path and the SAME Matheron
+    residual — the function value and its gradient components are drawn
+    jointly, which is what nonlinear functionals of the gradient need (e.g.
+    the current-speed field ‖(u_g, v_g)‖ from SSH: speed is nonlinear in the
+    gradient, so marginal moments cannot give its distribution). The path
+    gradient is exact (finite cosine sum); the correction gradient rides the
+    closed-form whitened ∂Kuf blocks (``common.axis_whitened_dkuf``).
+    Gradient axes require a once-differentiable kernel. Beyond-reference.
+    """
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    if grad_axes is None:
+        grad_axes = tuple(range(spec.ndim))
+    grad_axes = tuple(grad_axes)
+    chols = common.axis_chol_kuu(spec, params)
+    blocks = common.axis_whitened_kuf(spec, params, chols, xstar)
+    dblocks = {j: common.axis_whitened_dkuf(spec, params, chols, xstar, j)
+               for j in grad_axes}
+
+    def one(key_s):
+        kp, kw = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        f_prior = eval_path(omegas, phases, amp, xstar)
+        diff = _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp,
+                                 f_prior.dtype)
+        rows = [f_prior + _apply_blocks(spec, diff, blocks)]
+        for j in grad_axes:
+            g_prior = eval_path_grad(omegas, phases, amp, xstar, j)
+            rows.append(g_prior + _apply_blocks(spec, diff, dblocks[j]))
+        return jnp.stack(rows)
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
 
 
 # --------------------------------------------------------------------------- #
@@ -570,6 +634,53 @@ def pathwise_posterior_collapsed(
         z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
         w_q = tri_solve(LB, c + z, trans=True)       # L_B⁻ᵀ (c + z)
         return f_prior + a.T @ (w_q - w)
+
+    return jax.vmap(one)(jax.random.split(key, n_samples))
+
+
+@common.highest_precision
+def pathwise_posterior_collapsed_with_grads(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    grad_axes=None,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Joint (f, ∂f/∂x_j) draws from the collapsed-optimal posterior of an
+    ``SGPRSpec`` model → (S, 1 + len(grad_axes), n*). See
+    :func:`pathwise_posterior_with_grads` for semantics."""
+    from vggp_tpu.ops import tri_solve
+
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    if grad_axes is None:
+        grad_axes = tuple(range(spec.ndim))
+    grad_axes = tuple(grad_axes)
+    chols, A, LB, c, y = common.factored_state(
+        spec, params, X, y, common.khatri_rao_all)
+    a = common.khatri_rao_all(common.axis_whitened_kuf(spec, params, chols, xstar))
+    da = {j: common.khatri_rao_all(
+        common.axis_whitened_dkuf(spec, params, chols, xstar, j))
+        for j in grad_axes}
+    m = a.shape[0]
+
+    def one(key_s):
+        kp, kw = jax.random.split(key_s)
+        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+        f_prior = eval_path(omegas, phases, amp, xstar)
+        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        w = _whiten_axes(u_prior, chols).reshape(-1)
+        z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
+        diff = tri_solve(LB, c + z, trans=True) - w    # w_q − F⁻¹u_prior
+        rows = [f_prior + a.T @ diff]
+        for j in grad_axes:
+            g_prior = eval_path_grad(omegas, phases, amp, xstar, j)
+            rows.append(g_prior + da[j].T @ diff)
+        return jnp.stack(rows)
 
     return jax.vmap(one)(jax.random.split(key, n_samples))
 

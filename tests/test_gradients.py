@@ -491,6 +491,76 @@ def test_pathwise_grads_moments_match_posterior_grad():
     np.testing.assert_allclose(g.std(0), sd, rtol=0.15)
 
 
+@pytest.mark.parametrize("kind", ["matern52", "rbf"])
+@pytest.mark.parametrize("name,feat", _FEATS[:2], ids=["point", "cell"])
+def test_dkuf_dx2_matches_fd_of_dkuf(kind, name, feat):
+    p = _p(feat=feat)
+    x = jnp.asarray(np.linspace(0.07, 0.94, 9))
+    h = 1e-6
+    fd = (feat.dKuf_dx(kind, p, x + h) - feat.dKuf_dx(kind, p, x - h)) / (2 * h)
+    d2 = feat.dKuf_dx2(kind, p, x)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(fd), atol=1e-4, rtol=1e-4)
+    base = AxisFeature.dKuf_dx2(feat, kind, p, x)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(base), rtol=1e-9, atol=1e-12)
+
+
+def test_eval_path_deriv_matches_ad():
+    from vggp_tpu import sampling
+
+    spec, params = _svgp_2d("full", kinds=("matern52", "rbf"))
+    omegas, phases, amp = sampling.prior_paths(jax.random.PRNGKey(3), spec,
+                                               params, 64)
+    x0 = jnp.asarray([0.33, 0.71])
+
+    def path_at(x):
+        return sampling.eval_path(omegas, phases, amp, x[None, :])[0]
+
+    H = jax.hessian(path_at)(x0)
+    g = jax.grad(path_at)(x0)
+    for orders, want in [((1, 0), g[0]), ((0, 1), g[1]),
+                         ((2, 0), H[0, 0]), ((1, 1), H[0, 1]),
+                         ((0, 2), H[1, 1])]:
+        got = sampling.eval_path_deriv(omegas, phases, amp, x0[None, :], orders)[0]
+        assert float(got) == pytest.approx(float(want), rel=1e-9, abs=1e-12)
+
+
+def test_pathwise_second_derivs_match_fd_of_grad_rows():
+    """Rows of one joint draw are derivatives of one function: the (2,0) row
+    must equal the x-FD of the (1,0) row; the (1,1) row the y-FD of (1,0)."""
+    from vggp_tpu import sampling
+
+    spec, params = _svgp_2d("kron", kinds=("matern52", "rbf"))
+    h = 1e-5
+    base = np.array([0.45, 0.52])
+    pts = np.stack([base - [h, 0], base, base + [h, 0],
+                    base - [0, h], base + [0, h]])
+    draws = sampling.pathwise_posterior_with_grads(
+        spec, params, jax.random.PRNGKey(4), jnp.asarray(pts),
+        grad_axes=((1, 0), (2, 0), (1, 1)), n_samples=5, n_features=96)
+    g10 = np.asarray(draws[:, 1, :])
+    g20 = np.asarray(draws[:, 2, :])
+    g11 = np.asarray(draws[:, 3, :])
+    fd_xx = (g10[:, 2] - g10[:, 0]) / (2 * h)
+    fd_xy = (g10[:, 4] - g10[:, 3]) / (2 * h)
+    np.testing.assert_allclose(g20[:, 1], fd_xx, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(g11[:, 1], fd_xy, rtol=1e-3, atol=1e-4)
+
+
+def test_second_deriv_rejects_once_differentiable():
+    from vggp_tpu import sampling
+
+    spec, params = _svgp_2d("full", kinds=("matern32", "matern52"))
+    with pytest.raises(ValueError, match="twice-differentiable"):
+        sampling.pathwise_posterior_with_grads(
+            spec, params, jax.random.PRNGKey(0), jnp.asarray([[0.5, 0.5]]),
+            grad_axes=((2, 0),), n_samples=2, n_features=32)
+    # second derivative on the matern52 axis is fine
+    out = sampling.pathwise_posterior_with_grads(
+        spec, params, jax.random.PRNGKey(0), jnp.asarray([[0.5, 0.5]]),
+        grad_axes=((0, 2),), n_samples=2, n_features=32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_sgpr_qdv_from_state_matches_direct():
     spec, params, X, y = _sgpr_2d()
     state = sgpr.precompute(spec, params, X, y)

@@ -116,8 +116,10 @@ assert derr1 < 0.5 * np.abs(truth_d1).max()
 z0 = np.abs(np.asarray(qdv0.mean) - truth_d0) / np.sqrt(np.asarray(qdv0.var))
 assert float(z0.max()) < 6.0, f"q_dv z-score blowup: {z0.max():.1f}"
 
-# pointwise gradient posterior on a differentiable kernel (1D matern32 fit)
-spec_g = sgpr.SGPRSpec(kinds=("matern32",),
+# pointwise gradient posterior on a differentiable kernel (1D matern52 fit —
+# twice differentiable, so the joint check below can include a ∂² row;
+# matern32 gradient paths are driven by the freesvgp/additive fits below)
+spec_g = sgpr.SGPRSpec(kinds=("matern52",),
                        features=(CellIntegralFeature.from_lims(10, 0.0, 1.0),))
 p0g = train.non_informative_init(spec_g.init_params(jnp.float32), X, y)
 p_g, hist_g = train.fit(lambda p: sgpr.loss(spec_g, p, X, y), p0g, 400, 0.05)
@@ -144,14 +146,20 @@ from vggp_tpu import sampling as _sampling
 h_fd = 3e-3
 x_fd = jnp.asarray([0.4 - h_fd, 0.4, 0.4 + h_fd], jnp.float32)
 jd = jax.jit(lambda p: _sampling.pathwise_posterior_collapsed_with_grads(
-    spec_g, p, jax.random.PRNGKey(9), X, y, x_fd, grad_axes=(0,),
+    spec_g, p, jax.random.PRNGKey(9), X, y, x_fd, grad_axes=(0, (2,)),
     n_samples=4, n_features=256))(p_g)
 jf, jg = np.asarray(jd[:, 0, :]), np.asarray(jd[:, 1, :])
+jg2 = np.asarray(jd[:, 2, :])
 fd_g = (jf[:, 2] - jf[:, 0]) / (2 * h_fd)
 jerr = float(np.abs(fd_g - jg[:, 1]).max())
 gscale = max(1.0, float(np.abs(jg[:, 1]).max()))
-print(f"joint pathwise grads: per-sample FD gap {jerr:.4f} (scale {gscale:.2f})")
+fd_g2 = (jg[:, 2] - jg[:, 0]) / (2 * h_fd)   # ∂² row vs FD of the ∂ row
+jerr2 = float(np.abs(fd_g2 - jg2[:, 1]).max())
+g2scale = max(1.0, float(np.abs(jg2[:, 1]).max()))
+print(f"joint pathwise grads: per-sample FD gap {jerr:.4f} (scale {gscale:.2f}); "
+      f"second-deriv gap {jerr2:.4f} (scale {g2scale:.2f})")
 assert jerr < 0.1 * gscale, "pathwise gradient rows inconsistent with value rows"
+assert jerr2 < 0.1 * g2scale, "pathwise second-derivative rows inconsistent"
 
 # free-inducing-point + additive families: fit, gridded product, gradient
 # heads — all on-device (matern32 so the pointwise gradient path runs too)

@@ -166,6 +166,28 @@ def run(
         "speed_corr": float(np.corrcoef(speed_s.mean(0), speed_t)[0, 1]),
     }
 
+    # relative geostrophic vorticity ζ/f₀ = (g/f₀²)∇²η — SECOND derivatives,
+    # available when the kernel is twice differentiable (Matérn ≥ 5/2, RBF)
+    from vggp_tpu import kernels as _kernels
+
+    if kind in _kernels.TWICE_DIFFERENTIABLE_KINDS:
+        draws2 = jax.jit(lambda p: sampling.pathwise_posterior_collapsed_with_grads(
+            spec, p, jax.random.PRNGKey(seed + 11), Xj, yj,
+            jnp.asarray(centers, jnp.float32), grad_axes=((2, 0), (0, 2)),
+            n_samples=96, n_features=1024))(p_fit)
+        dxx = np.asarray(draws2[:, 1, :]) / m_per_x**2
+        dyy = np.asarray(draws2[:, 2, :]) / m_per_y**2
+        zeta = (GRAVITY / f0**2) * (dxx + dyy)          # ζ/f₀ samples
+        lap = (np.gradient(np.gradient(field, xs, axis=0), xs, axis=0) / m_per_x**2
+               + np.gradient(np.gradient(field, ys, axis=1), ys, axis=1) / m_per_y**2)
+        zeta_t = (GRAVITY / f0**2) * lap[ix, iy]
+        zm = zeta.mean(0)
+        results["vorticity"] = {
+            "zeta_corr": float(np.corrcoef(zm, zeta_t)[0, 1]),
+            "zeta_rmse": float(np.sqrt(np.mean((zm - zeta_t) ** 2))),
+            "zeta_abs_p90": float(np.quantile(np.abs(zm), 0.9)),
+        }
+
     if outdir:
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, "metrics.json"), "w") as fh:
@@ -209,6 +231,10 @@ def main():
     s = res["speed"]
     print(f"speed (pathwise): rmse={s['speed_rmse_m_s']:.3f} m/s "
           f"corr={s['speed_corr']:.3f} exceed-Brier={s['exceed_brier']:.3f}")
+    if "vorticity" in res:
+        z = res["vorticity"]
+        print(f"vorticity ζ/f₀: corr={z['zeta_corr']:.3f} rmse={z['zeta_rmse']:.3f} "
+              f"|ζ/f₀| p90={z['zeta_abs_p90']:.3f}")
 
 
 if __name__ == "__main__":

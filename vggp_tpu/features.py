@@ -432,6 +432,15 @@ class AxisFeature:
         _, d = jax.jvp(lambda t: self.Kuf(kind, p, t), (x,), (jnp.ones_like(x),))
         return d
 
+    def dKuf_dx2(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """∂²Kuf/∂x² column-wise: Cov(u_i, ∂²f(x_n)) — the second-derivative
+        observable block (vorticity/Laplacian heads). Default: forward-mode
+        AD through :meth:`dKuf_dx` (exact a.e.); closed-form overrides below.
+        """
+        x = jnp.reshape(x, (-1,))
+        _, d = jax.jvp(lambda t: self.dKuf_dx(kind, p, t), (x,), (jnp.ones_like(x),))
+        return d
+
     # quadrature fallback used by tests to validate closed-form Kvu
     def kvu_quadrature(self, kind: str, p: Params, grid: "CellIntegralFeature", n_quad: int = 512):
         edges = np.asarray(grid.mesh)
@@ -473,6 +482,12 @@ class PointFeature(AxisFeature):
         z = jnp.reshape(p["z"], (-1,))[:, None]
         xs = jnp.reshape(x, (-1,))[None, :]
         return kernels.dk_dr(kind, xs - z, p["variance"], p["lengthscale"])
+
+    def dKuf_dx2(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Cov(f(z_i), ∂²f(x_n)) = k''(x_n − z_i) — closed form."""
+        z = jnp.reshape(p["z"], (-1,))[:, None]
+        xs = jnp.reshape(x, (-1,))[None, :]
+        return -kernels.neg_d2k_dr2(kind, xs - z, p["variance"], p["lengthscale"])
 
 
 @dataclass(frozen=True)
@@ -1187,6 +1202,17 @@ class CellIntegralFeature(AxisFeature):
         ka = kernels.gram_1d(kind, mesh[:-1], x, p["variance"], p["lengthscale"])
         kb = kernels.gram_1d(kind, mesh[1:], x, p["variance"], p["lengthscale"])
         return ka - kb
+
+    def dKuf_dx2(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Cov(v_i, ∂²f(x)) = k'(x − α_i) − k'(x − β_i) — closed form
+        (derivative of the :meth:`dKuf_dx` kernel-eval difference)."""
+        x = jnp.reshape(x, (-1,))[None, :]
+        mesh = self.mesh_j(p)
+        a = mesh[:-1][:, None]
+        b = mesh[1:][:, None]
+        da = kernels.dk_dr(kind, x - a, p["variance"], p["lengthscale"])
+        db = kernels.dk_dr(kind, x - b, p["variance"], p["lengthscale"])
+        return da - db
 
     def basis_eval(self, x: jnp.ndarray) -> jnp.ndarray:
         """B0 indicator basis evaluation (reference ``bspline.py:4-20,97-103``).

@@ -106,6 +106,13 @@ def p0_inv_rows(kind: str, variance, lengthscale):
 # are nowhere differentiable (−k''(0) = ∞), so gradient products reject it.
 DIFFERENTIABLE_KINDS = ("matern32", "matern52", "rbf")
 
+# Twice mean-square differentiable: second-derivative observables (vorticity,
+# Laplacian) additionally need finite Var[f''] = k''''(0) — Matérn-3/2's f'
+# exists but is itself nowhere differentiable. Equivalently, the spectral
+# measure needs a finite 4th moment (the pathwise sampler's t_{2ν} frequency
+# draws have moments only below 2ν, so ω⁴ demands ν > 2).
+TWICE_DIFFERENTIABLE_KINDS = ("matern52", "rbf")
+
 
 def require_differentiable(kind: str) -> str:
     validate_kind(kind)
@@ -113,6 +120,16 @@ def require_differentiable(kind: str) -> str:
         raise ValueError(
             f"gradient observables need a once-differentiable GP; {kind!r} is "
             f"not (use one of {DIFFERENTIABLE_KINDS})"
+        )
+    return kind
+
+
+def require_twice_differentiable(kind: str) -> str:
+    validate_kind(kind)
+    if kind not in TWICE_DIFFERENTIABLE_KINDS:
+        raise ValueError(
+            f"second-derivative observables need a twice-differentiable GP; "
+            f"{kind!r} is not (use one of {TWICE_DIFFERENTIABLE_KINDS})"
         )
     return kind
 

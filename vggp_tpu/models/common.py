@@ -390,19 +390,53 @@ def grad_gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray,
     return out
 
 
-def axis_whitened_dkuf(spec, params: Params, chols, X: jnp.ndarray,
-                       axis: int) -> Tuple[jnp.ndarray, ...]:
-    """Per-axis whitened blocks with axis ``axis`` carrying F⁻¹ ∂Kuf/∂x."""
-    kernels.require_differentiable(spec.kinds[axis])
+def normalize_deriv_orders(spec, entry) -> Tuple[int, ...]:
+    """Canonicalize a derivative spec: int axis j → one-hot order tuple;
+    a tuple gives the order per axis (0, 1, or 2). Validates that each
+    differentiated axis's kernel supports that order."""
+    if isinstance(entry, int):
+        orders = tuple(1 if i == entry else 0 for i in range(len(spec.kinds)))
+    else:
+        orders = tuple(int(o) for o in entry)
+        if len(orders) != len(spec.kinds):
+            raise ValueError(
+                f"derivative orders {orders} must have one entry per axis "
+                f"({len(spec.kinds)})")
+    for i, o in enumerate(orders):
+        if o == 1:
+            kernels.require_differentiable(spec.kinds[i])
+        elif o == 2:
+            kernels.require_twice_differentiable(spec.kinds[i])
+        elif o != 0:
+            raise ValueError(f"derivative order {o} not supported (0, 1, 2)")
+    return orders
+
+
+def axis_whitened_deriv_kuf(spec, params: Params, chols, X: jnp.ndarray,
+                            orders) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis whitened blocks F_i⁻¹ ∂^{o_i}Kuf_i — the cross-covariance of
+    the whitened inducing coordinates with the mixed partial Π ∂^{o_i}f."""
     if X.ndim == 1:
         X = X[:, None]
     out = []
     for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
         p = axis_params(params, i)
-        blk = (feat.dKuf_dx(kind, p, X[:, i]) if i == axis
-               else feat.Kuf(kind, p, X[:, i]))
+        o = orders[i]
+        if o == 0:
+            blk = feat.Kuf(kind, p, X[:, i])
+        elif o == 1:
+            blk = feat.dKuf_dx(kind, p, X[:, i])
+        else:
+            blk = feat.dKuf_dx2(kind, p, X[:, i])
         out.append(chols[i].whiten(blk))
     return tuple(out)
+
+
+def axis_whitened_dkuf(spec, params: Params, chols, X: jnp.ndarray,
+                       axis: int) -> Tuple[jnp.ndarray, ...]:
+    """Per-axis whitened blocks with axis ``axis`` carrying F⁻¹ ∂Kuf/∂x."""
+    orders = normalize_deriv_orders(spec, axis)
+    return axis_whitened_deriv_kuf(spec, params, chols, X, orders)
 
 
 def grad_grid_kvu(spec, params: Params, grid_axes, axis: int) -> Tuple[jnp.ndarray, ...]:

@@ -126,6 +126,24 @@ def eval_path_grad(omegas, phases, amp, X: jnp.ndarray, axis: int) -> jnp.ndarra
     return -amp * jnp.sum(omegas[axis][None, :] * jnp.sin(arg), axis=1)
 
 
+def eval_path_deriv(omegas, phases, amp, X: jnp.ndarray, orders) -> jnp.ndarray:
+    """Mixed partial ∂^{o₁}_{x₁}…∂^{o_d}_{x_d} of the prior path → (n,).
+
+    Each derivative of cos advances the phase by π/2 and multiplies by the
+    axis frequency: the total-order-n mixed partial is
+    amp Σ_j (Π_k ω_{kj}^{o_k}) cos(ωᵀx + b_j + nπ/2) — still exact.
+    """
+    if X.ndim == 1:
+        X = X[:, None]
+    n_total = int(sum(orders))
+    arg = X @ omegas + phases[None, :] + 0.5 * jnp.pi * n_total
+    coef = jnp.ones_like(phases)
+    for k, o in enumerate(orders):
+        for _ in range(int(o)):
+            coef = coef * omegas[k]
+    return amp * jnp.sum(coef[None, :] * jnp.cos(arg), axis=1)
+
+
 # --------------------------------------------------------------------------- #
 # Real-pair complex arithmetic
 #
@@ -548,23 +566,30 @@ def pathwise_posterior_with_grads(
     → (S, 1 + len(grad_axes), n*).
 
     Every row of a sample rides the SAME prior path and the SAME Matheron
-    residual — the function value and its gradient components are drawn
+    residual — the function value and its derivative components are drawn
     jointly, which is what nonlinear functionals of the gradient need (e.g.
     the current-speed field ‖(u_g, v_g)‖ from SSH: speed is nonlinear in the
     gradient, so marginal moments cannot give its distribution). The path
-    gradient is exact (finite cosine sum); the correction gradient rides the
-    closed-form whitened ∂Kuf blocks (``common.axis_whitened_dkuf``).
-    Gradient axes require a once-differentiable kernel. Beyond-reference.
+    derivatives are exact (finite cosine sum); the correction derivatives
+    ride the closed-form whitened ∂Kuf blocks.
+
+    ``grad_axes`` entries are either an int axis j (= ∂/∂x_j) or a per-axis
+    order tuple for mixed/higher partials — e.g. in 2D ``(2, 0)`` is ∂²/∂x²
+    and ``(1, 1)`` is ∂²/∂x∂y, so relative vorticity/Laplacian and strain
+    fields come from the same joint draw. First derivatives need a
+    once-differentiable kernel on that axis (Matérn ≥ 3/2, RBF), second
+    derivatives a twice-differentiable one (Matérn ≥ 5/2, RBF).
+    Beyond-reference.
     """
     if xstar.ndim == 1:
         xstar = xstar[:, None]
     if grad_axes is None:
         grad_axes = tuple(range(spec.ndim))
-    grad_axes = tuple(grad_axes)
+    orders_list = [common.normalize_deriv_orders(spec, e) for e in grad_axes]
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, xstar)
-    dblocks = {j: common.axis_whitened_dkuf(spec, params, chols, xstar, j)
-               for j in grad_axes}
+    dblocks = [common.axis_whitened_deriv_kuf(spec, params, chols, xstar, o)
+               for o in orders_list]
 
     def one(key_s):
         kp, kw = jax.random.split(key_s)
@@ -573,9 +598,9 @@ def pathwise_posterior_with_grads(
         diff = _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp,
                                  f_prior.dtype)
         rows = [f_prior + _apply_blocks(spec, diff, blocks)]
-        for j in grad_axes:
-            g_prior = eval_path_grad(omegas, phases, amp, xstar, j)
-            rows.append(g_prior + _apply_blocks(spec, diff, dblocks[j]))
+        for o, db in zip(orders_list, dblocks):
+            g_prior = eval_path_deriv(omegas, phases, amp, xstar, o)
+            rows.append(g_prior + _apply_blocks(spec, diff, db))
         return jnp.stack(rows)
 
     return jax.vmap(one)(jax.random.split(key, n_samples))
@@ -650,22 +675,23 @@ def pathwise_posterior_collapsed_with_grads(
     n_samples: int = 8,
     n_features: int = 1024,
 ) -> jnp.ndarray:
-    """Joint (f, ∂f/∂x_j) draws from the collapsed-optimal posterior of an
-    ``SGPRSpec`` model → (S, 1 + len(grad_axes), n*). See
-    :func:`pathwise_posterior_with_grads` for semantics."""
+    """Joint (f, derivative rows) draws from the collapsed-optimal posterior
+    of an ``SGPRSpec`` model → (S, 1 + len(grad_axes), n*). See
+    :func:`pathwise_posterior_with_grads` for semantics (incl. higher/mixed
+    partials via per-axis order tuples)."""
     from vggp_tpu.ops import tri_solve
 
     if xstar.ndim == 1:
         xstar = xstar[:, None]
     if grad_axes is None:
         grad_axes = tuple(range(spec.ndim))
-    grad_axes = tuple(grad_axes)
+    orders_list = [common.normalize_deriv_orders(spec, e) for e in grad_axes]
     chols, A, LB, c, y = common.factored_state(
         spec, params, X, y, common.khatri_rao_all)
     a = common.khatri_rao_all(common.axis_whitened_kuf(spec, params, chols, xstar))
-    da = {j: common.khatri_rao_all(
-        common.axis_whitened_dkuf(spec, params, chols, xstar, j))
-        for j in grad_axes}
+    da = [common.khatri_rao_all(
+        common.axis_whitened_deriv_kuf(spec, params, chols, xstar, o))
+        for o in orders_list]
     m = a.shape[0]
 
     def one(key_s):
@@ -677,9 +703,9 @@ def pathwise_posterior_collapsed_with_grads(
         z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
         diff = tri_solve(LB, c + z, trans=True) - w    # w_q − F⁻¹u_prior
         rows = [f_prior + a.T @ diff]
-        for j in grad_axes:
-            g_prior = eval_path_grad(omegas, phases, amp, xstar, j)
-            rows.append(g_prior + da[j].T @ diff)
+        for o, dai in zip(orders_list, da):
+            g_prior = eval_path_deriv(omegas, phases, amp, xstar, o)
+            rows.append(g_prior + dai.T @ diff)
         return jnp.stack(rows)
 
     return jax.vmap(one)(jax.random.split(key, n_samples))

@@ -570,3 +570,55 @@ def test_sgpr_qdv_from_state_matches_direct():
     b = sgpr.q_dv_from_state(spec, params, state, g, axis=0, full_cov=False)
     np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a.var), np.asarray(b.var), rtol=1e-12)
+
+
+def test_negative_axis_is_canonicalized_everywhere():
+    """axis=-1 must mean the LAST axis, never silently select the plain-f
+    head (regression: `i == axis` loops over per-axis blocks never matched
+    a negative index, returning q_v/posterior relabeled as a gradient)."""
+    spec, params = _svgp_2d("full")
+    pts = jnp.asarray([[0.22, 0.41], [0.63, 0.58]])
+    g_neg = svgp.posterior_grad(spec, params, pts, -1)
+    g_pos = svgp.posterior_grad(spec, params, pts, 1)
+    np.testing.assert_allclose(np.asarray(g_neg.mean), np.asarray(g_pos.mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_neg.variance()),
+                               np.asarray(g_pos.variance()), rtol=1e-12)
+    # and it must differ from the plain posterior (the old silent failure)
+    f = svgp.posterior(spec, params, pts)
+    assert not np.allclose(np.asarray(g_neg.mean), np.asarray(f.mean))
+
+    grids = (CellIntegralFeature.from_lims(3, 0.1, 0.9),
+             CellIntegralFeature.from_lims(3, 0.2, 0.8))
+    v_neg = svgp.q_dv(spec, params, grids, axis=-1)
+    v_pos = svgp.q_dv(spec, params, grids, axis=1)
+    np.testing.assert_allclose(np.asarray(v_neg.mean), np.asarray(v_pos.mean), rtol=1e-12)
+
+    sspec, sparams, X, y = _sgpr_2d()
+    s_neg = sgpr.posterior_grad(sspec, sparams, X, y, pts, -1)
+    s_pos = sgpr.posterior_grad(sspec, sparams, X, y, pts, 1)
+    np.testing.assert_allclose(np.asarray(s_neg.mean), np.asarray(s_pos.mean), rtol=1e-12)
+
+    from vggp_tpu.models import exact
+    espec = exact.ExactGPSpec(kinds=("matern32", "matern52"))
+    eparams = {"axes": sparams["axes"], "noise": sparams["noise"]}
+    e_neg = exact.posterior_grad(espec, eparams, X, y, pts, -1)
+    e_pos = exact.posterior_grad(espec, eparams, X, y, pts, 1)
+    np.testing.assert_allclose(np.asarray(e_neg.mean), np.asarray(e_pos.mean), rtol=1e-12)
+
+
+def test_out_of_range_axis_raises():
+    spec, params = _svgp_2d("full")
+    pts = jnp.asarray([[0.5, 0.5]])
+    with pytest.raises(ValueError, match="out of range"):
+        svgp.posterior_grad(spec, params, pts, 2)
+    with pytest.raises(ValueError, match="out of range"):
+        svgp.posterior_grad(spec, params, pts, -3)
+    grids = (CellIntegralFeature.from_lims(3, 0.1, 0.9),
+             CellIntegralFeature.from_lims(3, 0.2, 0.8))
+    with pytest.raises(ValueError, match="out of range"):
+        svgp.q_dv(spec, params, grids, axis=5)
+    from vggp_tpu import sampling
+    with pytest.raises(ValueError, match="out of range"):
+        sampling.pathwise_posterior_with_grads(
+            spec, params, jax.random.PRNGKey(0), pts,
+            grad_axes=(3,), n_samples=2, n_features=16)

@@ -134,6 +134,9 @@ def run(
     # cell centers: speed = ‖(u_g, v_g)‖ is nonlinear in the gradient, so its
     # distribution (and exceedance maps) need coherent joint samples — the
     # marginal q_dv moments above cannot produce it. Beyond-reference.
+    # NOTE: matern32 spectral gradients are heavy-tailed (t₃ frequencies,
+    # infinite 4th moment — see sampling.pathwise_posterior_with_grads);
+    # --kind matern52 gives lower-variance exceedance maps at the same S.
     from vggp_tpu import sampling
 
     cx = 0.5 * (grids[0].mesh[:-1] + grids[0].mesh[1:])

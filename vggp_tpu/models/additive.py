@@ -216,6 +216,7 @@ def posterior_grad(
     """
     from vggp_tpu import kernels
 
+    axis = common.canonical_axis(spec, axis)
     kernels.require_differentiable(spec.kinds[axis])
     chols, A, LB, c, y = _factored_state(spec, params, X, y)
     if xstar.ndim == 1:
@@ -239,7 +240,7 @@ def posterior_grad(
     kss = kernels.grad_variance(spec.kinds[axis], p_ax["variance"],
                                 p_ax["lengthscale"]) * jnp.ones((n,), dtype=A.dtype)
     var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
-    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
+    return Gaussian(mean=mean, var=common.floor_var(var, kss))
 
 
 @common.highest_precision
@@ -262,6 +263,7 @@ def q_dv(
     """
     if spec.ndim != 2:
         raise ValueError("additive q_dv implemented for 2 components")
+    axis = common.canonical_axis(spec, axis)
     chols, A, LB, c, y = _factored_state(spec, params, X, y)
     other = 1 - axis
     g_ax = grid_axes[axis]

@@ -357,8 +357,22 @@ def grid_kvv(spec, params: Params, grid_axes, dense: bool = True):
 # --------------------------------------------------------------------------- #
 
 
+def canonical_axis(spec, axis: int) -> int:
+    """Normalize a (possibly negative) axis index against the spec's ndim.
+
+    Raises on out-of-range rather than wrapping silently: ``i == axis`` loops
+    over per-axis blocks would otherwise never match (e.g. ``axis=-1``) and
+    return the plain-f product labeled as a gradient head.
+    """
+    nd = len(spec.kinds)
+    if not -nd <= axis < nd:
+        raise ValueError(f"axis {axis} out of range for a {nd}-axis model")
+    return axis % nd
+
+
 def grad_kdiag(spec, params: Params, X: jnp.ndarray, axis: int) -> jnp.ndarray:
     """diag Cov[∂_axis f] = −k_axis''(0) · Π_{i≠axis} σ²_i (stationary)."""
+    axis = canonical_axis(spec, axis)
     if X.ndim == 1:
         X = X[:, None]
     n = X.shape[0]
@@ -373,6 +387,7 @@ def grad_kdiag(spec, params: Params, X: jnp.ndarray, axis: int) -> jnp.ndarray:
 def grad_gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray,
                    axis: int) -> jnp.ndarray:
     """Dense Cov(∂_axis f(x1), ∂_axis f(x2)) = (−k_axis'') · Π_{i≠axis} k_i."""
+    axis = canonical_axis(spec, axis)
     if x1.ndim == 1:
         x1 = x1[:, None]
     if x2.ndim == 1:
@@ -395,6 +410,7 @@ def normalize_deriv_orders(spec, entry) -> Tuple[int, ...]:
     a tuple gives the order per axis (0, 1, or 2). Validates that each
     differentiated axis's kernel supports that order."""
     if isinstance(entry, int):
+        entry = canonical_axis(spec, entry)
         orders = tuple(1 if i == entry else 0 for i in range(len(spec.kinds)))
     else:
         orders = tuple(int(o) for o in entry)
@@ -442,6 +458,7 @@ def axis_whitened_dkuf(spec, params: Params, chols, X: jnp.ndarray,
 def grad_grid_kvu(spec, params: Params, grid_axes, axis: int) -> Tuple[jnp.ndarray, ...]:
     """Per-axis Kv'u blocks of the gridded-gradient product along ``axis``:
     face differences of Kuf at the cell edges there, plain Kvu elsewhere."""
+    axis = canonical_axis(spec, axis)
     out = []
     for i, (kind, feat) in enumerate(zip(spec.kinds, spec.features)):
         p = axis_params(params, i)
@@ -475,6 +492,7 @@ def _face_diff_gram(kind: str, p: Params, grid) -> jnp.ndarray:
 def grad_grid_kvv(spec, params: Params, grid_axes, axis: int,
                   dense: bool = True):
     """Per-axis prior covariance blocks of the gridded-gradient product."""
+    axis = canonical_axis(spec, axis)
     blocks = []
     for i, kind in enumerate(spec.kinds):
         p = axis_params(params, i)
@@ -548,10 +566,18 @@ def collapsed_elbo(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
 
 def collapsed_posterior(spec, params: Params, state, xstar: jnp.ndarray,
                         combine, kdiag_fn, gram_fn,
-                        full_cov: bool = False, predictive: bool = False) -> Gaussian:
-    """q(f*) from a factored state (reference ``univariate_structure.py:184-232``)."""
+                        full_cov: bool = False, predictive: bool = False,
+                        blocks_fn=None) -> Gaussian:
+    """q(f*) from a factored state (reference ``univariate_structure.py:184-232``).
+
+    ``blocks_fn(spec, params, chols, xstar)`` builds the whitened per-axis
+    cross blocks (defaults to F⁻¹Kuf*); gradient heads pass F⁻¹∂Kuf instead
+    and reuse the same conditional algebra (incl. the variance floor).
+    """
     chols, A, LB, c = state[:4]
-    blocks_star = axis_whitened_kuf(spec, params, chols, xstar)
+    if blocks_fn is None:
+        blocks_fn = axis_whitened_kuf
+    blocks_star = blocks_fn(spec, params, chols, xstar)
     w = combine(blocks_star)  # (m, n*) = L⁻¹ Kuf*
     tmp = tri_solve(LB, w)
     mean = tmp.T @ c

@@ -125,6 +125,7 @@ def posterior_grad(
     """
     from vggp_tpu import kernels
 
+    axis = common.canonical_axis(spec, axis)
     kernels.require_differentiable(spec.kinds[axis])
     y = jnp.reshape(y, (-1,))
     Xs = xstar[:, None] if xstar.ndim == 1 else xstar
@@ -144,7 +145,7 @@ def posterior_grad(
         kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
         return Gaussian(mean=mean, cov=kss - w.T @ w)
     kss = common.grad_kdiag(spec, params, xstar, axis)
-    return Gaussian(mean=mean, var=jnp.maximum(kss - jnp.sum(w * w, axis=0), 0.0))
+    return Gaussian(mean=mean, var=common.floor_var(kss - jnp.sum(w * w, axis=0), kss))
 
 
 @common.highest_precision
@@ -164,6 +165,7 @@ def q_dv(
     of plain Grams Khatri–Rao'd with the other axes' cell/point covs — valid
     for every kernel kind. Beyond-reference capability.
     """
+    axis = common.canonical_axis(spec, axis)
     y = jnp.reshape(y, (-1,))
     Xd = X[:, None] if X.ndim == 1 else X
     L = _chol_ky(spec, params, X)

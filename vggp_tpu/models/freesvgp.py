@@ -152,6 +152,7 @@ def posterior_grad(
     the axis factor of the Hadamard Gram swaps to the kernel derivative.
     Requires a once-differentiable kernel on ``axis``. Beyond-reference.
     """
+    axis = common.canonical_axis(spec, axis)
     kernels.require_differentiable(spec.kinds[axis])
     chol, A, LB, c, y = _factored_state(spec, params, X, y)
     z = params["z"]
@@ -173,7 +174,7 @@ def posterior_grad(
         return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
     kss = common.grad_kdiag(spec, params, xstar, axis)
     var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
-    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
+    return Gaussian(mean=mean, var=common.floor_var(var, kss))
 
 
 @common.highest_precision
@@ -192,6 +193,7 @@ def q_dv(
     cell edges (fundamental theorem of calculus — valid for every kind);
     other axes keep their cell/point integrals. Beyond-reference.
     """
+    axis = common.canonical_axis(spec, axis)
     chol, A, LB, c, y = _factored_state(spec, params, X, y)
     z = params["z"]
     blocks = []

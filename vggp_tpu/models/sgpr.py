@@ -147,20 +147,18 @@ def posterior_grad_from_state(
     """Posterior over the pointwise gradient ∂f/∂x_axis (collapsed model).
 
     Same conditional algebra as :func:`posterior_from_state` with the axis
-    block replaced by F⁻¹ ∂Kuf/∂x and the prior marginal by −k''(0)·Πσ².
+    block replaced by F⁻¹ ∂Kuf/∂x and the prior marginal by −k''(0)·Πσ²
+    (shared via ``common.collapsed_posterior``'s ``blocks_fn``).
     Requires a once-differentiable kernel on ``axis``.
     """
-    chols, A, LB, c = state[:4]
-    blocks = common.axis_whitened_dkuf(spec, params, chols, xstar, axis)
-    w = common.khatri_rao_all(blocks)
-    tmp = tri_solve(LB, w)
-    mean = tmp.T @ c
-    if full_cov:
-        kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
-        return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
-    kss = common.grad_kdiag(spec, params, xstar, axis)
-    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
-    return Gaussian(mean=mean, var=jnp.maximum(var, 0.0))
+    return common.collapsed_posterior(
+        spec, params, state, xstar,
+        common.khatri_rao_all,
+        lambda s, p, x: common.grad_kdiag(s, p, x, axis),
+        lambda s, p, x1, x2: common.grad_gram_full(s, p, x1, x2, axis),
+        full_cov=full_cov,
+        blocks_fn=lambda s, p, ch, x: common.axis_whitened_dkuf(s, p, ch, x, axis),
+    )
 
 
 def _factored_state(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):

@@ -486,7 +486,7 @@ def _grid_gaussian(spec: SVGPSpec, params: Params, r_blocks, kvv_blocks,
         var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(RS * RS, axis=1)
         return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
     # kron family (any ndim ≥ 2)
-    Lk = _kron_chols(spec, params["q"])
+    Lk = _kron_chols(spec, q)
     mean = _kron_contract(q["mu"], r_blocks, out="grid")
     rs_blocks = [r_blocks[i] @ Lk[i] for i in range(spec.ndim)]
     if full_cov:
@@ -568,7 +568,7 @@ def posterior_grad(
     if not full_cov:
         kdd = common.grad_kdiag(spec, params, xstar, axis)
         var = jnp.maximum(kdd - var_red, 0.0) + var_add
-        return Gaussian(mean=mean, var=var)
+        return Gaussian(mean=mean, var=common.floor_var(var, kdd))
     a = common.khatri_rao_all(blocks)
     kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
     q = params["q"]

@@ -114,18 +114,6 @@ def eval_path(omegas, phases, amp, X: jnp.ndarray) -> jnp.ndarray:
     return amp * jnp.sum(jnp.cos(arg), axis=1)
 
 
-def eval_path_grad(omegas, phases, amp, X: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """∂/∂x_axis of the prior path at (n, d) inputs → (n,).
-
-    The path is a finite cosine sum, so its gradient is exact:
-    ∂_axis amp Σ_j cos(ωᵀx + b_j) = −amp Σ_j ω_{axis,j} sin(ωᵀx + b_j).
-    """
-    if X.ndim == 1:
-        X = X[:, None]
-    arg = X @ omegas + phases[None, :]          # (n, F)
-    return -amp * jnp.sum(omegas[axis][None, :] * jnp.sin(arg), axis=1)
-
-
 def eval_path_deriv(omegas, phases, amp, X: jnp.ndarray, orders) -> jnp.ndarray:
     """Mixed partial ∂^{o₁}_{x₁}…∂^{o_d}_{x_d} of the prior path → (n,).
 
@@ -579,6 +567,14 @@ def pathwise_posterior_with_grads(
     fields come from the same joint draw. First derivatives need a
     once-differentiable kernel on that axis (Matérn ≥ 3/2, RBF), second
     derivatives a twice-differentiable one (Matérn ≥ 5/2, RBF).
+
+    Heavy-tail caveat: the spectral path frequencies for matern32 are
+    Student-t₃ draws whose 4th moment is infinite, so per-sample gradient
+    amplitudes (∝ Σ_j ω_j²) are heavy-tailed at any finite ``n_features`` —
+    a single tail ω occasionally inflates one sample's gradient row by tens
+    of percent. Small-S Monte-Carlo functionals of matern32 gradients
+    (exceedance maps, quantiles) carry that extra variance; prefer matern52
+    or rbf for gradient observables, or raise ``n_samples`` well past ~10².
     Beyond-reference.
     """
     if xstar.ndim == 1:

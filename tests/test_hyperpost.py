@@ -1,0 +1,150 @@
+"""hyperpost oracles.
+
+The quadratic-in-raw-space loss makes the Laplace approximation EXACT
+(unconstrain∘constrain = identity away from the floors), pinning the
+Hessian, the covariance factor, the sampler, and the evidence formula
+against closed forms; the GP tests then check the semantic contracts
+(law of total variance, shrink-to-plug-in) end to end on an exact GP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vggp_tpu import hyperpost, train
+from vggp_tpu.models import exact
+
+
+def _quad_problem():
+    """A loss that is exactly quadratic in RAW space via unconstrain."""
+    feats_params = {
+        "axes": [{"lengthscale": jnp.asarray(0.5), "variance": jnp.asarray(1.2)}],
+        "noise": jnp.asarray(0.1),
+    }
+    flat0, unravel = jax.flatten_util.ravel_pytree(train.unconstrain(feats_params))
+    p = flat0.shape[0]
+    rng = np.random.default_rng(0)
+    Asqrt = rng.standard_normal((p, p)) * 0.4 + np.eye(p)
+    A = jnp.asarray(Asqrt @ Asqrt.T)
+    a = flat0 + 0.05  # optimum slightly off the starting raw values
+    c = 1.7
+
+    def loss_fn(params):
+        v, _ = jax.flatten_util.ravel_pytree(train.unconstrain(params))
+        d = v - a
+        return 0.5 * d @ (A @ d) + c
+
+    opt_params = train.constrain(unravel(a))
+    return loss_fn, opt_params, A, a, c
+
+
+def test_laplace_exact_on_quadratic_loss():
+    loss_fn, opt_params, A, a, c = _quad_problem()
+    st = hyperpost.laplace(loss_fn, opt_params)
+    np.testing.assert_allclose(np.asarray(st.mean), np.asarray(a), atol=1e-9)
+    cov = np.asarray(st.chol_cov @ st.chol_cov.T)
+    np.testing.assert_allclose(cov, np.linalg.inv(np.asarray(A)), rtol=1e-8)
+    s, logdet = np.linalg.slogdet(np.asarray(A))
+    assert s > 0
+    assert float(st.logdet_h) == pytest.approx(logdet, rel=1e-9)
+
+
+def test_log_evidence_exact_on_quadratic_loss():
+    loss_fn, opt_params, A, a, c = _quad_problem()
+    st = hyperpost.laplace(loss_fn, opt_params)
+    # ∫ exp(−quad) dθ = exp(−c) (2π)^{p/2} |A|^{−1/2}, so log evidence is
+    # exactly the Laplace formula.
+    got = float(hyperpost.log_evidence_laplace(loss_fn, opt_params, st))
+    p = st.mean.shape[0]
+    s, logdet = np.linalg.slogdet(np.asarray(A))
+    want = -c + 0.5 * p * np.log(2 * np.pi) - 0.5 * logdet
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_sample_params_moments_match_state():
+    loss_fn, opt_params, A, a, c = _quad_problem()
+    st = hyperpost.laplace(loss_fn, opt_params)
+    draws = hyperpost.sample_params(st, jax.random.PRNGKey(0), 40_000)
+    flats = jax.vmap(
+        lambda i: jax.flatten_util.ravel_pytree(
+            train.unconstrain(jax.tree.map(lambda v: v[i], draws)))[0]
+    )(jnp.arange(512))  # subset is enough for the mean; full set via numpy below
+    # stack all raw draws host-side for moment checks
+    all_flats = np.stack([
+        np.asarray(jax.flatten_util.ravel_pytree(
+            train.unconstrain(jax.tree.map(lambda v: v[i], draws)))[0])
+        for i in range(0, 40_000, 13)
+    ])
+    cov = np.asarray(st.chol_cov @ st.chol_cov.T)
+    np.testing.assert_allclose(all_flats.mean(0), np.asarray(st.mean),
+                               atol=4 * np.sqrt(cov.max() / all_flats.shape[0]) + 1e-3)
+    np.testing.assert_allclose(np.cov(all_flats.T), cov, atol=0.05 * cov.max() + 1e-4)
+    del flats
+
+
+def test_mixture_moments_total_variance_identity():
+    rng = np.random.default_rng(1)
+    mu = rng.standard_normal((8, 5))
+    var = np.exp(rng.standard_normal((8, 5)))
+    m, v = hyperpost.mixture_moments(jnp.asarray(mu), jnp.asarray(var))
+    np.testing.assert_allclose(np.asarray(m), mu.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), var.mean(0) + mu.var(0), rtol=1e-12)
+
+
+def _fit_exact_1d(n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(np.sort(rng.uniform(0, 1, n)))
+    y = jnp.asarray(np.sin(6 * np.asarray(X)) + 0.1 * rng.standard_normal(n))
+    spec = exact.ExactGPSpec(kinds=("matern32",))
+    p0 = train.non_informative_init(spec.init_params(), X, y)
+    loss_fn = lambda q: exact.loss(spec, q, X, y)
+    p_fit, _ = train.fit(loss_fn, p0, 400, 0.05)
+    return spec, p_fit, loss_fn, X, y
+
+
+def test_marginalized_prediction_widens_and_shrinks_to_plugin():
+    spec, p_fit, loss_fn, X, y = _fit_exact_1d()
+    st = hyperpost.laplace(loss_fn, p_fit)
+    xs = jnp.linspace(0.0, 1.0, 31)
+    predict = lambda p: exact.posterior(spec, p, X, y, xs, full_cov=False)
+    plug = predict(p_fit)
+    marg = hyperpost.predict_marginalized(predict, st, jax.random.PRNGKey(2),
+                                          n_samples=256)
+    assert np.all(np.isfinite(np.asarray(marg.mean)))
+    # law of total variance: marginalizing can only add variance (up to MC
+    # noise on the mean term, hence the tiny slack)
+    assert np.all(np.asarray(marg.variance())
+                  >= 0.95 * np.asarray(plug.variance()))
+    assert float(np.mean(np.asarray(marg.variance())
+                         - np.asarray(plug.variance()))) > 0.0
+    # collapse the hyper posterior to a point → exactly the plug-in forecast
+    st0 = st._replace(chol_cov=jnp.zeros_like(st.chol_cov))
+    marg0 = hyperpost.predict_marginalized(predict, st0, jax.random.PRNGKey(3),
+                                           n_samples=8)
+    # (tolerance: one constrain∘unconstrain softplus round trip ≈ 1e-6 rel)
+    np.testing.assert_allclose(np.asarray(marg0.mean), np.asarray(plug.mean),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(marg0.var), np.asarray(plug.variance()),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_laplace_hessian_matches_finite_differences():
+    spec, p_fit, loss_fn, X, y = _fit_exact_1d(n=30, seed=1)
+    st = hyperpost.laplace(loss_fn, p_fit, min_eig_rel=0.0)
+    flat, unravel = jax.flatten_util.ravel_pytree(train.unconstrain(p_fit))
+
+    def f(v):
+        return float(loss_fn(train.constrain(unravel(jnp.asarray(v)))))
+
+    p = flat.shape[0]
+    h = 1e-4
+    H_fd = np.zeros((p, p))
+    v0 = np.asarray(flat, dtype=np.float64)
+    for i in range(p):
+        for j in range(p):
+            e_i, e_j = np.eye(p)[i] * h, np.eye(p)[j] * h
+            H_fd[i, j] = (f(v0 + e_i + e_j) - f(v0 + e_i - e_j)
+                          - f(v0 - e_i + e_j) + f(v0 - e_i - e_j)) / (4 * h * h)
+    cov = np.asarray(st.chol_cov @ st.chol_cov.T)
+    np.testing.assert_allclose(np.linalg.inv(cov), H_fd, rtol=2e-3, atol=1e-4)

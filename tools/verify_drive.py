@@ -29,6 +29,24 @@ assert float(np.min(np.asarray(qv.variance()))) > 0
 print(f"exact    q_v err {err_e:.4f}")
 assert err_e < 0.03
 
+# Laplace hyperparameter posterior + marginalized prediction on the device
+from vggp_tpu import hyperpost
+from vggp_tpu.experiments import misc
+
+loss_e = lambda p: exact.loss(spec_e, p, X, y)
+xs_h = jnp.linspace(0.05, 0.95, 9, dtype=jnp.float32)
+marg = jax.jit(lambda p: hyperpost.predict_marginalized(
+    lambda q: exact.posterior(spec_e, q, X, y, xs_h, full_cov=False),
+    hyperpost.laplace(loss_e, p), jax.random.PRNGKey(11), n_samples=64))(p_e)
+plug = exact.posterior(spec_e, p_e, X, y, xs_h, full_cov=False)
+assert np.all(np.isfinite(np.asarray(marg.mean)))
+v_m, v_p = np.asarray(marg.variance()), np.asarray(plug.variance())
+assert np.all(v_m >= 0.9 * v_p), "marginalized variance shrank below plug-in"
+cal = misc.calibration_row(np.asarray([f(float(t)) for t in xs_h]), marg)
+assert 0.0 <= cal["coverage95"] <= 1.0 and np.isfinite(cal["crps"])
+print(f"laplace hypers: mean extra var {float(np.mean(v_m - v_p)):.2e}, "
+      f"crps {cal['crps']:.4f}, coverage95 {cal['coverage95']:.2f}")
+
 feats = {
     "svgp": PointFeature(m=12),
     "vff": FourierFeature(n_frequencies=6, a=-0.3, b=1.3),

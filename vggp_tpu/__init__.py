@@ -25,6 +25,8 @@ Layer map (mirrors SURVEY.md §7):
   prior paths) for every model family, incl. coherent gridded-product draws
 - :mod:`vggp_tpu.streaming` — exact online assimilation of the whitened
   posterior (natural-parameter RLS; CVI sites for non-conjugate streams)
+- :mod:`vggp_tpu.hyperpost` — Laplace hyperparameter posterior, marginalized
+  predictions (vmapped over draws), Laplace log-evidence for model comparison
 - :mod:`vggp_tpu.basis`     — standalone basis-function API (reference
   ``src/basis/`` parity layer)
 """
@@ -32,4 +34,4 @@ Layer map (mirrors SURVEY.md §7):
 __version__ = "0.1.0"
 
 from vggp_tpu import kernels, ops, features, models, train, utils, parallel, data  # noqa: F401,E402
-from vggp_tpu import basis, likelihoods, sampling, streaming  # noqa: F401,E402
+from vggp_tpu import basis, hyperpost, likelihoods, sampling, streaming  # noqa: F401,E402

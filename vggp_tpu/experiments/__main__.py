@@ -11,6 +11,7 @@ EXPERIMENTS = {
     "exceedance": "joint exceedance/extreme functionals via pathwise sampling (beyond-reference)",
     "streaming": "sequential mission assimilation, no refits (beyond-reference)",
     "velocity": "geostrophic velocities from the gridded-gradient product (beyond-reference)",
+    "evidence": "Laplace-evidence kernel selection + hyper-marginalized intervals (beyond-reference)",
 }
 
 if __name__ == "__main__":

@@ -42,6 +42,7 @@ def _fit_and_score(name, spec, Xj, yj, grids, truth, n_iters, lr, loss_mod):
         "steps_per_sec": n_iters / wall,
         "qv": qv,
         "metrics": misc.evaluation_metric_row(truth, qv, yj),
+        "calibration": misc.calibration_row(truth, qv),
         "history": misc.record_history(misc.make_training_history_dict(n_iters), hist),
     }
 
@@ -143,7 +144,8 @@ def run(
         os.makedirs(outdir, exist_ok=True)
         for split in ("train", "test"):
             table = {name: dict(zip(METRIC_NAMES, r["metrics"]),
-                                steps_per_sec=round(r["steps_per_sec"], 1))
+                                steps_per_sec=round(r["steps_per_sec"], 1),
+                                **r.get("calibration", {}))
                      for name, r in results[split].items()}
             with open(os.path.join(outdir, f"{split}_metrics.json"), "w") as fh:
                 json.dump(table, fh, indent=2)

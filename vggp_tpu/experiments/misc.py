@@ -72,6 +72,22 @@ def evaluation_metric_row(
     return M.evaluation_metric_row(truth, mean, var, ty)
 
 
+def calibration_row(true_grid: np.ndarray, grid_pred: Gaussian) -> dict:
+    """Calibration/proper-scoring summary of a gridded prediction vs truth:
+    ``{crps, coverage50, coverage90, coverage95}`` (beyond-reference —
+    complements the nb61 accuracy row with whether the predictive variances
+    are honest, which rmse/r² cannot see)."""
+    truth = np.asarray(true_grid, dtype=np.float64).reshape(-1)
+    mean = np.asarray(grid_pred.mean)
+    var = np.asarray(grid_pred.variance())
+    return {
+        "crps": M.crps_gaussian(truth, mean, var),
+        "coverage50": M.interval_coverage(truth, mean, var, 0.50),
+        "coverage90": M.interval_coverage(truth, mean, var, 0.90),
+        "coverage95": M.interval_coverage(truth, mean, var, 0.95),
+    }
+
+
 def check_tensors_equal(*arrays, atol: float = 0.0) -> bool:
     """Assert all arrays are elementwise equal (nb4 cell 24 mesh-consistency
     check). Returns True; raises AssertionError with the first offender."""

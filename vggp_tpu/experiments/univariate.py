@@ -57,6 +57,7 @@ def run(
         "steps_per_sec": n_iters / wall,
         "qv_max_err": float(np.abs(np.asarray(qv.mean) - truth).max()),
         "metrics": misc.evaluation_metric_row(truth, qv, y),
+        "calibration": misc.calibration_row(truth, qv),
         "posterior": (np.asarray(post.mean), np.asarray(post.stddev())),
         "history": hist,
     }
@@ -74,6 +75,7 @@ def run(
             "steps_per_sec": n_iters / wall,
             "qv_max_err": float(np.abs(np.asarray(qv.mean) - truth).max()),
             "metrics": misc.evaluation_metric_row(truth, qv, y),
+            "calibration": misc.calibration_row(truth, qv),
             "posterior": (np.asarray(post.mean), np.asarray(post.stddev())),
             "history": hist,
         }
@@ -86,7 +88,8 @@ def run(
         table = {
             name: dict(zip(["mse", "mae", "rmse", "r2", "nlpd", "msll"], r["metrics"]),
                        steps_per_sec=round(r["steps_per_sec"], 1),
-                       qv_max_err=r["qv_max_err"])
+                       qv_max_err=r["qv_max_err"],
+                       **r["calibration"])
             for name, r in results["models"].items()
         }
         with open(os.path.join(outdir, "metrics.json"), "w") as fh:

@@ -104,3 +104,67 @@ def evaluation_metric_row(
     logp0 = -0.5 * np.log(2 * np.pi * var0) - (truth - mu0) ** 2 / (2 * var0)
     msll = nlpd - float(-np.mean(logp0))
     return [mse, mae, rmse, r2, nlpd, msll]
+
+
+# --------------------------------------------------------------------------- #
+# Calibration / proper-scoring metrics (beyond-reference).
+#
+# Host-numpy, like evaluation_metric_row: these run in experiment bookkeeping
+# loops where eager per-op dispatch on a remote-TPU backend costs a network
+# round trip per op.
+# --------------------------------------------------------------------------- #
+
+
+def crps_gaussian(true, pred_mean, pred_var) -> float:
+    """Mean continuous ranked probability score of Gaussian predictive
+    marginals — a strictly proper scoring rule in the units of y (unlike
+    NLPD, it is robust to variance underestimates at outliers).
+
+    Closed form (Gneiting & Raftery 2007, eq. 21):
+    CRPS(N(μ,σ²), y) = σ·[ z(2Φ(z) − 1) + 2φ(z) − 1/√π ],  z = (y − μ)/σ.
+    Lower is better; for σ → 0 it reduces to |y − μ|.
+    """
+    import numpy as np
+    from scipy.special import erf
+
+    y = np.asarray(true, dtype=np.float64).reshape(-1)
+    mu = np.asarray(pred_mean, dtype=np.float64).reshape(-1)
+    sd = np.sqrt(np.asarray(pred_var, dtype=np.float64).reshape(-1))
+    z = (y - mu) / sd
+    cdf = 0.5 * (1.0 + erf(z / np.sqrt(2.0)))
+    pdf = np.exp(-0.5 * z * z) / np.sqrt(2.0 * np.pi)
+    return float(np.mean(sd * (z * (2.0 * cdf - 1.0) + 2.0 * pdf - 1.0 / np.sqrt(np.pi))))
+
+
+def interval_coverage(true, pred_mean, pred_var, level: float = 0.95) -> float:
+    """Empirical coverage of the central ``level`` predictive interval.
+
+    A calibrated model returns ≈ ``level``; systematically below means
+    overconfident predictive variances (the failure mode CLAUDE.md's
+    absolute-jitter note documents for streamed states).
+    """
+    import numpy as np
+    from scipy.special import ndtri
+
+    y = np.asarray(true, dtype=np.float64).reshape(-1)
+    mu = np.asarray(pred_mean, dtype=np.float64).reshape(-1)
+    sd = np.sqrt(np.asarray(pred_var, dtype=np.float64).reshape(-1))
+    half = ndtri(0.5 + level / 2.0)  # e.g. 1.959964 at level 0.95
+    return float(np.mean(np.abs(y - mu) <= half * sd))
+
+
+def calibration_curve(true, pred_mean, pred_var, levels=None):
+    """(nominal, empirical) central-interval coverage pairs via the PIT.
+
+    Returns two float64 arrays; plot empirical vs nominal — a calibrated
+    model tracks the diagonal, above = underconfident, below = overconfident.
+    """
+    import numpy as np
+
+    if levels is None:
+        levels = np.linspace(0.1, 0.9, 9)
+    levels = np.asarray(levels, dtype=np.float64)
+    emp = np.asarray(
+        [interval_coverage(true, pred_mean, pred_var, level=l) for l in levels]
+    )
+    return levels, emp

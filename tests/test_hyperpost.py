@@ -129,6 +129,60 @@ def test_marginalized_prediction_widens_and_shrinks_to_plugin():
                                rtol=1e-5, atol=1e-9)
 
 
+def test_hmc_exact_on_quadratic_loss():
+    """On a quadratic raw-space loss the posterior is exactly N(a, A⁻¹);
+    HMC draw moments must recover it (the Laplace factor preconditions, so
+    chains mix in a handful of steps)."""
+    loss_fn, opt_params, A, a, c = _quad_problem()
+    st = hyperpost.laplace(loss_fn, opt_params)
+    res = hyperpost.hmc_sample_params(
+        loss_fn, st, jax.random.PRNGKey(0), n_samples=4096,
+        n_chains=4, n_warmup=128)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    raws = np.asarray(res.raw_draws)
+    cov_true = np.linalg.inv(np.asarray(A))
+    np.testing.assert_allclose(raws.mean(0), np.asarray(a),
+                               atol=6 * np.sqrt(cov_true.max() / raws.shape[0]))
+    np.testing.assert_allclose(np.cov(raws.T), cov_true,
+                               atol=0.15 * cov_true.max())
+
+
+def test_hmc_marginalized_agrees_with_laplace_on_gp():
+    """HMC vs Laplace on a real GP hyper posterior. The sin(6x) data leaves
+    (ℓ, σ²_f) ridge-identified under the flat raw prior — that direction is
+    genuinely non-Gaussian and HMC/Laplace legitimately disagree there — so
+    the sharp checks live on the well-identified NOISE dimension (which must
+    agree), plus predictive-mean agreement and positive inflation from both."""
+    spec, p_fit, loss_fn, X, y = _fit_exact_1d()
+    st = hyperpost.laplace(loss_fn, p_fit)
+    xs = jnp.linspace(0.0, 1.0, 31)
+    predict = lambda p: exact.posterior(spec, p, X, y, xs, full_cov=False)
+    plug = predict(p_fit)
+    res = hyperpost.hmc_sample_params(
+        loss_fn, st, jax.random.PRNGKey(4), n_samples=1024,
+        n_chains=4, n_warmup=128)
+    assert 0.5 < float(res.accept_rate) <= 1.0
+    # the noise hyperparameter is pinned by the data; HMC marginals there
+    # must match the Laplace Gaussian (moments in raw = softplus⁻¹ space)
+    noise_h = np.asarray(train.unconstrain({"noise": res.draws["noise"]})["noise"])
+    noise_l = np.asarray(train.unconstrain(
+        {"noise": hyperpost.sample_params(st, jax.random.PRNGKey(7),
+                                          4096)["noise"]})["noise"])
+    assert noise_h.mean() == pytest.approx(noise_l.mean(), abs=0.2)
+    assert noise_h.std() == pytest.approx(noise_l.std(), rel=0.5)
+    marg_h = hyperpost.predict_marginalized_draws(predict, res.draws)
+    marg_l = hyperpost.predict_marginalized(predict, st, jax.random.PRNGKey(5),
+                                            n_samples=512)
+    sd_scale = float(np.sqrt(np.mean(np.asarray(plug.variance()))))
+    np.testing.assert_allclose(np.asarray(marg_h.mean), np.asarray(marg_l.mean),
+                               atol=0.5 * sd_scale)
+    # both carry hyper-uncertainty inflation; magnitudes differ because the
+    # ridge is non-Gaussian (that gap is the point of having HMC at all)
+    infl_h = np.mean(np.asarray(marg_h.variance()) - np.asarray(plug.variance()))
+    infl_l = np.mean(np.asarray(marg_l.variance()) - np.asarray(plug.variance()))
+    assert infl_h > 0.0 and infl_l > 0.0
+
+
 def test_laplace_hessian_matches_finite_differences():
     spec, p_fit, loss_fn, X, y = _fit_exact_1d(n=30, seed=1)
     st = hyperpost.laplace(loss_fn, p_fit, min_eig_rel=0.0)

@@ -26,11 +26,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vggp_tpu import hyperpost, kernels, train
+from vggp_tpu import hyperpost, train
 from vggp_tpu.models import exact
 from vggp_tpu.utils import metrics
 
 KINDS = ("matern12", "matern32", "matern52", "rbf")
+
+
+def _host_gram(kind: str, x: np.ndarray, var: float, ell: float) -> np.ndarray:
+    """Stationary Gram in host float64 (data generation must not depend on
+    the device: under the TPU platform ``kernels.gram_1d`` runs f32, whose
+    ~1e-7 entry error makes the n=400 Cholesky fail and would make the drawn
+    'truth' platform-dependent)."""
+    r = np.abs(x[:, None] - x[None, :]) / ell
+    if kind == "matern12":
+        k = np.exp(-r)
+    elif kind == "matern32":
+        a = np.sqrt(3.0) * r
+        k = (1.0 + a) * np.exp(-a)
+    elif kind == "matern52":
+        a = np.sqrt(5.0) * r
+        k = (1.0 + a + a * a / 3.0) * np.exp(-a)
+    elif kind == "rbf":
+        k = np.exp(-0.5 * r * r)
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    return var * k
 
 
 def _draw_gp_data(kind: str, n: int, noise_sd: float, seed: int,
@@ -38,11 +59,7 @@ def _draw_gp_data(kind: str, n: int, noise_sd: float, seed: int,
     """Sample y = f + ε with f a GP path of the given kernel (host f64)."""
     rng = np.random.default_rng(seed)
     x = np.sort(rng.uniform(0.0, 1.0, n))
-    K = np.asarray(
-        kernels.gram_1d(kind, jnp.asarray(x), jnp.asarray(x),
-                        jnp.asarray(var), jnp.asarray(ell)),
-        dtype=np.float64,
-    )
+    K = _host_gram(kind, x, var, ell)
     L = np.linalg.cholesky(K + 1e-10 * np.eye(n))
     f = L @ rng.standard_normal(n)
     y = f + noise_sd * rng.standard_normal(n)

@@ -325,4 +325,41 @@ lam_st, _ = jax.jit(lambda p: svgp.predict_y(spec_p, p, Xp))(p_qp)
 rel_st = float(np.median(np.abs(np.asarray(lam_st) - lam_p) / lam_p))
 print(f"streamed Poisson (CVI sites): median rel intensity err {rel_st:.3f}")
 assert np.isfinite(rel_st) and rel_st < 0.5
+
+# --- multi-output (ICM coregion axis): joint fit + per-output q_v ----------
+from vggp_tpu import kernels
+from vggp_tpu.features import OutputFeature
+
+rng_mo = np.random.default_rng(11)
+n_mo = 160
+x_mo = np.sort(rng_mo.uniform(0.0, 1.0, n_mo)).astype(np.float32)
+task_mo = rng_mo.integers(0, 2, n_mo)
+f_mo = np.sin(5.0 * x_mo)
+y_mo = np.where(task_mo == 0, f_mo, 0.7 * f_mo + 0.2) \
+    + 0.05 * rng_mo.standard_normal(n_mo)
+X_mo = jnp.asarray(np.stack([x_mo, task_mo.astype(np.float32)], axis=1))
+Y_mo = jnp.asarray(y_mo.astype(np.float32))
+mesh_mo = np.linspace(0.0, 1.0, 13)
+feat_mo = CellIntegralFeature(mesh=mesh_mo)
+out_mo = OutputFeature(n_outputs=2)
+spec_mo = sgpr.SGPRSpec(kinds=("matern12", "coregion"),
+                           features=(feat_mo, out_mo))
+p_mo = train.non_informative_init(spec_mo.init_params(), X_mo, Y_mo)
+p_mo, hist_mo = train.fit(lambda q: sgpr.loss(spec_mo, q, X_mo, Y_mo),
+                          p_mo, 400, 0.05)
+assert np.all(np.isfinite(np.asarray(hist_mo["loss"]))), "ICM fit NaN"
+st_mo = jax.jit(lambda p: sgpr.precompute(spec_mo, p, X_mo, Y_mo))(p_mo)
+qv_mo = jax.jit(lambda p, s: sgpr.q_v_from_state(
+    spec_mo, p, s, (feat_mo, out_mo)))(p_mo, st_mo)
+a_mo, b_mo = mesh_mo[:-1], mesh_mo[1:]
+i0_mo = (np.cos(5 * a_mo) - np.cos(5 * b_mo)) / 5.0
+truth_mo = np.stack([i0_mo, 0.7 * i0_mo + 0.2 * (b_mo - a_mo)], 1).reshape(-1)
+moerr = float(np.abs(np.asarray(qv_mo.mean) - truth_mo).max())
+Bm = np.asarray(kernels.coregion_b(p_mo["axes"][1]))
+mocorr = float(Bm[0, 1] / np.sqrt(Bm[0, 0] * Bm[1, 1]))
+print(f"ICM 2-output q_v err {moerr:.4f} (scale {np.abs(truth_mo).max():.3f}), "
+      f"learned corr {mocorr:+.2f}")
+assert moerr < 0.03 and mocorr > 0.8
+assert float(np.min(np.asarray(qv_mo.variance()))) > 0
+
 print("DRIVE OK")

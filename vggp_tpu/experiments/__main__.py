@@ -12,6 +12,7 @@ EXPERIMENTS = {
     "streaming": "sequential mission assimilation, no refits (beyond-reference)",
     "velocity": "geostrophic velocities from the gridded-gradient product (beyond-reference)",
     "evidence": "Laplace-evidence kernel selection + hyper-marginalized intervals (beyond-reference)",
+    "multioutput": "joint ICM dense+sparse mission pair, cross-output transfer (beyond-reference)",
 }
 
 if __name__ == "__main__":

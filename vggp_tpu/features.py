@@ -1228,3 +1228,74 @@ class CellIntegralFeature(AxisFeature):
         ind = (x[None, :] >= a) & (x[None, :] < b)
         last = (jnp.arange(self.m)[:, None] == self.m - 1) & (x[None, :] == b)
         return (ind | last).astype(x.dtype)
+
+
+@dataclass(frozen=True)
+class OutputFeature(AxisFeature):
+    """Discrete OUTPUT axis for multi-output (ICM/LMC) models — beyond-reference.
+
+    Pairs with ``kind == "coregion"``. The axis coordinate is the integer
+    output index p ∈ {0, …, n_outputs−1} (carried as a float column of X,
+    like every other axis); the Gram over indices is the coregionalization
+    matrix B = W Wᵀ + diag(κ) (``kernels.coregion_b``). One inducing feature
+    per output — u_p = the p-th latent output at the shared spatial features
+    of the OTHER axes — so Kuu = B, Kuf gathers B's columns, and the joint
+    separable prior is B ⊗ (⊗ K_axis): a full ICM multi-output GP riding the
+    existing Kronecker machinery (collapsed bound, posteriors, gridded q(v))
+    with no new model code. Gradient/sampling heads reject the coregion axis
+    through their differentiability/spectral checks.
+
+    W is initialized with a fixed host-side rng (deterministic across
+    processes); κ trains through the softplus floor like every positive
+    hyperparameter.
+    """
+
+    n_outputs: int
+    rank: int = 1
+
+    def __post_init__(self):
+        if self.n_outputs < 1 or not 1 <= self.rank <= self.n_outputs:
+            raise ValueError(
+                f"OutputFeature: need n_outputs ≥ 1 and 1 ≤ rank ≤ n_outputs, "
+                f"got ({self.n_outputs}, {self.rank})"
+            )
+
+    @property
+    def m(self) -> int:
+        return self.n_outputs
+
+    def init_params(self, dtype=jnp.float32) -> Dict:
+        rng = np.random.default_rng(20260818)
+        w = 0.5 * rng.standard_normal((self.n_outputs, self.rank)) + 0.5
+        return {
+            "w": jnp.asarray(w, dtype=dtype),
+            "kappa": jnp.full((self.n_outputs,), 0.5, dtype=dtype),
+        }
+
+    def _check_kind(self, kind: str) -> None:
+        if kind != kernels.COREGION_KIND:
+            raise ValueError(
+                f"OutputFeature pairs with kind='coregion', got {kind!r}"
+            )
+
+    def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        self._check_kind(kind)
+        return kernels.coregion_b(p)
+
+    def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """(P, n) gather of B's columns at the batch's output indices."""
+        self._check_kind(kind)
+        idx = jnp.round(jnp.reshape(x, (-1,))).astype(jnp.int32)
+        return kernels.coregion_b(p)[:, idx]
+
+    def Kvu(self, kind: str, p: Params, grid: "OutputFeature") -> jnp.ndarray:
+        """Cross-covariance with a grid axis: for the output axis the 'grid'
+        is the outputs themselves (one product slice per output), so the
+        block is B itself. Rejects a mismatched grid axis."""
+        self._check_kind(kind)
+        if not isinstance(grid, OutputFeature) or grid.n_outputs != self.n_outputs:
+            raise ValueError(
+                "OutputFeature.Kvu: the grid axis for an output axis must be "
+                f"the same outputs (OutputFeature(n_outputs={self.n_outputs}))"
+            )
+        return kernels.coregion_b(p)

@@ -286,3 +286,58 @@ def kdiag_product_2d(kinds: tuple, x: jnp.ndarray, params1: Dict, params2: Dict)
     n = x.shape[0]
     one = jnp.ones((n,), dtype=x.dtype)
     return one * (params1["variance"] * params2["variance"])
+
+
+# --------------------------------------------------------------------------- #
+# multi-output (ICM / LMC) coregionalization axis — beyond-reference
+#
+# A discrete "output" axis whose Gram over output indices is the ICM
+# coregionalization matrix B = W Wᵀ + diag(κ) (W an (P, R) low-rank factor,
+# κ a positive diagonal — PSD by construction; Bonilla et al. 2008). Under
+# the repo's separable-axes convention a multi-output GP over (x, output p)
+# is simply one more Kronecker axis: K((x, p), (x', p')) = k(x, x')·B[p, p'].
+# Every head (collapsed bound, posteriors, gridded q(v), streaming) then
+# works unchanged through the generic per-axis machinery; ``axis_gram`` /
+# ``axis_kdiag`` below are the single dispatch points that give the discrete
+# axis its Gram semantics. The reference has no multi-output support.
+# --------------------------------------------------------------------------- #
+
+COREGION_KIND = "coregion"
+
+
+def coregion_b(p: Dict) -> jnp.ndarray:
+    """B = W Wᵀ + diag(κ) — the (P, P) ICM coregionalization matrix."""
+    W = p["w"]
+    return W @ W.T + jnp.diag(p["kappa"])
+
+
+def coregion_b_diag(p: Dict) -> jnp.ndarray:
+    """diag(B) = Σ_r W[:, r]² + κ without forming B."""
+    return jnp.sum(p["w"] ** 2, axis=1) + p["kappa"]
+
+
+def _as_index(x: jnp.ndarray) -> jnp.ndarray:
+    """Output-axis coordinates arrive as a float column of X; round to the
+    nearest integer index (they are exact small integers by contract)."""
+    return jnp.round(jnp.reshape(x, (-1,))).astype(jnp.int32)
+
+
+def axis_gram(kind: str, p: Dict, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Per-axis dense Gram with discrete-axis dispatch.
+
+    Stationary kinds route to :func:`gram_1d`; ``"coregion"`` gathers
+    B[p, p'] for the integer output indices carried in the axis column.
+    """
+    if kind == COREGION_KIND:
+        B = coregion_b(p)
+        return B[_as_index(x1)[:, None], _as_index(x2)[None, :]]
+    return gram_1d(kind, x1, x2, p["variance"], p["lengthscale"])
+
+
+def axis_kdiag(kind: str, p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-axis diag K(x, x) with discrete-axis dispatch (length-n vector)."""
+    if kind == COREGION_KIND:
+        return coregion_b_diag(p)[_as_index(x)]
+    n = jnp.reshape(x, (-1,)).shape[0]
+    dtype = jnp.result_type(p["variance"])
+    return jnp.full((n,), 1.0, dtype=dtype) * p["variance"]

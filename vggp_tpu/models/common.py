@@ -297,26 +297,26 @@ def khatri_rao_all(blocks: Sequence[jnp.ndarray]) -> jnp.ndarray:
 
 
 def kdiag(spec, params: Params, X: jnp.ndarray) -> jnp.ndarray:
-    """diag K_ff — product of per-axis stationary variances."""
+    """diag K_ff — product of per-axis Gram diagonals (the stationary
+    variance for continuous axes; B[p, p] gathered for a coregion axis)."""
     if X.ndim == 1:
         X = X[:, None]
     n = X.shape[0]
     v = jnp.ones((n,), dtype=X.dtype)
-    for i in range(len(spec.kinds)):
-        v = v * axis_params(params, i)["variance"]
+    for i, kind in enumerate(spec.kinds):
+        v = v * kernels.axis_kdiag(kind, axis_params(params, i), X[:, i])
     return v
 
 
 def gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """Dense K(x1, x2) — product over axes of 1D Grams."""
+    """Dense K(x1, x2) — product over axes of 1D Grams (coregion-aware)."""
     if x1.ndim == 1:
         x1 = x1[:, None]
     if x2.ndim == 1:
         x2 = x2[:, None]
     out = None
     for i, kind in enumerate(spec.kinds):
-        p = axis_params(params, i)
-        g = kernels.gram_1d(kind, x1[:, i], x2[:, i], p["variance"], p["lengthscale"])
+        g = kernels.axis_gram(kind, axis_params(params, i), x1[:, i], x2[:, i])
         out = g if out is None else out * g
     return out
 
@@ -371,17 +371,19 @@ def canonical_axis(spec, axis: int) -> int:
 
 
 def grad_kdiag(spec, params: Params, X: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """diag Cov[∂_axis f] = −k_axis''(0) · Π_{i≠axis} σ²_i (stationary)."""
+    """diag Cov[∂_axis f] = −k_axis''(0) · Π_{i≠axis} diag K_i (stationary
+    variance per continuous axis; B[p, p] for a coregion axis)."""
     axis = canonical_axis(spec, axis)
     if X.ndim == 1:
         X = X[:, None]
     n = X.shape[0]
     p_ax = axis_params(params, axis)
     v = kernels.grad_variance(spec.kinds[axis], p_ax["variance"], p_ax["lengthscale"])
-    for i in range(len(spec.kinds)):
+    out = jnp.ones((n,), dtype=X.dtype) * v
+    for i, kind in enumerate(spec.kinds):
         if i != axis:
-            v = v * axis_params(params, i)["variance"]
-    return jnp.ones((n,), dtype=X.dtype) * v
+            out = out * kernels.axis_kdiag(kind, axis_params(params, i), X[:, i])
+    return out
 
 
 def grad_gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray,
@@ -399,8 +401,7 @@ def grad_gram_full(spec, params: Params, x1: jnp.ndarray, x2: jnp.ndarray,
             g = kernels.grad_gram_1d(kind, x1[:, i], x2[:, i],
                                      p["variance"], p["lengthscale"])
         else:
-            g = kernels.gram_1d(kind, x1[:, i], x2[:, i],
-                                p["variance"], p["lengthscale"])
+            g = kernels.axis_gram(kind, p, x1[:, i], x2[:, i])
         out = g if out is None else out * g
     return out
 
@@ -514,16 +515,42 @@ def grad_grid_kvv(spec, params: Params, grid_axes, axis: int,
 # identical, so it lives here once, taking ``combine(blocks) -> (m, n)``.
 # --------------------------------------------------------------------------- #
 
+def obs_noise(spec, params: Params, X: jnp.ndarray):
+    """Per-observation noise variance.
+
+    Scalar ``params["noise"]`` is the homoscedastic default. A VECTOR noise
+    (shape (P,)) means per-OUTPUT noise for a multi-output model: the entry
+    is gathered by the integer output index carried in the coregion axis's
+    column of X (per-mission noise levels — beyond-reference capability).
+    Returns a scalar or an (n,) vector; all consumers broadcast either.
+    """
+    noise = params["noise"]
+    if noise.ndim == 0:
+        return noise
+    try:
+        i = spec.kinds.index("coregion")
+    except ValueError:
+        raise ValueError(
+            "vector params['noise'] is per-output noise and requires a "
+            "'coregion' axis to carry the output index") from None
+    if X.ndim == 1:
+        X = X[:, None]
+    idx = jnp.round(X[:, i]).astype(jnp.int32)
+    return noise[idx]
+
+
 def factored_state(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, combine):
     """(chols, A, L_B, c, y) of the collapsed bound's stable factored form:
 
-    A = L⁻¹Kuf/σ, B = I + AAᵀ, L_B = chol(B), c = L_B⁻¹Ay/σ — everything
-    the bound, posteriors, and gridded heads need (sgpr.py module docstring
-    for the math; reference ``univariate_structure.py:234-263`` is the O(n³)
-    original).
+    A = L⁻¹Kuf D^{-1/2}, B = I + AAᵀ, L_B = chol(B), c = L_B⁻¹A D^{-1/2}y —
+    everything the bound, posteriors, and gridded heads need (sgpr.py module
+    docstring for the math; reference ``univariate_structure.py:234-263`` is
+    the O(n³) original). D = σ²I for scalar noise; heteroscedastic
+    per-output noise makes D the gathered diagonal (the factored Titsias
+    bound holds verbatim with D⁻¹ in place of σ⁻²I).
     """
     y = jnp.reshape(y, (-1,))
-    noise = params["noise"]
+    noise = obs_noise(spec, params, X)
     sigma = jnp.sqrt(noise)
     chols = axis_chol_kuu(spec, params)
     if scalar_whiten_eligible(spec, params):
@@ -534,11 +561,11 @@ def factored_state(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, combine
         blocks = axis_whitened_kuf_scalar(spec, params, X)
     else:
         blocks = axis_whitened_kuf(spec, params, chols, X)
-    A = combine(blocks) / sigma  # (m, n)
+    A = combine(blocks) / sigma  # (m, n); (n,) sigma column-scales
     m = A.shape[0]
     B = jnp.eye(m, dtype=A.dtype) + A @ A.T
     LB = safe_cholesky(B, 1e-12)
-    c = tri_solve(LB, A @ y) / sigma
+    c = tri_solve(LB, A @ (y / sigma))
     return chols, A, LB, c, y
 
 
@@ -547,20 +574,21 @@ def collapsed_elbo(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     """Collapsed (Titsias) evidence lower bound — scalar.
 
     ``kdiag_fn(spec, params, X) -> (n,)`` supplies diag K_ff (product of axis
-    variances for separable kernels, sum for additive ones).
+    variances for separable kernels, sum for additive ones). Heteroscedastic
+    D = diag(σ²_i) (per-output noise) drops in exactly: every σ² below is
+    the per-observation value and tr(D⁻¹Qff) = ‖A‖²_F by A's D^{-1/2}.
     """
     chols, A, LB, c, y = factored_state(spec, params, X, y, combine)
     n = y.shape[0]
-    noise = params["noise"]
-    kff_sum = jnp.sum(kdiag_fn(spec, params, X))
-    qff_tr = noise * jnp.sum(A * A)
-    bound = -0.5 * n * jnp.log(2.0 * jnp.pi * noise)
+    noise = jnp.broadcast_to(obs_noise(spec, params, X), (n,))
+    kff = kdiag_fn(spec, params, X)
+    bound = -0.5 * jnp.sum(jnp.log(2.0 * jnp.pi * noise))
     bound -= jnp.sum(jnp.log(jnp.diagonal(LB)))
-    bound -= 0.5 * jnp.sum(y * y) / noise
+    bound -= 0.5 * jnp.sum(y * y / noise)
     bound += 0.5 * jnp.sum(c * c)
-    # trace gap tr(Kff - Qff) ≥ 0 always (Qff ⪯ Kff); clamp the f32
+    # trace gap tr(D⁻¹(Kff − Qff)) ≥ 0 always (Qff ⪯ Kff); clamp the f32
     # cancellation error so it can never flip into a spurious reward.
-    bound -= jnp.maximum(kff_sum - qff_tr, 0.0) / (2.0 * noise)
+    bound -= 0.5 * jnp.maximum(jnp.sum(kff / noise) - jnp.sum(A * A), 0.0)
     return bound
 
 
@@ -581,12 +609,14 @@ def collapsed_posterior(spec, params: Params, state, xstar: jnp.ndarray,
     w = combine(blocks_star)  # (m, n*) = L⁻¹ Kuf*
     tmp = tri_solve(LB, w)
     mean = tmp.T @ c
-    noise = params["noise"] if predictive else 0.0
+    noise = obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = gram_fn(spec, params, xstar, xstar)
         cov = kss - w.T @ w + tmp.T @ tmp
         if predictive:
-            cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            n_star = cov.shape[0]
+            cov = cov + jnp.broadcast_to(noise, (n_star,)) * jnp.eye(
+                n_star, dtype=cov.dtype)
         return Gaussian(mean=mean, cov=cov)
     kss = kdiag_fn(spec, params, xstar)
     var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)

@@ -31,23 +31,37 @@ Params = Dict
 class ExactGPSpec:
     kinds: Tuple[str, ...]  # one per input axis; product kernel across axes
     jitter: float = 1e-6
+    # for a multi-output model: a "coregion" kind axis whose column of X
+    # carries integer output indices (ICM, K = B ⊗ ⊗K_i; beyond-reference)
+    n_outputs: int = 0
+    coregion_rank: int = 1
+    per_output_noise: bool = False  # noise becomes an (n_outputs,) vector
 
     @property
     def ndim(self) -> int:
         return len(self.kinds)
 
     def init_params(self, dtype=jnp.float32) -> Params:
-        axes = tuple(
-            {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
-            for _ in self.kinds
-        )
-        return {"axes": axes, "noise": jnp.asarray(0.1, dtype)}
+        from vggp_tpu.features import OutputFeature
+
+        axes = []
+        for kind in self.kinds:
+            if kind == "coregion":
+                axes.append(OutputFeature(self.n_outputs,
+                                          self.coregion_rank).init_params(dtype))
+            else:
+                axes.append({"variance": jnp.asarray(1.0, dtype),
+                             "lengthscale": jnp.asarray(1.0, dtype)})
+        noise = (jnp.full((self.n_outputs,), 0.1, dtype)
+                 if self.per_output_noise else jnp.asarray(0.1, dtype))
+        return {"axes": tuple(axes), "noise": noise}
 
 
 def _chol_ky(spec: ExactGPSpec, params: Params, X: jnp.ndarray) -> jnp.ndarray:
     kxx = common.gram_full(spec, params, X, X)
     n = kxx.shape[0]
-    return safe_cholesky(kxx + params["noise"] * jnp.eye(n, dtype=kxx.dtype), spec.jitter)
+    noise = jnp.broadcast_to(common.obs_noise(spec, params, X), (n,))
+    return safe_cholesky(kxx + noise * jnp.eye(n, dtype=kxx.dtype), spec.jitter)
 
 
 @common.highest_precision
@@ -83,7 +97,7 @@ def posterior(
     kxs = common.gram_full(spec, params, X, xstar)  # (n, n*)
     w = tri_solve(L, kxs)                            # (n, n*)
     mean = w.T @ tri_solve(L, y)
-    noise = params["noise"] if predictive else 0.0
+    noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = common.gram_full(spec, params, xstar, xstar)
         cov = kss - w.T @ w
@@ -137,7 +151,7 @@ def posterior_grad(
         if i == axis:
             g = kernels.dgram_1d(kind, Xs[:, i], Xd[:, i], p["variance"], p["lengthscale"])
         else:
-            g = kernels.gram_1d(kind, Xs[:, i], Xd[:, i], p["variance"], p["lengthscale"])
+            g = kernels.axis_gram(kind, p, Xs[:, i], Xd[:, i])
         kdx = g if kdx is None else kdx * g
     w = tri_solve(L, kdx.T)                  # (n, n*)
     mean = w.T @ tri_solve(L, y)

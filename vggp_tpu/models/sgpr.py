@@ -46,6 +46,7 @@ class SGPRSpec:
     features: Tuple[AxisFeature, ...]
     jitter: float = 1e-6
     factor_method: str = "chol"  # Kuu factorization: "chol" | "eigh"
+    per_output_noise: bool = False  # per-mission noise vector (needs coregion)
 
     @property
     def ndim(self) -> int:
@@ -60,11 +61,18 @@ class SGPRSpec:
 
     def init_params(self, dtype=jnp.float32) -> Params:
         axes = []
-        for f in self.features:
-            p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
+        for kind, f in zip(self.kinds, self.features):
+            if kind == "coregion":
+                p = {}  # the discrete axis owns its (w, kappa) B-params
+            else:
+                p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
             p.update(f.init_params(dtype))
             axes.append(p)
-        return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype)}
+        noise = jnp.asarray(0.1, dtype)
+        if self.per_output_noise:
+            i = self.kinds.index("coregion")
+            noise = jnp.full((self.features[i].n_outputs,), 0.1, dtype)
+        return {"axes": tuple(axes), "noise": noise}
 
 
 def precompute(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
@@ -193,7 +201,7 @@ def posterior(
     w = common.khatri_rao_all(blocks_star)      # (m, n*) = L⁻¹ Kuf*
     tmp = tri_solve(LB, w)                       # (m, n*)
     mean = tmp.T @ c
-    noise = params["noise"] if predictive else 0.0
+    noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = common.gram_full(spec, params, xstar, xstar)
         cov = kss - w.T @ w + tmp.T @ tmp

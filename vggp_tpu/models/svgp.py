@@ -63,6 +63,7 @@ class SVGPSpec:
     factor_method: str = "chol"       # Kuu factorization: "chol" | "eigh"
     likelihood: str = "gaussian"      # see vggp_tpu.likelihoods (beyond-reference)
     likelihood_opts: Tuple[Tuple[str, float], ...] = ()  # static, e.g. (("df", 4.0),)
+    per_output_noise: bool = False    # per-mission noise vector (needs coregion)
 
     def __post_init__(self):
         if self.variational not in ("full", "kron"):
@@ -94,10 +95,17 @@ class SVGPSpec:
 
     def init_params(self, dtype=jnp.float32) -> Params:
         axes = []
-        for f in self.features:
-            p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
+        for kind, f in zip(self.kinds, self.features):
+            if kind == "coregion":
+                p = {}  # the discrete axis owns its (w, kappa) B-params
+            else:
+                p = {"variance": jnp.asarray(1.0, dtype), "lengthscale": jnp.asarray(1.0, dtype)}
             p.update(f.init_params(dtype))
             axes.append(p)
+        noise = jnp.asarray(0.1, dtype)
+        if self.per_output_noise:
+            i = self.kinds.index("coregion")
+            noise = jnp.full((self.features[i].n_outputs,), 0.1, dtype)
         if self.variational == "full":
             m = self.num_inducing
             q = {
@@ -108,7 +116,7 @@ class SVGPSpec:
             q = {"mu": jnp.zeros(self.axis_m, dtype)}
             for i, mi in enumerate(self.axis_m):
                 q[f"raw_L{i + 1}"] = raw_from_chol(jnp.eye(mi, dtype=dtype))
-        return {"axes": tuple(axes), "noise": jnp.asarray(0.1, dtype), "q": q}
+        return {"axes": tuple(axes), "noise": noise, "q": q}
 
 
 def _whitened_blocks(spec: SVGPSpec, params: Params, x: jnp.ndarray):
@@ -302,7 +310,7 @@ def elbo(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jn
     kff = common.kdiag(spec, params, xb)
     var_f = jnp.maximum(kff - var_red, 0.0) + var_add
     if spec.likelihood == "gaussian":
-        noise = params["noise"]
+        noise = common.obs_noise(spec, params, xb)  # scalar or per-output
         ell_i = (-0.5 * jnp.log(2.0 * jnp.pi * noise)
                  - ((yb - mean) ** 2 + var_f) / (2.0 * noise))
     else:
@@ -350,7 +358,7 @@ def elbo_muS(
     kff = common.kdiag(spec, params, xb)
     var_f = jnp.maximum(kff - var_red, 0.0) + var_add
     if spec.likelihood == "gaussian":
-        noise = params["noise"]
+        noise = common.obs_noise(spec, params, xb)  # scalar or per-output
         ell_i = (-0.5 * jnp.log(2.0 * jnp.pi * noise)
                  - ((yb - mean) ** 2 + var_f) / (2.0 * noise))
     else:
@@ -373,7 +381,7 @@ def posterior(
 ) -> Gaussian:
     chols, blocks = _whitened_blocks(spec, params, xstar)
     mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
-    noise = params["noise"] if predictive else 0.0
+    noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if not full_cov:
         kss = common.kdiag(spec, params, xstar)
         var = jnp.maximum(kss - var_red, 0.0) + var_add + noise

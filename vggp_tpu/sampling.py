@@ -26,6 +26,8 @@ from Gaussian process posteriors":
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -93,6 +95,13 @@ def prior_paths(key, spec: SVGPSpec, params, n_features: int):
     amp = σ_total·√(2/F) with σ²_total = Π per-axis variances.
     """
     d = spec.ndim
+    if "coregion" in spec.kinds:
+        raise NotImplementedError(
+            "prior_paths is single-output; a coregion spec draws through "
+            "prior_paths_multioutput (chol(B)-mixed per-output bundles), "
+            "which pathwise_posterior / pathwise_posterior_collapsed "
+            "dispatch to automatically"
+        )
     keys = jax.random.split(key, d + 1)
     omegas = []
     var_total = 1.0
@@ -112,6 +121,107 @@ def eval_path(omegas, phases, amp, X: jnp.ndarray) -> jnp.ndarray:
         X = X[:, None]
     arg = X @ omegas + phases[None, :]          # (n, F)
     return amp * jnp.sum(jnp.cos(arg), axis=1)
+
+
+# --------------------------------------------------------------------------- #
+# multi-output (ICM coregion axis) prior paths — beyond-reference
+#
+# The joint prior over (x, output p) is B ⊗ K. A coherent draw is
+#   f(x, p) = Σ_r L_B[p, r] · g_r(x),   L_B = chol(B), g_r iid ~ GP(0, K):
+# P independent spectral path BUNDLES over the CONTINUOUS axes, mixed by
+# chol(B) rows. Inducing functionals inherit the same mixing (they are
+# linear), with the coregion feature's "functional" being evaluation at
+# output p — so u[(cells…, p)] = Σ_r L_B[p, r] · u_r[cells…].
+# --------------------------------------------------------------------------- #
+
+
+class _ContSubSpec(NamedTuple):
+    """Continuous-axes view of a coregion spec for the path functionals."""
+
+    kinds: tuple
+    features: tuple
+
+    @property
+    def ndim(self) -> int:
+        return len(self.kinds)
+
+
+def _coregion_split(spec):
+    """(co_axis_index, continuous-axes subspec) or (None, spec)."""
+    if "coregion" not in spec.kinds:
+        return None, spec
+    co = spec.kinds.index("coregion")
+    kinds = tuple(k for i, k in enumerate(spec.kinds) if i != co)
+    feats = tuple(f for i, f in enumerate(getattr(spec, "features", ()) or ())
+                  if i != co)
+    return co, _ContSubSpec(kinds=kinds, features=feats)
+
+
+def _cont_params(params, co):
+    return {"axes": tuple(ax for i, ax in enumerate(params["axes"]) if i != co),
+            "noise": params["noise"]}
+
+
+def prior_paths_multioutput(key, spec, params, n_features: int):
+    """P chol(B)-mixed bundles: (omegas (P, d_cont, F), phases (P, F), amp,
+    LB (P, P), co_axis). amp carries the continuous axes' variance product;
+    B carries the output scales."""
+    from vggp_tpu import kernels as _k
+
+    co, sub = _coregion_split(spec)
+    p_co = common.axis_params(params, co)
+    B = _k.coregion_b(p_co)
+    P = B.shape[0]
+    # B = WWᵀ + diag(κ) is PD by construction (κ floored); tiny absolute
+    # jitter guards the f32 Cholesky only
+    LB = jnp.linalg.cholesky(B + 1e-10 * jnp.eye(P, dtype=B.dtype))
+    cont = [i for i in range(spec.ndim) if i != co]
+    keys = jax.random.split(key, P)
+    var_total = 1.0
+    for i in cont:
+        var_total = var_total * common.axis_params(params, i)["variance"]
+    om_all, ph_all = [], []
+    for r in range(P):
+        ks = jax.random.split(keys[r], len(cont) + 1)
+        om_all.append(jnp.stack([
+            sample_frequencies(ks[j], spec.kinds[i],
+                               common.axis_params(params, i)["lengthscale"],
+                               n_features)
+            for j, i in enumerate(cont)
+        ]))
+        ph_all.append(jax.random.uniform(ks[-1], (n_features,),
+                                         maxval=2.0 * jnp.pi))
+    amp = jnp.sqrt(2.0 * var_total / n_features)
+    return jnp.stack(om_all), jnp.stack(ph_all), amp, LB, co
+
+
+def eval_path_multioutput(omegas, phases, amp, LB, co, X: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the mixed multi-output path at (n, d) inputs (the coregion
+    column carries integer output indices) → (n,)."""
+    if X.ndim == 1:
+        X = X[:, None]
+    d = X.shape[1]
+    cont = [i for i in range(d) if i != co]
+    Xc = X[:, cont]
+    idx = jnp.round(X[:, co]).astype(jnp.int32)
+    bundle = jax.vmap(lambda om, ph: eval_path(om, ph, amp, Xc))(
+        omegas, phases)                               # (P, n)
+    return jnp.sum(LB[idx, :] * bundle.T, axis=1)     # Σ_r L_B[p_i, r] g_r(x_i)
+
+
+def prior_inducing_sample_multioutput(omegas, phases, amp, LB, co,
+                                      spec, params) -> jnp.ndarray:
+    """EXACT u_prior for a coregion spec → (m₁, …, m_d) with the coregion
+    axis (length P) in its spec slot: per-bundle continuous functionals
+    einsum-mixed by chol(B)."""
+    _, sub = _coregion_split(spec)
+    p_cont = _cont_params(params, co)
+    u_r = jnp.stack([
+        prior_inducing_sample(omegas[r], phases[r], amp, sub, p_cont)
+        for r in range(LB.shape[0])
+    ])                                                 # (P, m_cont…)
+    u = jnp.einsum("pr,r...->...p", LB, u_r)           # coregion axis last
+    return jnp.moveaxis(u, -1, co)
 
 
 def eval_path_deriv(omegas, phases, amp, X: jnp.ndarray, orders) -> jnp.ndarray:
@@ -495,12 +605,21 @@ def pathwise_posterior(
         xstar = xstar[:, None]
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, xstar)
+    co, _ = _coregion_split(spec)
 
     def one(key_s):
         kp, kw = jax.random.split(key_s)
-        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
-        f_prior = eval_path(omegas, phases, amp, xstar)
-        diff = _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp,
+        if co is None:
+            omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+            f_prior = eval_path(omegas, phases, amp, xstar)
+            u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        else:  # ICM: chol(B)-mixed per-output path bundles
+            omegas, phases, amp, LBm, _ = prior_paths_multioutput(
+                kp, spec, params, n_features)
+            f_prior = eval_path_multioutput(omegas, phases, amp, LBm, co, xstar)
+            u_prior = prior_inducing_sample_multioutput(
+                omegas, phases, amp, LBm, co, spec, params)
+        diff = _svgp_diff_sample(spec, params, chols, kw, u_prior,
                                  f_prior.dtype)
         return f_prior + _apply_blocks(spec, diff, blocks)
 
@@ -508,11 +627,10 @@ def pathwise_posterior(
     return jax.vmap(one)(keys)
 
 
-def _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp, dtype):
+def _svgp_diff_sample(spec, params, chols, kw, u_prior, dtype):
     """One Matheron residual w_q − F⁻¹u_prior for the (whitened) SVGP family:
     (m,) for the full family, (m₁, …, m_d) for the Kronecker family."""
     q = params["q"]
-    u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
     w = _whiten_axes(u_prior, chols)   # F⁻¹ u_prior, per-axis solves
     if spec.variational == "full":
         m = spec.num_inducing
@@ -591,7 +709,8 @@ def pathwise_posterior_with_grads(
         kp, kw = jax.random.split(key_s)
         omegas, phases, amp = prior_paths(kp, spec, params, n_features)
         f_prior = eval_path(omegas, phases, amp, xstar)
-        diff = _svgp_diff_sample(spec, params, chols, kw, omegas, phases, amp,
+        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        diff = _svgp_diff_sample(spec, params, chols, kw, u_prior,
                                  f_prior.dtype)
         rows = [f_prior + _apply_blocks(spec, diff, blocks)]
         for o, db in zip(orders_list, dblocks):
@@ -645,12 +764,20 @@ def pathwise_posterior_collapsed(
     blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
     a = common.khatri_rao_all(blocks_star)          # (m, n*)
     m = a.shape[0]
+    co, _ = _coregion_split(spec)
 
     def one(key_s):
         kp, kw = jax.random.split(key_s)
-        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
-        f_prior = eval_path(omegas, phases, amp, xstar)
-        u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        if co is None:
+            omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+            f_prior = eval_path(omegas, phases, amp, xstar)
+            u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
+        else:  # ICM: chol(B)-mixed per-output path bundles
+            omegas, phases, amp, LBm, _ = prior_paths_multioutput(
+                kp, spec, params, n_features)
+            f_prior = eval_path_multioutput(omegas, phases, amp, LBm, co, xstar)
+            u_prior = prior_inducing_sample_multioutput(
+                omegas, phases, amp, LBm, co, spec, params)
         w = _whiten_axes(u_prior, chols).reshape(-1)
         z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
         w_q = tri_solve(LB, c + z, trans=True)       # L_B⁻ᵀ (c + z)

@@ -111,7 +111,9 @@ def assimilate(
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, X)
     a = common.khatri_rao_all(blocks)                     # (m, n)
-    inv_n = (1.0 / params["noise"] if noise is None
+    # default noise dispatches per-output for a coregion spec (vector
+    # params["noise"]); an explicit per-point vector still overrides
+    inv_n = (1.0 / common.obs_noise(spec, params, X) if noise is None
              else 1.0 / jnp.reshape(noise, (-1,)))
     aw = a * inv_n if jnp.ndim(inv_n) == 0 else a * inv_n[None, :]
     return {

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-POSITIVE_KEYS = ("variance", "lengthscale", "noise")
+POSITIVE_KEYS = ("variance", "lengthscale", "noise", "kappa")
 
 # Positivity floors added under the softplus bijector. The noise floor is
 # load-bearing on TPU float32: without it the collapsed ELBO's cancellation
@@ -27,7 +27,7 @@ POSITIVE_KEYS = ("variance", "lengthscale", "noise")
 # likelihood noise to 1e-17 (observed on v5e). 1e-6 matches GPflow's default
 # positive_minimum; data is assumed roughly unit-scaled (the experiment
 # pipelines min-max/z-scale, as the reference's notebooks do).
-FLOORS = {"noise": 1e-6, "variance": 1e-8, "lengthscale": 1e-8}
+FLOORS = {"noise": 1e-6, "variance": 1e-8, "lengthscale": 1e-8, "kappa": 1e-8}
 
 
 # --------------------------------------------------------------------------- #
@@ -86,12 +86,17 @@ def non_informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
     axes = []
     for i, p in enumerate(params["axes"]):
         q = dict(p)
-        q["variance"] = yvar.astype(p["variance"].dtype)
-        q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
+        # a discrete coregion axis has no (variance, lengthscale); its
+        # B-matrix params keep their feature-owned init
+        if "variance" in q:
+            q["variance"] = yvar.astype(p["variance"].dtype)
+        if "lengthscale" in q:
+            q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
         axes.append(q)
     out = dict(params)
     out["axes"] = tuple(axes)
-    out["noise"] = (yvar / (kappa**2)).astype(params["noise"].dtype)
+    out["noise"] = jnp.broadcast_to(  # keep a per-output noise vector's shape
+        (yvar / (kappa**2)).astype(params["noise"].dtype), params["noise"].shape)
     return out
 
 
@@ -105,12 +110,16 @@ def informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
     axes = []
     for i, p in enumerate(params["axes"]):
         q = dict(p)
-        q["variance"] = var.astype(p["variance"].dtype)
-        q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
+        if "variance" in q:
+            q["variance"] = var.astype(p["variance"].dtype)
+        if "lengthscale" in q:
+            q["lengthscale"] = (jnp.std(X[:, i]) / lmbda).astype(p["lengthscale"].dtype)
         axes.append(q)
     out = dict(params)
     out["axes"] = tuple(axes)
-    out["noise"] = jnp.maximum(jnp.var(y) - var, 1e-6 * jnp.var(y)).astype(params["noise"].dtype)
+    out["noise"] = jnp.broadcast_to(jnp.maximum(
+        jnp.var(y) - var, 1e-6 * jnp.var(y)).astype(params["noise"].dtype),
+        params["noise"].shape)
     return out
 
 
@@ -138,8 +147,13 @@ def guarded_update(opt, raw, opt_state, val, grads):
 def _history_entry(params: Dict, loss_val) -> Dict:
     h = {"loss": loss_val, "elbo": -loss_val, "noise": params["noise"]}
     for i, p in enumerate(params["axes"]):
-        h[f"scale_sigma_{i + 1}"] = p["variance"]
-        h[f"lengthscale_{i + 1}"] = p["lengthscale"]
+        if "variance" in p:  # a coregion axis records its B diagonal instead
+            h[f"scale_sigma_{i + 1}"] = p["variance"]
+            h[f"lengthscale_{i + 1}"] = p["lengthscale"]
+        else:
+            from vggp_tpu import kernels
+
+            h[f"coregion_bdiag_{i + 1}"] = kernels.coregion_b_diag(p)
     return h
 
 

@@ -8,6 +8,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vggp_tpu import kernels
 from vggp_tpu.ops import safe_cholesky, tri_solve, khatri_rao_rows, kron_dense
@@ -69,6 +70,13 @@ jax.tree_util.register_pytree_node(
 
 def axis_params(params: Params, i: int) -> Params:
     return params["axes"][i]
+
+
+def shift_mean(g: Gaussian, delta) -> Gaussian:
+    """Gaussian with ``delta`` added to the mean (0.0 → unchanged, free)."""
+    if isinstance(delta, float) and delta == 0.0:
+        return g
+    return Gaussian(mean=g.mean + delta, cov=g.cov, var=g.var)
 
 
 def floor_var(var: jnp.ndarray, ref_diag: jnp.ndarray) -> jnp.ndarray:
@@ -515,6 +523,63 @@ def grad_grid_kvv(spec, params: Params, grid_axes, axis: int,
 # identical, so it lives here once, taking ``combine(blocks) -> (m, n)``.
 # --------------------------------------------------------------------------- #
 
+def mean_fn(spec, params: Params, X: jnp.ndarray):
+    """Prior mean m(x) at the inputs — 0.0 (static skip) when no mean is
+    learned.
+
+    ``params["mean"]`` is an optional leaf (specs opt in via
+    ``learn_mean=True``): a scalar constant, or an (n_outputs,) vector of
+    PER-OUTPUT constants gathered by the coregion axis's index column (the
+    proper form of inter-mission bias removal — no more manual centering).
+    The model is f = m + g with g the zero-mean GP the inducing machinery
+    sees; every training head subtracts m from y, every predictive head adds
+    it back, and gridded products add the exact cell integrals of m
+    (:func:`grid_mean`). Constant means have zero derivative, so gradient
+    heads are untouched. Beyond-reference (the reference is ZeroMean-only,
+    ``gpytorch.means.ZeroMean`` throughout ``src/models``).
+    """
+    m = params.get("mean")
+    if m is None:
+        return 0.0
+    if m.ndim == 0:
+        return m
+    try:
+        i = spec.kinds.index("coregion")
+    except ValueError:
+        raise ValueError(
+            "vector params['mean'] is a per-output mean and requires a "
+            "'coregion' axis to carry the output index") from None
+    if X.ndim == 1:
+        X = X[:, None]
+    idx = jnp.round(X[:, i]).astype(jnp.int32)
+    return m[idx]
+
+
+def grid_mean(spec, params: Params, grid_axes):
+    """Exact cell integrals of the constant/per-output mean over a product
+    grid → 0.0 or a flat (Π gᵢ,) vector in the kron row-major order.
+
+    ∫_cell m = m_p · Π |cellᵢ|: a Kronecker product of per-axis vectors —
+    cell widths for integral axes, the per-output mean (or ones) for the
+    coregion axis."""
+    m = params.get("mean")
+    if m is None:
+        return 0.0
+    from vggp_tpu.ops import kron_diag
+
+    vecs = []
+    scalar = m if m.ndim == 0 else None
+    for i, g in enumerate(grid_axes):
+        if spec.kinds[i] == "coregion":
+            ones = jnp.ones((g.n_outputs,), dtype=jnp.result_type(m))
+            vecs.append(ones * m if m.ndim == 1 else ones)
+        else:
+            vecs.append(jnp.asarray(np.diff(np.asarray(g.mesh)),
+                                    dtype=jnp.result_type(m)))
+    out = kron_diag(vecs)
+    return out * scalar if scalar is not None else out
+
+
 def obs_noise(spec, params: Params, X: jnp.ndarray):
     """Per-observation noise variance.
 
@@ -549,7 +614,7 @@ def factored_state(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, combine
     per-output noise makes D the gathered diagonal (the factored Titsias
     bound holds verbatim with D⁻¹ in place of σ⁻²I).
     """
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - mean_fn(spec, params, X)  # residual vs m(x)
     noise = obs_noise(spec, params, X)
     sigma = jnp.sqrt(noise)
     chols = axis_chol_kuu(spec, params)
@@ -609,6 +674,8 @@ def collapsed_posterior(spec, params: Params, state, xstar: jnp.ndarray,
     w = combine(blocks_star)  # (m, n*) = L⁻¹ Kuf*
     tmp = tri_solve(LB, w)
     mean = tmp.T @ c
+    if blocks_fn is axis_whitened_kuf:  # the f head carries m(x*); gradient
+        mean = mean + mean_fn(spec, params, xstar)  # heads see ∂m = 0
     noise = obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = gram_fn(spec, params, xstar, xstar)

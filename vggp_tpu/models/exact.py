@@ -36,6 +36,7 @@ class ExactGPSpec:
     n_outputs: int = 0
     coregion_rank: int = 1
     per_output_noise: bool = False  # noise becomes an (n_outputs,) vector
+    learn_mean: bool = False        # constant mean; per-output with coregion
 
     @property
     def ndim(self) -> int:
@@ -54,7 +55,12 @@ class ExactGPSpec:
                              "lengthscale": jnp.asarray(1.0, dtype)})
         noise = (jnp.full((self.n_outputs,), 0.1, dtype)
                  if self.per_output_noise else jnp.asarray(0.1, dtype))
-        return {"axes": tuple(axes), "noise": noise}
+        out = {"axes": tuple(axes), "noise": noise}
+        if self.learn_mean:
+            out["mean"] = (jnp.zeros((self.n_outputs,), dtype)
+                           if "coregion" in self.kinds
+                           else jnp.asarray(0.0, dtype))
+        return out
 
 
 def _chol_ky(spec: ExactGPSpec, params: Params, X: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +73,7 @@ def _chol_ky(spec: ExactGPSpec, params: Params, X: jnp.ndarray) -> jnp.ndarray:
 @common.highest_precision
 def mll(spec: ExactGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """log p(y | X, θ) = log N(y | 0, Kxx + σ²I)."""
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     L = _chol_ky(spec, params, X)
     alpha = tri_solve(L, y)
     n = y.shape[0]
@@ -84,7 +90,9 @@ def loss(spec: ExactGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> j
 
 def prior(spec: ExactGPSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
     cov = common.gram_full(spec, params, xstar, xstar)
-    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+    mean = jnp.zeros(cov.shape[0], dtype=cov.dtype) + common.mean_fn(
+        spec, params, xstar)
+    return Gaussian(mean=mean, cov=cov)
 
 
 @common.highest_precision
@@ -92,11 +100,11 @@ def posterior(
     spec: ExactGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray, xstar: jnp.ndarray,
     full_cov: bool = True, predictive: bool = False,
 ) -> Gaussian:
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     L = _chol_ky(spec, params, X)
     kxs = common.gram_full(spec, params, X, xstar)  # (n, n*)
     w = tri_solve(L, kxs)                            # (n, n*)
-    mean = w.T @ tri_solve(L, y)
+    mean = w.T @ tri_solve(L, y) + common.mean_fn(spec, params, xstar)
     noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = common.gram_full(spec, params, xstar, xstar)
@@ -141,7 +149,7 @@ def posterior_grad(
 
     axis = common.canonical_axis(spec, axis)
     kernels.require_differentiable(spec.kinds[axis])
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     Xs = xstar[:, None] if xstar.ndim == 1 else xstar
     Xd = X[:, None] if X.ndim == 1 else X
     L = _chol_ky(spec, params, X)
@@ -180,7 +188,7 @@ def q_dv(
     for every kernel kind. Beyond-reference capability.
     """
     axis = common.canonical_axis(spec, axis)
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     Xd = X[:, None] if X.ndim == 1 else X
     L = _chol_ky(spec, params, X)
     from vggp_tpu import kernels
@@ -226,11 +234,11 @@ def q_v(
     is not part of that marginal and is documented in SURVEY.md §7 as a bug —
     not replicated.
     """
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     L = _chol_ky(spec, params, X)
     kvx = _kvx(spec, params, grid_axes, X)  # (g, n)
     w = tri_solve(L, kvx.T)                  # (n, g)
-    mean = w.T @ tri_solve(L, y)
+    mean = w.T @ tri_solve(L, y) + common.grid_mean(spec, params, grid_axes)
     blocks = tuple(
         grid_axes[i].Kuu(spec.kinds[i], common.axis_params(params, i))
         for i in range(spec.ndim)

@@ -47,6 +47,7 @@ class SGPRSpec:
     jitter: float = 1e-6
     factor_method: str = "chol"  # Kuu factorization: "chol" | "eigh"
     per_output_noise: bool = False  # per-mission noise vector (needs coregion)
+    learn_mean: bool = False        # constant mean; per-output with coregion
 
     @property
     def ndim(self) -> int:
@@ -72,7 +73,11 @@ class SGPRSpec:
         if self.per_output_noise:
             i = self.kinds.index("coregion")
             noise = jnp.full((self.features[i].n_outputs,), 0.1, dtype)
-        return {"axes": tuple(axes), "noise": noise}
+        out = {"axes": tuple(axes), "noise": noise}
+        if self.learn_mean:
+            out["mean"] = (jnp.zeros((self.features[self.kinds.index("coregion")].n_outputs,), dtype)
+                           if "coregion" in self.kinds else jnp.asarray(0.0, dtype))
+        return out
 
 
 def precompute(spec: SGPRSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray):
@@ -127,7 +132,8 @@ def q_v_from_state(
     """q(v) from a :func:`precompute` state."""
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
-    return _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+    g = _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 @common.highest_precision
@@ -200,7 +206,7 @@ def posterior(
     blocks_star = common.axis_whitened_kuf(spec, params, chols, xstar)
     w = common.khatri_rao_all(blocks_star)      # (m, n*) = L⁻¹ Kuf*
     tmp = tri_solve(LB, w)                       # (m, n*)
-    mean = tmp.T @ c
+    mean = tmp.T @ c + common.mean_fn(spec, params, xstar)
     noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if full_cov:
         kss = common.gram_full(spec, params, xstar, xstar)
@@ -218,9 +224,11 @@ def posterior_predictive(spec, params, X, y, xstar, full_cov: bool = True) -> Ga
 
 
 def prior(spec: SGPRSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
-    """Prior N(0, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
+    """Prior N(m, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
     cov = common.gram_full(spec, params, xstar, xstar)
-    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+    mean = jnp.zeros(cov.shape[0], dtype=cov.dtype) + common.mean_fn(
+        spec, params, xstar)
+    return Gaussian(mean=mean, cov=cov)
 
 
 @common.highest_precision
@@ -257,7 +265,8 @@ def q_v(
     state = _factored_state(spec, params, X, y)[:4]
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
-    return _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+    g = _grid_gaussian_from_state(spec, state, kvu_blocks, kvv_blocks, full_cov)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 @common.highest_precision

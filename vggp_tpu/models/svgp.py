@@ -64,6 +64,7 @@ class SVGPSpec:
     likelihood: str = "gaussian"      # see vggp_tpu.likelihoods (beyond-reference)
     likelihood_opts: Tuple[Tuple[str, float], ...] = ()  # static, e.g. (("df", 4.0),)
     per_output_noise: bool = False    # per-mission noise vector (needs coregion)
+    learn_mean: bool = False          # constant mean; per-output with coregion
 
     def __post_init__(self):
         if self.variational not in ("full", "kron"):
@@ -106,6 +107,10 @@ class SVGPSpec:
         if self.per_output_noise:
             i = self.kinds.index("coregion")
             noise = jnp.full((self.features[i].n_outputs,), 0.1, dtype)
+        mean = None
+        if self.learn_mean:
+            mean = (jnp.zeros((self.features[self.kinds.index("coregion")].n_outputs,), dtype)
+                    if "coregion" in self.kinds else jnp.asarray(0.0, dtype))
         if self.variational == "full":
             m = self.num_inducing
             q = {
@@ -116,7 +121,10 @@ class SVGPSpec:
             q = {"mu": jnp.zeros(self.axis_m, dtype)}
             for i, mi in enumerate(self.axis_m):
                 q[f"raw_L{i + 1}"] = raw_from_chol(jnp.eye(mi, dtype=dtype))
-        return {"axes": tuple(axes), "noise": noise, "q": q}
+        out = {"axes": tuple(axes), "noise": noise, "q": q}
+        if mean is not None:
+            out["mean"] = mean
+        return out
 
 
 def _whitened_blocks(spec: SVGPSpec, params: Params, x: jnp.ndarray):
@@ -307,6 +315,7 @@ def elbo(spec: SVGPSpec, params: Params, xb: jnp.ndarray, yb: jnp.ndarray) -> jn
     nb = yb.shape[0]
     _, blocks = _whitened_blocks(spec, params, xb)
     mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
+    mean = mean + common.mean_fn(spec, params, xb)  # f = m + g
     kff = common.kdiag(spec, params, xb)
     var_f = jnp.maximum(kff - var_red, 0.0) + var_add
     if spec.likelihood == "gaussian":
@@ -352,7 +361,7 @@ def elbo_muS(
     nb = yb.shape[0]
     _, blocks = _whitened_blocks(spec, params, xb)
     a = common.khatri_rao_all(blocks)             # (m, n)
-    mean = a.T @ mu
+    mean = a.T @ mu + common.mean_fn(spec, params, xb)  # f = m + g
     var_red = jnp.sum(a * a, axis=0)
     var_add = jnp.sum(a * (S @ a), axis=0)
     kff = common.kdiag(spec, params, xb)
@@ -381,6 +390,7 @@ def posterior(
 ) -> Gaussian:
     chols, blocks = _whitened_blocks(spec, params, xstar)
     mean, var_red, var_add = _qf_mean_var(spec, params, blocks)
+    mean = mean + common.mean_fn(spec, params, xstar)  # f = m + g
     noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
     if not full_cov:
         kss = common.kdiag(spec, params, xstar)
@@ -429,9 +439,11 @@ def predict_y(spec: SVGPSpec, params: Params, xstar: jnp.ndarray):
 
 
 def prior(spec: SVGPSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
-    """Prior N(0, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
+    """Prior N(m, K**) at test inputs (reference ``univariate_structure.py:169-182``)."""
     cov = common.gram_full(spec, params, xstar, xstar)
-    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+    mean = jnp.zeros(cov.shape[0], dtype=cov.dtype) + common.mean_fn(
+        spec, params, xstar)
+    return Gaussian(mean=mean, cov=cov)
 
 
 @common.highest_precision
@@ -529,7 +541,8 @@ def q_v(
         chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim)
     )  # R_i = Kvu_i F_i⁻ᵀ  (g_i, m_i)
     kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
-    return _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov)
+    g = _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 @common.highest_precision

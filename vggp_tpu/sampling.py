@@ -624,7 +624,7 @@ def pathwise_posterior(
         return f_prior + _apply_blocks(spec, diff, blocks)
 
     keys = jax.random.split(key, n_samples)
-    return jax.vmap(one)(keys)
+    return jax.vmap(one)(keys) + common.mean_fn(spec, params, xstar)
 
 
 def _svgp_diff_sample(spec, params, chols, kw, u_prior, dtype):
@@ -712,7 +712,8 @@ def pathwise_posterior_with_grads(
         u_prior = prior_inducing_sample(omegas, phases, amp, spec, params)
         diff = _svgp_diff_sample(spec, params, chols, kw, u_prior,
                                  f_prior.dtype)
-        rows = [f_prior + _apply_blocks(spec, diff, blocks)]
+        rows = [f_prior + _apply_blocks(spec, diff, blocks)
+                + common.mean_fn(spec, params, xstar)]
         for o, db in zip(orders_list, dblocks):
             g_prior = eval_path_deriv(omegas, phases, amp, xstar, o)
             rows.append(g_prior + _apply_blocks(spec, diff, db))
@@ -783,7 +784,8 @@ def pathwise_posterior_collapsed(
         w_q = tri_solve(LB, c + z, trans=True)       # L_B⁻ᵀ (c + z)
         return f_prior + a.T @ (w_q - w)
 
-    return jax.vmap(one)(jax.random.split(key, n_samples))
+    return (jax.vmap(one)(jax.random.split(key, n_samples))
+            + common.mean_fn(spec, params, xstar))
 
 
 @common.highest_precision
@@ -825,7 +827,7 @@ def pathwise_posterior_collapsed_with_grads(
         w = _whiten_axes(u_prior, chols).reshape(-1)
         z = jax.random.normal(kw, (m,), dtype=f_prior.dtype)
         diff = tri_solve(LB, c + z, trans=True) - w    # w_q − F⁻¹u_prior
-        rows = [f_prior + a.T @ diff]
+        rows = [f_prior + a.T @ diff + common.mean_fn(spec, params, xstar)]
         for o, dai in zip(orders_list, da):
             g_prior = eval_path_deriv(omegas, phases, amp, xstar, o)
             rows.append(g_prior + dai.T @ diff)
@@ -890,22 +892,30 @@ def pathwise_posterior_exact(
         X = X[:, None]
     if xstar.ndim == 1:
         xstar = xstar[:, None]
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)  # residual
     L = exact._chol_ky(spec, params, X)              # chol(Kxx + σ²I)
     ksx = common.gram_full(spec, params, xstar, X)   # (n*, n)
-    sigma = jnp.sqrt(params["noise"])
+    sigma = jnp.sqrt(common.obs_noise(spec, params, X))  # scalar or (n,)
+    co, _ = _coregion_split(spec)
 
     def one(key_s):
         kp, ke = jax.random.split(key_s)
-        omegas, phases, amp = prior_paths(kp, spec, params, n_features)
-        f_star = eval_path(omegas, phases, amp, xstar)
-        f_X = eval_path(omegas, phases, amp, X)
+        if co is None:
+            omegas, phases, amp = prior_paths(kp, spec, params, n_features)
+            f_star = eval_path(omegas, phases, amp, xstar)
+            f_X = eval_path(omegas, phases, amp, X)
+        else:  # ICM: chol(B)-mixed per-output path bundles
+            omegas, phases, amp, LBm, _ = prior_paths_multioutput(
+                kp, spec, params, n_features)
+            f_star = eval_path_multioutput(omegas, phases, amp, LBm, co, xstar)
+            f_X = eval_path_multioutput(omegas, phases, amp, LBm, co, X)
         eps = sigma * jax.random.normal(ke, f_X.shape, dtype=f_X.dtype)
         resid = y - f_X - eps
         alpha = tri_solve(L, tri_solve(L, resid), trans=True)
         return f_star + ksx @ alpha
 
-    return jax.vmap(one)(jax.random.split(key, n_samples))
+    return (jax.vmap(one)(jax.random.split(key, n_samples))
+            + common.mean_fn(spec, params, xstar))
 
 
 @common.highest_precision

@@ -107,7 +107,7 @@ def assimilate(
     whole streamed-vs-batch gap at the 256-inducing scale.
     """
     _check(spec)
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)  # residual
     chols = common.axis_chol_kuu(spec, params)
     blocks = common.axis_whitened_kuf(spec, params, chols, X)
     a = common.khatri_rao_all(blocks)                     # (m, n)
@@ -208,15 +208,17 @@ def assimilate_natgrad(
                "eta": state["eta"] + site_eta,
                "n_seen": state["n_seen"]}
         mu, Ls = _mu_and_chol_S(cur)
-        mean = a.T @ mu
+        mean_g = a.T @ mu
+        # likelihood sees f = m + g; the site naturals live in g-space
+        mean_f = mean_g + common.mean_fn(spec, params, X)
         sa = Ls.T @ a
         var = var_gap + jnp.sum(sa * sa, axis=0)
-        g = dmean(mean, var)
-        h = dvar(mean, var)
+        g = dmean(mean_f, var)
+        h = dvar(mean_f, var)
         if clip_h:
             h = jnp.minimum(h, 0.0)
         fresh_lam = -2.0 * (a * h[None, :]) @ a.T
-        fresh_eta = a @ (g - 2.0 * h * mean)
+        fresh_eta = a @ (g - 2.0 * h * mean_g)
         site_lam = (1.0 - gamma) * site_lam + gamma * fresh_lam
         site_eta = (1.0 - gamma) * site_eta + gamma * fresh_eta
     return {

@@ -97,6 +97,9 @@ def non_informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
     out["axes"] = tuple(axes)
     out["noise"] = jnp.broadcast_to(  # keep a per-output noise vector's shape
         (yvar / (kappa**2)).astype(params["noise"].dtype), params["noise"].shape)
+    if "mean" in params:  # learnable constant mean starts at the sample mean
+        out["mean"] = jnp.broadcast_to(
+            jnp.mean(y).astype(params["mean"].dtype), params["mean"].shape)
     return out
 
 

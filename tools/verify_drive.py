@@ -362,4 +362,47 @@ print(f"ICM 2-output q_v err {moerr:.4f} (scale {np.abs(truth_mo).max():.3f}), "
 assert moerr < 0.03 and mocorr > 0.8
 assert float(np.min(np.asarray(qv_mo.variance()))) > 0
 
+# --- sum-of-kernels (multi-scale) fit + component attribution --------------
+from vggp_tpu.models import sum as msum
+
+rng_ms = np.random.default_rng(12)
+n_ms = 200
+x_ms = np.sort(rng_ms.uniform(0.0, 1.0, n_ms)).astype(np.float32)
+y_ms = (np.sin(2 * x_ms) + 0.3 * np.sin(25 * x_ms)
+        + 0.03 * rng_ms.standard_normal(n_ms)).astype(np.float32)
+X_ms, Y_ms = jnp.asarray(x_ms), jnp.asarray(y_ms)
+cs_ms = sgpr.SGPRSpec(kinds=("matern32",),
+                      features=(CellIntegralFeature(mesh=np.linspace(0, 1, 9)),))
+cf_ms = sgpr.SGPRSpec(kinds=("matern32",),
+                      features=(CellIntegralFeature(mesh=np.linspace(0, 1, 41)),))
+spec_ms = msum.SumSGPRSpec(components=(cs_ms, cf_ms))
+p_ms = spec_ms.init_params()
+p_ms["components"][0]["axes"][0]["lengthscale"] = jnp.asarray(0.5, jnp.float32)
+p_ms["components"][1]["axes"][0]["lengthscale"] = jnp.asarray(0.04, jnp.float32)
+p_ms["components"][1]["axes"][0]["variance"] = jnp.asarray(0.1, jnp.float32)
+p_ms["noise"] = jnp.asarray(0.01, jnp.float32)
+mask_ms = dict(jax.tree.map(lambda _: True, p_ms))
+mask_ms["components"] = tuple(
+    {"axes": tuple(dict(ax, lengthscale=False) for ax in comp["axes"])}
+    for comp in mask_ms["components"])
+p_ms, hist_ms = train.fit(lambda q: msum.loss(spec_ms, q, X_ms, Y_ms),
+                          p_ms, 400, 0.03, trainable=lambda _: mask_ms)
+assert np.all(np.isfinite(np.asarray(hist_ms["loss"]))), "sum fit NaN"
+st_ms = jax.jit(lambda p: msum.precompute(spec_ms, p, X_ms, Y_ms))(p_ms)
+xs_ms = jnp.asarray(np.linspace(0.05, 0.95, 50, dtype=np.float32))
+g_ms = jax.jit(lambda p, s: msum.posterior_from_state(spec_ms, p, s, xs_ms))(p_ms, st_ms)
+g1_ms = jax.jit(lambda p, s: msum.component_posterior(spec_ms, p, s, xs_ms, 0))(p_ms, st_ms)
+g2_ms = jax.jit(lambda p, s: msum.component_posterior(spec_ms, p, s, xs_ms, 1))(p_ms, st_ms)
+tot_t = np.sin(2 * np.asarray(xs_ms)) + 0.3 * np.sin(25 * np.asarray(xs_ms))
+ms_rmse = float(np.sqrt(np.mean((np.asarray(g_ms.mean) - tot_t) ** 2)))
+ms_slow = float(np.sqrt(np.mean(
+    (np.asarray(g1_ms.mean) - np.sin(2 * np.asarray(xs_ms))) ** 2)))
+ms_sum_gap = float(np.abs(np.asarray(g1_ms.mean) + np.asarray(g2_ms.mean)
+                          - np.asarray(g_ms.mean)).max())
+print(f"sum-of-kernels: total rmse {ms_rmse:.4f}, slow-comp rmse {ms_slow:.4f}, "
+      f"decomposition gap {ms_sum_gap:.2e}")
+assert ms_rmse < 0.1 and ms_slow < 0.3 and ms_sum_gap < 1e-4
+assert float(np.min(np.asarray(g_ms.variance()))) > 0
+
 print("DRIVE OK")
+

@@ -13,6 +13,7 @@ EXPERIMENTS = {
     "velocity": "geostrophic velocities from the gridded-gradient product (beyond-reference)",
     "evidence": "Laplace-evidence kernel selection + hyper-marginalized intervals (beyond-reference)",
     "multioutput": "joint ICM dense+sparse mission pair, cross-output transfer (beyond-reference)",
+    "multiscale": "sum-of-kernels scale decomposition with per-scale uncertainty (beyond-reference)",
 }
 
 if __name__ == "__main__":

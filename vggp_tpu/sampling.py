@@ -972,6 +972,67 @@ def pathwise_posterior_additive(
     return jax.vmap(one)(jax.random.split(key, n_samples))
 
 
+@common.highest_precision
+def pathwise_posterior_sum(
+    spec,
+    params,
+    key,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    xstar: jnp.ndarray,
+    n_samples: int = 8,
+    n_features: int = 1024,
+) -> jnp.ndarray:
+    """Coherent draws for the sum-of-separable-kernels model
+    (``models.sum.SumSGPRSpec``) → (S, n*).
+
+    The prior path of f = Σ_q f_q is the SUM of independent per-component
+    paths (each a full separable product over the input axes, ICM coregion
+    components included via the chol(B)-mixed bundles); inducing functionals
+    stack blockwise, mirroring the block-diagonal Kuu. The collapsed-optimal
+    q(w) sample is the same L_B⁻ᵀ(c + z) as SGPR."""
+    from vggp_tpu.models import sum as msum
+    from vggp_tpu.ops import tri_solve
+
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    chols, A, LB, c, _ = msum._factored_state(spec, params, X, y)
+    rows = []
+    for q, comp in enumerate(spec.components):
+        cp = msum._comp_params(params, q)
+        rows.append(common.khatri_rao_all(
+            common.axis_whitened_kuf(comp, cp, chols[q], xstar)))
+    a = jnp.concatenate(rows, axis=0)                # (Σm_q, n*)
+    m = a.shape[0]
+
+    def one(key_s):
+        keys = jax.random.split(key_s, len(spec.components) + 1)
+        f_prior = jnp.zeros((xstar.shape[0],), dtype=a.dtype)
+        w_parts = []
+        for q, comp in enumerate(spec.components):
+            cp = msum._comp_params(params, q)
+            co, _ = _coregion_split(comp)
+            if co is None:
+                om, ph, amp = prior_paths(keys[q], comp, cp, n_features)
+                f_prior = f_prior + eval_path(om, ph, amp, xstar)
+                u_q = prior_inducing_sample(om, ph, amp, comp, cp)
+            else:
+                om, ph, amp, LBm, _ = prior_paths_multioutput(
+                    keys[q], comp, cp, n_features)
+                f_prior = f_prior + eval_path_multioutput(
+                    om, ph, amp, LBm, co, xstar)
+                u_q = prior_inducing_sample_multioutput(
+                    om, ph, amp, LBm, co, comp, cp)
+            w_parts.append(_whiten_axes(u_q, chols[q]).reshape(-1))
+        w = jnp.concatenate(w_parts)
+        z = jax.random.normal(keys[-1], (m,), dtype=a.dtype)
+        w_q = tri_solve(LB, c + z, trans=True)
+        return f_prior + a.T @ (w_q - w)
+
+    return (jax.vmap(one)(jax.random.split(key, n_samples))
+            + common.mean_fn(spec, params, xstar))
+
+
 def pathwise(spec, params, key, xstar, data=None, n_samples: int = 8,
              n_features: int = 1024) -> jnp.ndarray:
     """Family-dispatching entry: coherent posterior draws for ANY model spec.
@@ -983,6 +1044,7 @@ def pathwise(spec, params, key, xstar, data=None, n_samples: int = 8,
     from vggp_tpu.models.exact import ExactGPSpec
     from vggp_tpu.models.freesvgp import FreeSVGPSpec
     from vggp_tpu.models.sgpr import SGPRSpec
+    from vggp_tpu.models.sum import SumSGPRSpec
 
     if isinstance(spec, SVGPSpec):
         return pathwise_posterior(spec, params, key, xstar,
@@ -999,6 +1061,8 @@ def pathwise(spec, params, key, xstar, data=None, n_samples: int = 8,
         fn = pathwise_posterior_exact
     elif isinstance(spec, AdditiveSGPRSpec):
         fn = pathwise_posterior_additive
+    elif isinstance(spec, SumSGPRSpec):
+        fn = pathwise_posterior_sum
     else:
         raise NotImplementedError(type(spec).__name__)
     return fn(spec, params, key, X, y, xstar,

@@ -149,6 +149,8 @@ def guarded_update(opt, raw, opt_state, val, grads):
 
 def _history_entry(params: Dict, loss_val) -> Dict:
     h = {"loss": loss_val, "elbo": -loss_val, "noise": params["noise"]}
+    if "axes" not in params:  # component-structured params (models.sum):
+        return h              # per-iteration hyper traces stay model-side
     for i, p in enumerate(params["axes"]):
         if "variance" in p:  # a coregion axis records its B diagonal instead
             h[f"scale_sigma_{i + 1}"] = p["variance"]
@@ -172,10 +174,19 @@ def fit(
 
     ``loss_fn(params)`` takes *constrained* params. Returns (final constrained
     params, history dict of per-iteration arrays).
+
+    ``trainable(params) -> pytree of bools`` (same structure as ``params``)
+    freezes the False leaves: their gradients are zeroed before the
+    optimizer update, so they keep their initial values exactly (e.g. fix
+    per-band lengthscales in a multi-scale ``models.sum`` fit, where free
+    lengthscales make the scale attribution unidentifiable).
     """
     opt = optimizer or optax.adam(learning_rate)
     raw = unconstrain(params)
     opt_state = opt.init(raw)
+    mask = None
+    if trainable is not None:
+        mask = jax.tree.map(lambda b: jnp.asarray(b, bool), trainable(params))
 
     def raw_loss(raw_p):
         return loss_fn(constrain(raw_p))
@@ -185,6 +196,10 @@ def fit(
         def step(carry, _):
             raw, opt_state = carry
             val, grads = jax.value_and_grad(raw_loss)(raw)
+            if mask is not None:
+                grads = jax.tree.map(
+                    lambda g, m: jnp.where(m, g, jnp.zeros_like(g)),
+                    grads, mask)
             raw, opt_state = guarded_update(opt, raw, opt_state, val, grads)
             return (raw, opt_state), _history_entry(constrain(raw), val)
 

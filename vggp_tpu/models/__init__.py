@@ -15,6 +15,9 @@
   reference's nb61 Z-sweep (``gridded_kronecker_structure.py:222-264``).
 - :mod:`vggp_tpu.models.iterative` — matrix-free CG posterior means for
   structured Kuu far past the dense range (Toeplitz/banded matvecs).
+- :mod:`vggp_tpu.models.sum` — sum-of-separable-kernels sparse GP
+  (multi-scale fields, full LMC multi-output), block-diagonal Kuu over
+  per-component inducing features.
 
 All models are functional: a frozen ``*Spec`` dataclass holds static
 configuration (kernel kinds, feature objects, jitter); pure functions take
@@ -27,8 +30,9 @@ from vggp_tpu.models.sgpr import SGPRSpec
 from vggp_tpu.models.svgp import SVGPSpec
 from vggp_tpu.models.additive import AdditiveSGPRSpec
 from vggp_tpu.models.freesvgp import FreeSVGPSpec
-from vggp_tpu.models import exact, sgpr, svgp, additive, freesvgp, iterative  # noqa: F401
+from vggp_tpu.models.sum import SumSGPRSpec
+from vggp_tpu.models import exact, sgpr, svgp, additive, freesvgp, iterative, sum  # noqa: F401,A004
 
 __all__ = ["ExactGPSpec", "SGPRSpec", "SVGPSpec", "AdditiveSGPRSpec",
-           "FreeSVGPSpec", "exact", "sgpr", "svgp", "additive", "freesvgp",
-           "iterative"]
+           "FreeSVGPSpec", "SumSGPRSpec", "exact", "sgpr", "svgp", "additive",
+           "freesvgp", "iterative", "sum"]

@@ -1,0 +1,127 @@
+"""Facade tests: vggp_tpu.api.GP delegates 1:1 to the functional core.
+
+Every assertion pins facade output against a direct functional-core call on
+the same spec/params — the facade must add ergonomics, never numerics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vggp_tpu import sampling, train
+from vggp_tpu.api import GP
+from vggp_tpu.features import CellIntegralFeature, FourierFeature, PointFeature
+from vggp_tpu.models import exact, sgpr
+
+
+@pytest.fixture(scope="module")
+def data1d():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0.0, 1.0, 50).astype(np.float32)
+    y = (np.sin(4 * X) + 0.05 * rng.standard_normal(50)).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_gridded_fit_matches_functional_core(data1d):
+    X, y = data1d
+    m = GP.gridded(10, (0.0, 1.0)).fit(X, y, n_iters=40, learning_rate=0.05)
+
+    spec = sgpr.SGPRSpec(kinds=("matern12",),
+                         features=(CellIntegralFeature.from_lims(10, 0.0, 1.0),))
+    p0 = train.non_informative_init(spec.init_params(), X, y)
+    p_ref, _ = train.fit(lambda p: sgpr.loss(spec, p, X, y), p0, 40, 0.05)
+
+    np.testing.assert_allclose(m.params["noise"], p_ref["noise"], rtol=1e-6)
+    np.testing.assert_allclose(float(m.elbo()), float(sgpr.elbo(spec, p_ref, X, y)),
+                               rtol=1e-5)
+
+    qv = m.q_v()
+    qv_ref = sgpr.q_v(spec, p_ref, X, y, spec.features, full_cov=False)
+    np.testing.assert_allclose(np.asarray(qv.mean), np.asarray(qv_ref.mean),
+                               rtol=1e-5, atol=1e-7)
+
+    xs = jnp.linspace(0.0, 1.0, 9)
+    post = m.predict(xs, predictive=True)
+    post_ref = sgpr.posterior_predictive(spec, p_ref, X, y, xs, full_cov=False)
+    np.testing.assert_allclose(np.asarray(post.mean), np.asarray(post_ref.mean),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(post.variance()),
+                               np.asarray(post_ref.variance()), rtol=1e-4, atol=1e-7)
+
+
+def test_factories_build_expected_specs():
+    g = GP.gridded((6, 5), ((0.0, 1.0), (-1.0, 2.0)), kinds=("matern12", "matern32"))
+    assert g.spec.kinds == ("matern12", "matern32")
+    assert tuple(f.m for f in g.spec.features) == (6, 5)
+    assert isinstance(g.spec.features[0], CellIntegralFeature)
+
+    v = GP.vff(8, (0.0, 1.0), kinds="matern52", ndim=2)
+    assert v.spec.kinds == ("matern52", "matern52")
+    assert all(isinstance(f, FourierFeature) for f in v.spec.features)
+
+    s = GP.svgp(7, (0.0, 1.0))
+    assert isinstance(s.spec.features[0], PointFeature)
+    assert s.spec.features[0].m == 7
+
+    e = GP.exact(ndim=2)
+    assert isinstance(e.spec, exact.ExactGPSpec) and e.spec.ndim == 2
+
+    with pytest.raises(ValueError):
+        GP.asvgp(10, (0.0, 1.0), kinds="rbf")
+    with pytest.raises(ValueError):
+        GP.gridded(6, ((0.0, 1.0),), ndim=2)
+
+
+def test_predict_before_fit_raises():
+    m = GP.gridded(6, (0.0, 1.0))
+    with pytest.raises(ValueError, match="fit"):
+        m.predict(jnp.zeros((3,)))
+
+
+def test_q_v_requires_cell_axes_or_explicit_grid(data1d):
+    X, y = data1d
+    m = GP.vff(8, (-0.3, 1.3)).fit(X, y, n_iters=20)
+    with pytest.raises(ValueError, match="grid_axes"):
+        m.q_v()
+    grid = CellIntegralFeature.from_lims(8, 0.0, 1.0)
+    qv = m.q_v(grid)  # single feature auto-wraps to a 1-tuple
+    assert qv.mean.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(qv.mean)))
+
+
+def test_exact_facade_q_v(data1d):
+    X, y = data1d
+    m = GP.exact().fit(X, y, n_iters=30)
+    grid = CellIntegralFeature.from_lims(6, 0.0, 1.0)
+    qv = m.q_v(grid)
+    spec = exact.ExactGPSpec(kinds=("matern12",))
+    qv_ref = exact.q_v(spec, m.params, X, y, (grid,), full_cov=False)
+    np.testing.assert_allclose(np.asarray(qv.mean), np.asarray(qv_ref.mean),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sampling_and_qdv_delegate(data1d):
+    X, y = data1d
+    m = GP.gridded(8, (0.0, 1.0)).fit(X, y, n_iters=20)
+    key = jax.random.PRNGKey(3)
+    s = m.sample(key, jnp.linspace(0, 1, 5), n_samples=4, n_features=128)
+    s_ref = sampling.pathwise(m.spec, m.params, key, jnp.linspace(0, 1, 5),
+                              data=(X, y), n_samples=4, n_features=128)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+    sv = m.sample_q_v(key, n_samples=3, n_features=128)
+    assert sv.shape == (3, 8) and np.all(np.isfinite(np.asarray(sv)))
+
+    d = m.q_dv(axis=0)
+    d_ref = sgpr.q_dv(m.spec, m.params, X, y, m.spec.features, axis=0, full_cov=False)
+    np.testing.assert_allclose(np.asarray(d.mean), np.asarray(d_ref.mean), rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, data1d):
+    X, y = data1d
+    m = GP.gridded(6, (0.0, 1.0)).fit(X, y, n_iters=15)
+    m.save(str(tmp_path / "ckpt"))
+    m2 = GP.gridded(6, (0.0, 1.0)).restore(str(tmp_path / "ckpt"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b), m.params, m2.params)
+    m2._X, m2._y = X, y
+    np.testing.assert_allclose(float(m.elbo()), float(m2.elbo()), rtol=1e-6)

@@ -1,0 +1,263 @@
+"""High-level object API: the reference's class ergonomics over the functional core.
+
+The reference exposes one PyTorch class per (kernel x feature x dimension)
+combination, each with ``non_informative_initialise`` / an optimizer loop /
+``q_v()`` (e.g. ``src/models/sparse/gridded_kronecker_structure.py:1255-1433``).
+vggp_tpu's core is functional — frozen ``*Spec`` + pure functions — which is
+what jit/vmap/shard want, but migrating users keep reaching for
+``model.fit(X, y); model.q_v(grid)``. :class:`GP` is that thin, stateful
+facade: it owns ``(spec, params, data)``, jit-caches every prediction head
+per static-flag combination, and delegates 1:1 to ``models.sgpr`` /
+``models.exact`` / ``train`` / ``sampling``.
+
+Everything the facade does is available (and documented) functionally; no
+numerics live here. See ``docs/MIGRATION.md`` for the class-by-class map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vggp_tpu import sampling, train
+from vggp_tpu.features import (
+    B1SplineFeature,
+    CellIntegralFeature,
+    FourierFeature,
+    PointFeature,
+    SplineRKHSFeature,
+)
+from vggp_tpu.models import exact, sgpr
+from vggp_tpu.models.common import Gaussian
+
+Lims = Tuple[float, float]
+
+
+def _lims_per_axis(lims, ndim: int) -> Tuple[Lims, ...]:
+    """One (a, b) pair per axis; a single pair broadcasts to every axis."""
+    if isinstance(lims[0], (tuple, list, np.ndarray)):
+        pairs = tuple((float(a), float(b)) for a, b in lims)
+    else:
+        a, b = lims
+        pairs = ((float(a), float(b)),) * ndim
+    if len(pairs) != ndim:
+        raise ValueError(f"expected {ndim} (a, b) lims pairs, got {len(pairs)}")
+    return pairs
+
+
+def _kinds(kinds: Union[str, Sequence[str]], ndim: int) -> Tuple[str, ...]:
+    if isinstance(kinds, str):
+        return (kinds,) * ndim
+    kinds = tuple(kinds)
+    if len(kinds) != ndim:
+        raise ValueError(f"expected {ndim} kernel kinds, got {len(kinds)}")
+    return kinds
+
+
+class GP:
+    """Stateful facade over a collapsed (SGPR) or exact GP spec.
+
+    Construct via a factory (:meth:`gridded`, :meth:`vff`, :meth:`asvgp`,
+    :meth:`svgp`, :meth:`exact`) or pass any ``SGPRSpec`` / ``ExactGPSpec``
+    directly. The reference classes these replace are cited on each factory.
+    """
+
+    def __init__(self, spec, params: Optional[Dict] = None):
+        self.spec = spec
+        self.params = params if params is not None else spec.init_params()
+        self.history: Optional[Dict] = None
+        self._X = self._y = None
+        self._jitted: Dict = {}
+        self._mod = exact if isinstance(spec, exact.ExactGPSpec) else sgpr
+
+    # ------------------------------------------------------------------ #
+    # Factories (one per reference model family)
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def gridded(cls, n_cells: Union[int, Sequence[int]], lims: Union[Lims, Sequence[Lims]],
+                kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
+        """B0 cell-integral inducing features — the reference's ``GriddedGP`` /
+        ``Matern12B0SplineGriddedGP`` zoo (``gridded_kronecker_structure.py:1255``)."""
+        if ndim is None:
+            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        lims_ax = _lims_per_axis(lims, ndim)
+        cells = n_cells if isinstance(n_cells, (list, tuple)) else (n_cells,) * ndim
+        feats = tuple(CellIntegralFeature.from_lims(int(c), float(a), float(b))
+                      for c, (a, b) in zip(cells, lims_ax))
+        return cls(sgpr.SGPRSpec(kinds=_kinds(kinds, ndim), features=feats))
+
+    @classmethod
+    def vff(cls, n_frequencies: Union[int, Sequence[int]], lims: Union[Lims, Sequence[Lims]],
+            kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
+        """Variational Fourier features — the reference's ``VFFGP``
+        (``univariate_structure.py:364``, Kronecker form at ``kronecker_structure.py``)."""
+        if ndim is None:
+            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        lims_ax = _lims_per_axis(lims, ndim)
+        nfreq = n_frequencies if isinstance(n_frequencies, (list, tuple)) else (n_frequencies,) * ndim
+        feats = tuple(FourierFeature(int(nf), float(a), float(b))
+                      for nf, (a, b) in zip(nfreq, lims_ax))
+        return cls(sgpr.SGPRSpec(kinds=_kinds(kinds, ndim), features=feats))
+
+    @classmethod
+    def asvgp(cls, n_knots: Union[int, Sequence[int]], lims: Union[Lims, Sequence[Lims]],
+              kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
+        """Spline-RKHS features — the reference's ``ASVGP`` (B1 hats,
+        ``univariate_structure.py:531``). Higher Matérn orders get the matching
+        B2/B3 spline degree (beyond the reference's 1/2-only version)."""
+        if ndim is None:
+            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        lims_ax = _lims_per_axis(lims, ndim)
+        kds = _kinds(kinds, ndim)
+        nk = n_knots if isinstance(n_knots, (list, tuple)) else (n_knots,) * ndim
+        feats = []
+        for kind, k, (a, b) in zip(kds, nk, lims_ax):
+            if kind == "matern12":
+                feats.append(B1SplineFeature(np.linspace(float(a), float(b), int(k))))
+            elif kind == "matern32":
+                feats.append(SplineRKHSFeature(2, int(k) - 2, float(a), float(b)))
+            elif kind == "matern52":
+                feats.append(SplineRKHSFeature(3, int(k) - 3, float(a), float(b)))
+            else:
+                raise ValueError(f"no spline-RKHS pairing for kind {kind!r}")
+        return cls(sgpr.SGPRSpec(kinds=kds, features=tuple(feats)))
+
+    @classmethod
+    def svgp(cls, n_inducing: Union[int, Sequence[int]], lims: Union[Lims, Sequence[Lims]],
+             kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
+        """Learnable inducing points on each axis — the reference's ``SVGP``
+        (``univariate_structure.py:273``); z lives in the param pytree."""
+        if ndim is None:
+            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        lims_ax = _lims_per_axis(lims, ndim)
+        nz = n_inducing if isinstance(n_inducing, (list, tuple)) else (n_inducing,) * ndim
+        feats = []
+        for m, (a, b) in zip(nz, lims_ax):
+            pad = 0.05 * (float(b) - float(a))
+            feats.append(PointFeature(int(m), np.linspace(float(a) + pad, float(b) - pad, int(m))))
+        return cls(sgpr.SGPRSpec(kinds=_kinds(kinds, ndim), features=tuple(feats)))
+
+    @classmethod
+    def exact(cls, kinds: Union[str, Sequence[str]] = "matern12", ndim: int = 1) -> "GP":
+        """Dense exact GP (``exact/univariate_structure.py``, separable-product
+        2D at ``bivariate_structure.py:144``)."""
+        return cls(exact.ExactGPSpec(kinds=_kinds(kinds, ndim)))
+
+    # ------------------------------------------------------------------ #
+    # Training
+    # ------------------------------------------------------------------ #
+
+    def non_informative_initialise(self, X, y, lmbda: float = 1.0, kappa: float = 2.0) -> "GP":
+        """Reference ``non_informative_initialise`` (``univariate_structure.py:86``)."""
+        self.params = train.non_informative_init(self.params, jnp.asarray(X), jnp.asarray(y),
+                                                 lmbda=lmbda, kappa=kappa)
+        return self
+
+    def fit(self, X, y, n_iters: int = 1000, learning_rate: float = 0.1,
+            initialise: bool = True, **fit_kwargs) -> "GP":
+        """Full-batch Adam fit of the collapsed bound / exact MLL; stores the
+        data so every prediction head below needs no further arguments."""
+        self._X, self._y = jnp.asarray(X), jnp.asarray(y)
+        if initialise:
+            self.non_informative_initialise(self._X, self._y)
+        spec = self.spec
+        self.params, self.history = train.fit(
+            lambda p: self._mod.loss(spec, p, self._X, self._y),
+            self.params, n_iters, learning_rate, **fit_kwargs)
+        self._jitted.clear()  # params changed shape-compatibly; keep caches keyed small
+        return self
+
+    def elbo(self) -> float:
+        """Collapsed ELBO (exact GP: log marginal likelihood)."""
+        self._need_data()
+        fn = self._get("elbo", lambda s: jax.jit(
+            lambda p, X, y: -self._mod.loss(s, p, X, y)))
+        return float(fn(self.params, self._X, self._y))
+
+    # ------------------------------------------------------------------ #
+    # Prediction heads
+    # ------------------------------------------------------------------ #
+
+    def predict(self, xstar, full_cov: bool = False, predictive: bool = False) -> Gaussian:
+        """Posterior q(f*) (``predictive=True`` adds observation noise)."""
+        self._need_data()
+        fn = self._get(("predict", full_cov, predictive), lambda s: jax.jit(
+            lambda p, X, y, xs: (self._mod.posterior_predictive(s, p, X, y, xs, full_cov=full_cov)
+                                 if predictive else
+                                 self._mod.posterior(s, p, X, y, xs, full_cov=full_cov))))
+        return fn(self.params, self._X, self._y, jnp.asarray(xstar))
+
+    def q_v(self, grid_axes=None, full_cov: bool = False) -> Gaussian:
+        """Gridded product: posterior over cell integrals (the headline output).
+
+        ``grid_axes`` defaults to the model's own cell features (the
+        reference's *direct* GriddedGP, where q(v) == q(u))."""
+        self._need_data()
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("q_v", tuple(map(id, axes)), full_cov), lambda s: jax.jit(
+            lambda p, X, y: self._mod.q_v(s, p, X, y, axes, full_cov=full_cov)))
+        return fn(self.params, self._X, self._y)
+
+    def q_dv(self, grid_axes=None, axis: int = 0, full_cov: bool = False) -> Gaussian:
+        """Gridded-gradient product along ``axis`` (face differences)."""
+        self._need_data()
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("q_dv", tuple(map(id, axes)), axis, full_cov), lambda s: jax.jit(
+            lambda p, X, y: self._mod.q_dv(s, p, X, y, axes, axis=axis, full_cov=full_cov)))
+        return fn(self.params, self._X, self._y)
+
+    def sample(self, key, xstar, n_samples: int = 8, n_features: int = 1024) -> jnp.ndarray:
+        """Coherent pathwise posterior draws at xstar (Matheron's rule)."""
+        self._need_data()
+        return sampling.pathwise(self.spec, self.params, key, jnp.asarray(xstar),
+                                 data=(self._X, self._y),
+                                 n_samples=n_samples, n_features=n_features)
+
+    def sample_q_v(self, key, grid_axes=None, n_samples: int = 8,
+                   n_features: int = 1024) -> jnp.ndarray:
+        """Joint draws of the gridded product itself (exact integral functionals)."""
+        self._need_data()
+        return sampling.pathwise_q_v(self.spec, self.params, key, self._grid_axes(grid_axes),
+                                     n_samples=n_samples, n_features=n_features,
+                                     data=(self._X, self._y))
+
+    # ------------------------------------------------------------------ #
+    # Persistence
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str, step: int = 0) -> None:
+        """Checkpoint the (constrained) params with orbax; the spec is static
+        Python — rebuild it from code and :meth:`restore`."""
+        train.save_checkpoint(path, self.params, step=step)
+
+    def restore(self, path: str, step: int = 0) -> "GP":
+        self.params = train.load_checkpoint(path, step=step, like=self.params)
+        self._jitted.clear()
+        return self
+
+    # ------------------------------------------------------------------ #
+
+    def _grid_axes(self, grid_axes) -> tuple:
+        if grid_axes is None:
+            if not all(isinstance(f, CellIntegralFeature) for f in self.spec.features):
+                raise ValueError("grid_axes is required unless every model axis "
+                                 "is a CellIntegralFeature (direct GriddedGP)")
+            return tuple(self.spec.features)
+        if isinstance(grid_axes, CellIntegralFeature):
+            return (grid_axes,)
+        return tuple(grid_axes)
+
+    def _need_data(self) -> None:
+        if self._X is None:
+            raise ValueError("call .fit(X, y) first (the collapsed/exact "
+                             "posterior is a function of the training data)")
+
+    def _get(self, key, build):
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = self._jitted[key] = build(self.spec)
+        return fn

@@ -525,12 +525,15 @@ def save_checkpoint(path: str, params: Dict, step: int = 0) -> None:
     ckptr.save(os.path.join(path, str(step)), params, force=True)
 
 
-def load_checkpoint(path: str, step: int = 0) -> Dict:
+def load_checkpoint(path: str, step: int = 0, like: Optional[Dict] = None) -> Dict:
+    """Restore a param pytree. ``like`` (a same-structure pytree, e.g.
+    ``spec.init_params()``) restores the exact container types — without it
+    orbax returns lists where the live params had tuples."""
     import orbax.checkpoint as ocp
     import os
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), str(step)))
+    return ckptr.restore(os.path.join(os.path.abspath(path), str(step)), item=like)
 
 
 class MetricsLogger:

@@ -1017,12 +1017,25 @@ class CellIntegralFeature(AxisFeature):
     (reference ``univariate_structure.py:668-825``).
     """
 
-    mesh: np.ndarray  # (n_cells + 1,) uniform edges
+    mesh: np.ndarray  # (n_cells + 1,) strictly increasing cell edges
 
     def __post_init__(self):
         mesh = np.asarray(self.mesh, dtype=np.float64)
-        _require_uniform_mesh(mesh, "CellIntegralFeature")
+        if len(mesh) < 2:
+            raise ValueError(
+                f"CellIntegralFeature: mesh needs at least 2 points, got {len(mesh)}")
+        d = np.diff(mesh)
+        if not np.all(d > 0):
+            raise ValueError("CellIntegralFeature: mesh must be strictly increasing")
+        # Non-uniform meshes are supported (beyond the reference's
+        # uniform-only GriddedGP, ``univariate_structure.py:668-825``): the
+        # generic compensated cell/cell closed form handles arbitrary cells;
+        # only the Toeplitz/KMS fast lanes require uniform spacing and are
+        # gated off the flag below.
+        uniform = bool(np.allclose(d, d[0], rtol=1e-8,
+                                   atol=1e-12 * abs(mesh[-1] - mesh[0])))
         object.__setattr__(self, "mesh", mesh)
+        object.__setattr__(self, "uniform", uniform)
 
     @classmethod
     def from_lims(cls, n_cells: int, a: float, b: float) -> "CellIntegralFeature":
@@ -1034,16 +1047,26 @@ class CellIntegralFeature(AxisFeature):
 
     @property
     def delta(self) -> float:
+        """Cell width — only meaningful for a uniform mesh (Toeplitz/KMS
+        fast lanes; guarded by ``self.uniform`` at every call site)."""
         return float(self.mesh[1] - self.mesh[0])
 
     def mesh_j(self, p: Params) -> jnp.ndarray:
         return jnp.asarray(self.mesh, dtype=jnp.result_type(p["lengthscale"]))
 
     def Kuu(self, kind: str, p: Params) -> jnp.ndarray:
+        if not self.uniform:
+            # arbitrary cells: the Gram is not Toeplitz — dense generic
+            # compensated cell/cell closed form (quad-oracle tested)
+            mesh = self.mesh_j(p)
+            return _cell_cell_cov(kind, mesh, mesh, p["variance"], p["lengthscale"])
         row = self.kuu_first_row(kind, p)
         return toeplitz.sym_toeplitz_dense(row)
 
     def kuu_first_row(self, kind: str, p: Params) -> jnp.ndarray:
+        if not self.uniform:
+            raise ValueError(
+                "kuu_first_row is Toeplitz-only (uniform mesh); use Kuu()")
         dtype = jnp.result_type(p["lengthscale"])
         if kind == "matern12":
             return _m12_toeplitz_first_row(self.m, self.delta, p["variance"], p["lengthscale"], dtype)
@@ -1062,12 +1085,18 @@ class CellIntegralFeature(AxisFeature):
         """Kuu @ v via the FFT circulant-embedding Toeplitz matvec, O(m log m).
 
         Never materializes the (m, m) Gram — the matrix-free path for
-        very large 1D cell grids (models.iterative).
+        very large 1D cell grids (models.iterative). Non-uniform meshes
+        fall back to a dense matvec.
         """
+        if not self.uniform:
+            return self.Kuu(kind, p) @ v
         return toeplitz.sym_toeplitz_matvec(self.kuu_first_row(kind, p), v)
 
     def kuu_diag(self, kind: str, p: Params) -> jnp.ndarray:
-        """diag(Kuu): the Toeplitz Gram is constant-diagonal — first-row[0]."""
+        """diag(Kuu): constant (Toeplitz first-row[0]) for a uniform mesh,
+        the per-cell self-covariances otherwise."""
+        if not self.uniform:
+            return jnp.diagonal(self.Kuu(kind, p))
         row = self.kuu_first_row(kind, p)
         return jnp.full((self.m,), row[0], dtype=row.dtype)
 
@@ -1091,11 +1120,12 @@ class CellIntegralFeature(AxisFeature):
     def inv_chol_kuu(self, kind: str, p: Params, rel_jitter: float):
         """Closed-form F⁻¹ of the relative-jittered Kuu Cholesky, or None.
 
-        Matérn-1/2 only: the Gram is γ·KMS(ρ) + η·I, factorizable in O(m²)
-        elementwise work with no sequential Cholesky (``ops/kms.py``); other
-        kinds fall back to the dense path.
+        Matérn-1/2 on a UNIFORM mesh only: the Gram is γ·KMS(ρ) + η·I,
+        factorizable in O(m²) elementwise work with no sequential Cholesky
+        (``ops/kms.py``); other kinds / non-uniform meshes fall back to the
+        dense path.
         """
-        if kind != "matern12":
+        if kind != "matern12" or not self.uniform:
             return None
         from vggp_tpu.ops.kms import m12_cell_inv_chol
 
@@ -1105,8 +1135,8 @@ class CellIntegralFeature(AxisFeature):
 
     def whiten_band_ratio(self, kind: str, p: Params, rel_jitter: float):
         """Geometric decay ratio of the structured F⁻¹ (ops/kms.py), or
-        None when no banded structure is known for ``kind``."""
-        if kind != "matern12":
+        None when no banded structure is known for ``kind``/mesh."""
+        if kind != "matern12" or not self.uniform:
             return None
         from vggp_tpu.ops.kms import m12_geometric_ratio
 
@@ -1283,10 +1313,12 @@ class OutputFeature(AxisFeature):
         return kernels.coregion_b(p)
 
     def Kuf(self, kind: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
-        """(P, n) gather of B's columns at the batch's output indices."""
+        """(P, n) gather of B's columns at the batch's output indices.
+        Non-integral / out-of-range indices poison the column with NaN
+        instead of XLA's silent clip (see ``kernels._as_index``)."""
         self._check_kind(kind)
-        idx = jnp.round(jnp.reshape(x, (-1,))).astype(jnp.int32)
-        return kernels.coregion_b(p)[:, idx]
+        idx, valid = kernels._as_index(x, self.n_outputs)
+        return kernels._poison(kernels.coregion_b(p)[:, idx], valid[None, :])
 
     def Kvu(self, kind: str, p: Params, grid: "OutputFeature") -> jnp.ndarray:
         """Cross-covariance with a grid axis: for the output axis the 'grid'

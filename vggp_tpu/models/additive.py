@@ -179,6 +179,9 @@ def _grid_R_kvv(spec, params, chols, grid_axes):
     ``[δ₂·r1_i , δ₁·r2_j]`` over the block-diagonal feature space.
     """
     g1, g2 = grid_axes
+    if not (g1.uniform and g2.uniform):
+        raise ValueError("additive gridded heads assume uniform grid axes "
+                         "(constant δ per axis); use per-axis uniform meshes")
     d1, d2 = g1.delta, g2.delta
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)   # (g_i, m_i) per axis
     r1 = chols[0].whiten(kvu_blocks[0].T).T * d2            # (G1, m1)
@@ -267,6 +270,9 @@ def q_dv(
     chols, A, LB, c, y = _factored_state(spec, params, X, y)
     other = 1 - axis
     g_ax = grid_axes[axis]
+    if not (g_ax.uniform and grid_axes[other].uniform):
+        raise ValueError("additive gridded heads assume uniform grid axes "
+                         "(constant δ per axis); use per-axis uniform meshes")
     d_other = grid_axes[other].delta
     kind = spec.kinds[axis]
     p = common.axis_params(params, axis)

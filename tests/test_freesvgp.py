@@ -103,3 +103,64 @@ def test_fit_trains_z_and_converges():
     assert np.abs(np.asarray(p["z"]) - z0).max() > 1e-3  # Z is learnable
     post = freesvgp.posterior(spec, p, X, y, X, full_cov=False)
     assert np.asarray(post.var).min() > 0
+
+
+def test_prior_q_u_p_v_u_match_dense_oracle():
+    """The round-3 heads (q_u / p_v_u / prior — reference
+    gridded_kronecker_structure.py:396-419) against dense f64 algebra."""
+    X, y = _data()
+    spec, p = _spec_params(m=10)
+    kuu, kuf = _dense_mats(spec, p, X)
+    noise = float(p["noise"])
+
+    # prior at arbitrary points = the separable product Gram
+    xs = jnp.asarray(np.random.default_rng(5).random((7, 2)))
+    pr = freesvgp.prior(spec, p, xs)
+    z = np.asarray(p["z"])
+
+    def had(z1, z2):
+        out = np.ones((z1.shape[0], z2.shape[0]))
+        for d in range(2):
+            out = out * np.asarray(kernels.gram_1d(
+                "matern12", jnp.asarray(z1[:, d]), jnp.asarray(z2[:, d]), 0.9, 0.35))
+        return out
+
+    np.testing.assert_allclose(np.asarray(pr.cov), had(np.asarray(xs), np.asarray(xs)),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pr.mean), 0.0)
+
+    # q(u): mean = Kuu Σ⁻¹ Kuf y / σ², cov = Kuu Σ⁻¹ Kuu
+    sigma_mat = kuu + kuf @ kuf.T / noise
+    qu = freesvgp.q_u(spec, p, X, y)
+    mean = kuu @ np.linalg.solve(sigma_mat, kuf @ np.asarray(y)) / noise
+    cov = kuu @ np.linalg.solve(sigma_mat, kuu)
+    np.testing.assert_allclose(np.asarray(qu.mean), mean, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qu.cov), cov, rtol=1e-5, atol=1e-10)
+
+    # p(v|u): mean = Kvu Kuu⁻¹ m_u, cov = Kvv − Kvu Kuu⁻¹ Kvuᵀ
+    grids = (CellIntegralFeature.from_lims(4, 0.0, 1.0),
+             CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    c1 = np.asarray(_cell_point_cov("matern12", jnp.asarray(grids[0].mesh),
+                                    jnp.asarray(z[:, 0]), 0.9, 0.35))
+    c2 = np.asarray(_cell_point_cov("matern12", jnp.asarray(grids[1].mesh),
+                                    jnp.asarray(z[:, 1]), 0.9, 0.35))
+    kvu = np.concatenate([c1[i][None, :] * c2 for i in range(4)], axis=0)
+    from vggp_tpu.features import _cell_cell_cov
+    mesh = jnp.asarray(grids[0].mesh)
+    K1 = np.asarray(_cell_cell_cov("matern12", mesh, mesh, 0.9, 0.35))
+    kvv = np.kron(K1, K1)
+    pv = freesvgp.p_v_u(spec, p, X, y, grids)
+    kuu_j = kuu + 1e-12 * np.eye(spec.m)
+    np.testing.assert_allclose(np.asarray(pv.mean),
+                               kvu @ np.linalg.solve(kuu_j, mean),
+                               rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pv.cov),
+                               kvv - kvu @ np.linalg.solve(kuu_j, kvu.T),
+                               rtol=2e-4, atol=1e-9)
+
+    # consistency: q_v mean == p_v_u mean; q_v cov − p_v_u cov is PSD
+    qv = freesvgp.q_v(spec, p, X, y, grids, full_cov=True)
+    np.testing.assert_allclose(np.asarray(qv.mean), np.asarray(pv.mean),
+                               rtol=1e-8, atol=1e-12)
+    gap = np.asarray(qv.cov) - np.asarray(pv.cov)
+    assert np.linalg.eigvalsh(0.5 * (gap + gap.T)).min() > -1e-9

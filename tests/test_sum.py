@@ -240,3 +240,64 @@ def test_sum_pathwise_sampler_matches_posterior_moments():
     rel = (np.abs(np.asarray(draws).var(0) - np.asarray(g.variance())).max()
            / np.asarray(g.variance()).max())
     assert rel < 0.3  # MC tolerance at S=512
+
+
+def test_single_component_sum_heads_equal_sgpr():
+    """Round-3 heads (p_v_u / q_dv / posterior_grad) on a one-component sum
+    must reduce exactly to the plain SGPR heads."""
+    X, y = _multiscale_data(n=80)
+    feat = CellIntegralFeature(mesh=np.linspace(0, 1, 11))
+    grids = (CellIntegralFeature(mesh=np.linspace(0.0, 1.0, 7)),)
+    c = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,))
+    spec = msum.SumSGPRSpec(components=(c,))
+    ps = spec.init_params(jnp.float64)
+    pc = c.init_params(jnp.float64)
+
+    pv_s = msum.p_v_u(spec, ps, X, y, grids)
+    pv_c = sgpr.p_v_u(c, pc, X, y, grids)
+    np.testing.assert_allclose(np.asarray(pv_s.mean), np.asarray(pv_c.mean),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(pv_s.cov), np.asarray(pv_c.cov),
+                               rtol=1e-8, atol=1e-12)
+
+    qd_s = msum.q_dv(spec, ps, X, y, grids, axis=0)
+    qd_c = sgpr.q_dv(c, pc, X, y, grids, axis=0, full_cov=False)
+    np.testing.assert_allclose(np.asarray(qd_s.mean), np.asarray(qd_c.mean),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(qd_s.variance()),
+                               np.asarray(qd_c.variance()), rtol=1e-8)
+
+    xs = jnp.linspace(0.05, 0.95, 13)
+    pg_s = msum.posterior_grad(spec, ps, X, y, xs, axis=0)
+    pg_c = sgpr.posterior_grad(c, pc, X, y, xs, axis=0, full_cov=False)
+    np.testing.assert_allclose(np.asarray(pg_s.mean), np.asarray(pg_c.mean),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(pg_s.variance()),
+                               np.asarray(pg_c.variance()), rtol=1e-8)
+
+
+def test_two_component_grad_heads_consistent():
+    """q_dv of a two-scale sum: mean equals the face difference of the
+    component-summed posterior CDF-like integral — checked against the
+    q_v face-difference identity Σ_cell q_dv == f-integral differences, and
+    posterior_grad against a central finite difference of posterior mean."""
+    X, y = _multiscale_data(n=150)
+    spec, p = _two_scale_spec()
+    grids = (CellIntegralFeature(mesh=np.linspace(0.0, 1.0, 9)),)
+
+    qd = msum.q_dv(spec, p, X, y, grids, axis=0)
+    assert np.asarray(qd.variance()).min() > 0
+    # FTC identity: ∫_cell f' = f(β) − f(α) at the posterior mean
+    mesh = np.linspace(0.0, 1.0, 9)
+    mpost = msum.posterior(spec, p, X, y, jnp.asarray(mesh), full_cov=False)
+    want = np.diff(np.asarray(mpost.mean))
+    np.testing.assert_allclose(np.asarray(qd.mean), want, rtol=1e-6, atol=1e-10)
+
+    xs = jnp.linspace(0.1, 0.9, 9)
+    pg = msum.posterior_grad(spec, p, X, y, xs, axis=0)
+    eps = 1e-4
+    mp = np.asarray(msum.posterior(spec, p, X, y, xs + eps, full_cov=False).mean)
+    mm = np.asarray(msum.posterior(spec, p, X, y, xs - eps, full_cov=False).mean)
+    np.testing.assert_allclose(np.asarray(pg.mean), (mp - mm) / (2 * eps),
+                               rtol=1e-3, atol=1e-6)
+    assert np.asarray(pg.variance()).min() > 0

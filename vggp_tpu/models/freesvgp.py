@@ -141,6 +141,52 @@ def posterior_predictive(spec, params, X, y, xstar, full_cov: bool = False) -> G
     return posterior(spec, params, X, y, xstar, full_cov=full_cov, predictive=True)
 
 
+def prior(spec: FreeSVGPSpec, params: Params, xstar: jnp.ndarray) -> Gaussian:
+    """Prior N(0, K**) of the separable product kernel at test inputs
+    (reference ``kronecker_structure.py:102-130``)."""
+    cov = _hadamard_gram(spec, params, xstar, xstar)
+    return Gaussian(mean=jnp.zeros(cov.shape[0], dtype=cov.dtype), cov=cov)
+
+
+@common.highest_precision
+def q_u(spec: FreeSVGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray) -> Gaussian:
+    """Optimal q(u) = N(F F_B⁻ᵀ c, F B⁻¹ Fᵀ) over the free inducing points.
+
+    Equals the reference's ``mean = Kuu Σ⁻¹ Kuf y / σ²``, ``cov = Kuu Σ⁻¹ Kuu``
+    (``gridded_kronecker_structure.py:396-407``), PSD by construction.
+    """
+    chol, A, LB, c, y = _factored_state(spec, params, X, y)
+    half = tri_solve(LB, chol.F.T).T          # F F_B⁻ᵀ  (m, m)
+    return Gaussian(mean=half @ c, cov=half @ half.T)
+
+
+@common.highest_precision
+def p_v_u(
+    spec: FreeSVGPSpec,
+    params: Params,
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature],
+) -> Gaussian:
+    """p(v | u = E_q[u]): mean = Kvu Kuu⁻¹ m_u, cov = Kvv − Kvu Kuu⁻¹ Kvuᵀ
+    (reference ``gridded_kronecker_structure.py:409-419``), with the
+    cell/point Kvu assembled as Khatri–Rao rows like :func:`q_v`."""
+    chol, A, LB, c, y = _factored_state(spec, params, X, y)
+    z = params["z"]
+    blocks = []
+    for d, kind in enumerate(spec.kinds):
+        p = common.axis_params(params, d)
+        blocks.append(_cell_point_cov(kind, grid_axes[d].mesh_j(p), z[:, d],
+                                      p["variance"], p["lengthscale"]))
+    kvu = blocks[0]
+    for b in blocks[1:]:
+        kvu = khatri_rao_rows(kvu, b)
+    R = chol.whiten(kvu.T).T                  # Kvu F⁻ᵀ  (g, m)
+    mean = tri_solve(LB, R.T).T @ c           # Kvu Kuu⁻¹ m_u = R F_B⁻ᵀ c
+    kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
+    return Gaussian(mean=mean, cov=kvv - R @ R.T)
+
+
 @common.highest_precision
 def posterior_grad(
     spec: FreeSVGPSpec, params: Params, X: jnp.ndarray, y: jnp.ndarray,

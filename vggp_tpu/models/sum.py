@@ -290,6 +290,108 @@ def q_v(spec: SumSGPRSpec, params: Params, X, y,
     return q_v_from_state(spec, params, state, grid_axes, full_cov=full_cov)
 
 
+def _grid_r_rows(spec: SumSGPRSpec, params: Params, chols, grid_axes,
+                 kvu_fn) -> jnp.ndarray:
+    """R = [⊗(Kvu_1i F_1i⁻ᵀ), …, ⊗(Kvu_Qi F_Qi⁻ᵀ)] (g, Σm_q): the whitened
+    grid/inducing cross block for the stacked components. ``kvu_fn(comp, cp)``
+    yields the per-axis Kvu blocks (plain cell integrals or face-difference
+    gradient blocks)."""
+    r_rows = []
+    for q, comp in enumerate(spec.components):
+        cp = _comp_params(params, q)
+        kvu_blocks = kvu_fn(comp, cp)
+        r_blocks = tuple(chols[q][i].whiten(kvu_blocks[i].T).T
+                         for i in range(comp.ndim))
+        r_rows.append(kron_dense(r_blocks).T)        # (m_q, g)
+    return jnp.concatenate(r_rows, axis=0).T         # (g, Σm_q)
+
+
+@common.highest_precision
+def p_v_u(spec: SumSGPRSpec, params: Params, X, y,
+          grid_axes: Sequence[CellIntegralFeature]) -> Gaussian:
+    """p(v | u = E_q[u]) for the stacked components: mean = Kvu Kuu⁻¹ m_u =
+    R L_B⁻ᵀ c, cov = Kvv − R Rᵀ with Kvv = Σ_q ⊗_i Kvv_qi (reference head
+    shape at ``gridded_univariate_structure.py:462-473``; blockdiag Kuu)."""
+    chols, A, LB, c, _ = _factored_state(spec, params, X, y)
+    R = _grid_r_rows(spec, params, chols, grid_axes,
+                     lambda comp, cp: common.grid_kvu(comp, cp, grid_axes))
+    mean = tri_solve(LB, R.T).T @ c
+    kvv = None
+    for q, comp in enumerate(spec.components):
+        kq = kron_dense(common.grid_kvv(comp, _comp_params(params, q),
+                                        grid_axes, dense=False))
+        kvv = kq if kvv is None else kvv + kq
+    return Gaussian(mean=mean, cov=kvv - R @ R.T)
+
+
+@common.highest_precision
+def q_dv(spec: SumSGPRSpec, params: Params, X, y,
+         grid_axes: Sequence[CellIntegralFeature], axis: int,
+         full_cov: bool = False) -> Gaussian:
+    """Gridded-gradient posterior q(∫_cell ∂f/∂x_axis) of the summed field:
+    the gradient distributes over the sum, so Kvu stacks per-component
+    face-difference blocks and Kvv = Σ_q grad-Kvv_q (same algebra as
+    ``sgpr.q_dv_from_state`` per component)."""
+    from vggp_tpu.ops import kron_diag
+
+    axis = common.canonical_axis(spec.components[0], axis)
+    chols, A, LB, c, _ = _factored_state(spec, params, X, y)
+    R = _grid_r_rows(spec, params, chols, grid_axes,
+                     lambda comp, cp: common.grad_grid_kvu(comp, cp, grid_axes, axis))
+    T = tri_solve(LB, R.T).T
+    mean = T @ c
+    kvv = None
+    kvv_diag = None
+    for q, comp in enumerate(spec.components):
+        blocks = common.grad_grid_kvv(comp, _comp_params(params, q),
+                                      grid_axes, axis, dense=False)
+        if full_cov:
+            kq = kron_dense(blocks)
+            kvv = kq if kvv is None else kvv + kq
+        else:
+            dq = kron_diag([jnp.diagonal(b) for b in blocks])
+            kvv_diag = dq if kvv_diag is None else kvv_diag + dq
+    if full_cov:
+        return Gaussian(mean=mean, cov=kvv - R @ R.T + T @ T.T)
+    var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(T * T, axis=1)
+    return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
+
+
+@common.highest_precision
+def posterior_grad(spec: SumSGPRSpec, params: Params, X, y,
+                   xstar: jnp.ndarray, axis: int,
+                   full_cov: bool = False) -> Gaussian:
+    """Pointwise-gradient posterior ∂f/∂x_axis of the summed field: the w
+    block stacks per-component whitened ∂Kuf rows; the prior marginal is
+    Σ_q grad-kdiag_q. Requires every component's ``axis`` kind to be once
+    differentiable (matern32/52/rbf — not matern12)."""
+    if xstar.ndim == 1:
+        xstar = xstar[:, None]
+    axis = common.canonical_axis(spec.components[0], axis)
+    chols, A, LB, c, _ = _factored_state(spec, params, X, y)
+    rows = []
+    for q, comp in enumerate(spec.components):
+        cp = _comp_params(params, q)
+        blocks = common.axis_whitened_dkuf(comp, cp, chols[q], xstar, axis)
+        rows.append(common.khatri_rao_all(blocks))
+    w = jnp.concatenate(rows, axis=0)               # (Σm_q, n*)
+    tmp = tri_solve(LB, w)
+    mean = tmp.T @ c
+    if full_cov:
+        kss = None
+        for q, comp in enumerate(spec.components):
+            g = common.grad_gram_full(comp, _comp_params(params, q),
+                                      xstar, xstar, axis)
+            kss = g if kss is None else kss + g
+        return Gaussian(mean=mean, cov=kss - w.T @ w + tmp.T @ tmp)
+    kss = None
+    for q, comp in enumerate(spec.components):
+        g = common.grad_kdiag(comp, _comp_params(params, q), xstar, axis)
+        kss = g if kss is None else kss + g
+    var = kss - jnp.sum(w * w, axis=0) + jnp.sum(tmp * tmp, axis=0)
+    return Gaussian(mean=mean, var=common.floor_var(var, kss))
+
+
 def component_posterior(spec: SumSGPRSpec, params: Params, state,
                         xstar: jnp.ndarray, q: int,
                         full_cov: bool = False) -> Gaussian:

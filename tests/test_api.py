@@ -125,3 +125,56 @@ def test_checkpoint_roundtrip(tmp_path, data1d):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b), m.params, m2.params)
     m2._X, m2._y = X, y
     np.testing.assert_allclose(float(m.elbo()), float(m2.elbo()), rtol=1e-6)
+
+
+def test_factories_infer_ndim_from_count_sequence():
+    """ADVICE r2: a sequence count with scalar lims must build a model per
+    entry, not be zip-truncated to 1-D."""
+    m = GP.gridded((6, 5), (0.0, 1.0))
+    assert m.spec.ndim == 2 and tuple(f.m for f in m.spec.features) == (6, 5)
+    m = GP.vff((4, 3), (0.0, 1.0))
+    assert m.spec.ndim == 2
+    m = GP.svgp((7, 7), (0.0, 1.0))
+    assert m.spec.ndim == 2
+    # kinds sequence alone also sets ndim
+    m = GP.gridded(6, (0.0, 1.0), kinds=("matern12", "matern32"))
+    assert m.spec.ndim == 2
+    # mismatches raise instead of truncating
+    with pytest.raises(ValueError):
+        GP.gridded((6, 5, 4), ((0.0, 1.0), (0.0, 1.0)))
+    with pytest.raises(ValueError):
+        GP.gridded((6, 0), (0.0, 1.0))
+
+
+def test_fit_keeps_user_supplied_params(data1d):
+    """ADVICE r2: fit() must not auto-init over explicit / restored params."""
+    X, y = data1d
+    base = GP.gridded(6, (0.0, 1.0))
+    p = base.spec.init_params()
+    p["noise"] = jnp.asarray(123.0)  # sentinel the auto-init would clobber
+    m = GP(base.spec, params=jax.tree.map(lambda a: a, p))
+    m.fit(X, y, n_iters=1, learning_rate=0.0)
+    assert float(m.params["noise"]) == pytest.approx(123.0, rel=1e-6)
+    # fresh params still auto-initialise by default
+    m2 = GP(base.spec).fit(X, y, n_iters=1, learning_rate=0.0)
+    assert float(m2.params["noise"]) != pytest.approx(0.1, rel=1e-6)
+    # explicit initialise=True forces init even on supplied params
+    m3 = GP(base.spec, params=jax.tree.map(lambda a: a, p))
+    m3.fit(X, y, n_iters=1, learning_rate=0.0, initialise=True)
+    assert float(m3.params["noise"]) != pytest.approx(123.0, rel=1e-3)
+
+
+def test_q_v_cache_hits_on_equal_grids(data1d):
+    """ADVICE r2: equal-but-distinct grid features share one compiled head."""
+    from vggp_tpu.features import CellIntegralFeature
+
+    X, y = data1d
+    m = GP.gridded(6, (0.0, 1.0)).fit(X, y, n_iters=5)
+    g1 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    g2 = CellIntegralFeature.from_lims(4, 0.0, 1.0)
+    assert g1 is not g2
+    q1 = m.q_v((g1,))
+    n_cached = len(m._jitted)
+    q2 = m.q_v((g2,))
+    assert len(m._jitted) == n_cached  # content-keyed: no recompile
+    np.testing.assert_allclose(np.asarray(q1.mean), np.asarray(q2.mean))

@@ -57,6 +57,44 @@ def _kinds(kinds: Union[str, Sequence[str]], ndim: int) -> Tuple[str, ...]:
     return kinds
 
 
+def _infer_ndim(counts, lims, kinds, ndim: Optional[int]) -> int:
+    """ndim from whichever argument is a sequence — counts, lims pairs, or
+    kinds — never silently truncating a mismatch (zip would otherwise turn
+    ``GP.gridded((6, 5), (0.0, 1.0))`` into a 1-D 6-cell model)."""
+    if ndim is not None:
+        return int(ndim)
+    if isinstance(counts, (list, tuple, np.ndarray)):
+        return len(counts)
+    if isinstance(lims[0], (tuple, list, np.ndarray)):
+        return len(lims)
+    if not isinstance(kinds, str):
+        return len(tuple(kinds))
+    return 1
+
+
+def _counts_per_axis(counts, ndim: int, name: str) -> Tuple[int, ...]:
+    """One positive int per axis; a scalar broadcasts, a sequence must match."""
+    if isinstance(counts, (list, tuple, np.ndarray)):
+        out = tuple(int(c) for c in counts)
+        if len(out) != ndim:
+            raise ValueError(f"expected {ndim} {name} values, got {len(out)}")
+    else:
+        out = (int(counts),) * ndim
+    if any(c <= 0 for c in out):
+        raise ValueError(f"{name} must be positive, got {out}")
+    return out
+
+
+def _feature_key(f) -> tuple:
+    """Content key for jit caches: equal-but-distinct grid features must hit
+    the same compiled program (id()-keyed caches recompile per object and
+    only stay correct while the closure pins the object alive)."""
+    mesh = getattr(f, "mesh", None)
+    if mesh is not None:
+        return (type(f).__name__, np.asarray(mesh).tobytes())
+    return (type(f).__name__, f.m, getattr(f, "a", None), getattr(f, "b", None))
+
+
 class GP:
     """Stateful facade over a collapsed (SGPR) or exact GP spec.
 
@@ -68,6 +106,9 @@ class GP:
     def __init__(self, spec, params: Optional[Dict] = None):
         self.spec = spec
         self.params = params if params is not None else spec.init_params()
+        # user-supplied / restored / trained params must survive fit()'s
+        # default auto-initialisation (ADVICE r2)
+        self._params_are_fresh = params is None
         self.history: Optional[Dict] = None
         self._X = self._y = None
         self._jitted: Dict = {}
@@ -82,11 +123,10 @@ class GP:
                 kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
         """B0 cell-integral inducing features — the reference's ``GriddedGP`` /
         ``Matern12B0SplineGriddedGP`` zoo (``gridded_kronecker_structure.py:1255``)."""
-        if ndim is None:
-            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        ndim = _infer_ndim(n_cells, lims, kinds, ndim)
         lims_ax = _lims_per_axis(lims, ndim)
-        cells = n_cells if isinstance(n_cells, (list, tuple)) else (n_cells,) * ndim
-        feats = tuple(CellIntegralFeature.from_lims(int(c), float(a), float(b))
+        cells = _counts_per_axis(n_cells, ndim, "n_cells")
+        feats = tuple(CellIntegralFeature.from_lims(c, float(a), float(b))
                       for c, (a, b) in zip(cells, lims_ax))
         return cls(sgpr.SGPRSpec(kinds=_kinds(kinds, ndim), features=feats))
 
@@ -95,11 +135,10 @@ class GP:
             kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
         """Variational Fourier features — the reference's ``VFFGP``
         (``univariate_structure.py:364``, Kronecker form at ``kronecker_structure.py``)."""
-        if ndim is None:
-            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        ndim = _infer_ndim(n_frequencies, lims, kinds, ndim)
         lims_ax = _lims_per_axis(lims, ndim)
-        nfreq = n_frequencies if isinstance(n_frequencies, (list, tuple)) else (n_frequencies,) * ndim
-        feats = tuple(FourierFeature(int(nf), float(a), float(b))
+        nfreq = _counts_per_axis(n_frequencies, ndim, "n_frequencies")
+        feats = tuple(FourierFeature(nf, float(a), float(b))
                       for nf, (a, b) in zip(nfreq, lims_ax))
         return cls(sgpr.SGPRSpec(kinds=_kinds(kinds, ndim), features=feats))
 
@@ -109,11 +148,10 @@ class GP:
         """Spline-RKHS features — the reference's ``ASVGP`` (B1 hats,
         ``univariate_structure.py:531``). Higher Matérn orders get the matching
         B2/B3 spline degree (beyond the reference's 1/2-only version)."""
-        if ndim is None:
-            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        ndim = _infer_ndim(n_knots, lims, kinds, ndim)
         lims_ax = _lims_per_axis(lims, ndim)
         kds = _kinds(kinds, ndim)
-        nk = n_knots if isinstance(n_knots, (list, tuple)) else (n_knots,) * ndim
+        nk = _counts_per_axis(n_knots, ndim, "n_knots")
         feats = []
         for kind, k, (a, b) in zip(kds, nk, lims_ax):
             if kind == "matern12":
@@ -131,10 +169,9 @@ class GP:
              kinds: Union[str, Sequence[str]] = "matern12", ndim: Optional[int] = None) -> "GP":
         """Learnable inducing points on each axis — the reference's ``SVGP``
         (``univariate_structure.py:273``); z lives in the param pytree."""
-        if ndim is None:
-            ndim = len(lims) if isinstance(lims[0], (tuple, list)) else 1
+        ndim = _infer_ndim(n_inducing, lims, kinds, ndim)
         lims_ax = _lims_per_axis(lims, ndim)
-        nz = n_inducing if isinstance(n_inducing, (list, tuple)) else (n_inducing,) * ndim
+        nz = _counts_per_axis(n_inducing, ndim, "n_inducing")
         feats = []
         for m, (a, b) in zip(nz, lims_ax):
             pad = 0.05 * (float(b) - float(a))
@@ -158,12 +195,21 @@ class GP:
         return self
 
     def fit(self, X, y, n_iters: int = 1000, learning_rate: float = 0.1,
-            initialise: bool = True, **fit_kwargs) -> "GP":
+            initialise: Optional[bool] = None, **fit_kwargs) -> "GP":
         """Full-batch Adam fit of the collapsed bound / exact MLL; stores the
-        data so every prediction head below needs no further arguments."""
+        data so every prediction head below needs no further arguments.
+
+        ``initialise=None`` (default) runs ``non_informative_initialise``
+        only on fresh ``spec.init_params()`` params — explicitly supplied,
+        restored, or already-trained params are kept (continued training);
+        pass ``True``/``False`` to force either way.
+        """
         self._X, self._y = jnp.asarray(X), jnp.asarray(y)
+        if initialise is None:
+            initialise = self._params_are_fresh
         if initialise:
             self.non_informative_initialise(self._X, self._y)
+        self._params_are_fresh = False
         spec = self.spec
         self.params, self.history = train.fit(
             lambda p: self._mod.loss(spec, p, self._X, self._y),
@@ -198,7 +244,7 @@ class GP:
         reference's *direct* GriddedGP, where q(v) == q(u))."""
         self._need_data()
         axes = self._grid_axes(grid_axes)
-        fn = self._get(("q_v", tuple(map(id, axes)), full_cov), lambda s: jax.jit(
+        fn = self._get(("q_v", tuple(map(_feature_key, axes)), full_cov), lambda s: jax.jit(
             lambda p, X, y: self._mod.q_v(s, p, X, y, axes, full_cov=full_cov)))
         return fn(self.params, self._X, self._y)
 
@@ -206,7 +252,7 @@ class GP:
         """Gridded-gradient product along ``axis`` (face differences)."""
         self._need_data()
         axes = self._grid_axes(grid_axes)
-        fn = self._get(("q_dv", tuple(map(id, axes)), axis, full_cov), lambda s: jax.jit(
+        fn = self._get(("q_dv", tuple(map(_feature_key, axes)), axis, full_cov), lambda s: jax.jit(
             lambda p, X, y: self._mod.q_dv(s, p, X, y, axes, axis=axis, full_cov=full_cov)))
         return fn(self.params, self._X, self._y)
 
@@ -236,6 +282,7 @@ class GP:
 
     def restore(self, path: str, step: int = 0) -> "GP":
         self.params = train.load_checkpoint(path, step=step, like=self.params)
+        self._params_are_fresh = False  # continued training keeps the restore
         self._jitted.clear()
         return self
 

@@ -533,7 +533,12 @@ def load_checkpoint(path: str, step: int = 0, like: Optional[Dict] = None) -> Di
     import os
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), str(step)), item=like)
+    target = os.path.join(os.path.abspath(path), str(step))
+    try:
+        # modern orbax (>= 0.5): item= was removed in favor of ocp.args
+        return ckptr.restore(target, args=ocp.args.PyTreeRestore(item=like))
+    except (AttributeError, TypeError):  # pragma: no cover - old orbax
+        return ckptr.restore(target, item=like)
 
 
 class MetricsLogger:

@@ -108,17 +108,12 @@ def test_mission_data_rejects_bad_name(tmp_path):
         MissionData(str(tmp_path), "not-a-mission", ["2013"], ["04"])
 
 
-def test_mission_data_requires_xarray_or_loads(tmp_path):
-    """Without xarray installed the loader raises the documented ImportError;
-    with it, missing directories yield an empty dataset."""
-    try:
-        import xarray  # noqa: F401
-
-        md = MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)
-        assert not len(md.mission_data.data_vars)
-    except ImportError:
-        with pytest.raises(ImportError, match="xarray"):
-            MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)
+def test_mission_data_missing_archive_is_empty(tmp_path):
+    """Missing month directories yield the empty-record fallback; the xarray
+    adapter is never reached, so no ImportError regardless of environment
+    (the pure pipeline is tested in tests/test_transforms.py)."""
+    md = MissionData(str(tmp_path), "al", ["2013"], ["04"], verbose=False)
+    assert md.mission_data == {} and len(md) == 0
 
 
 def test_grid_integrators_reject_degenerate_cells():

@@ -9,6 +9,7 @@ numpy-only synthetic stand-ins (:func:`synthetic_ssh_field`,
 the CMEMS/NATL60 archives.
 """
 
+from vggp_tpu.data import transforms
 from vggp_tpu.data.missions import MissionData, MissionAgnosticData
 from vggp_tpu.data.simulation import (
     SimulationDataDay,
@@ -27,4 +28,5 @@ __all__ = [
     "synthetic_ssh_field",
     "GulfStream",
     "SyntheticGulfStream",
+    "transforms",
 ]

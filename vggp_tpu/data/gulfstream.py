@@ -22,12 +22,19 @@ data-challenge archives.
 from __future__ import annotations
 
 import os
-from datetime import datetime, timedelta
 from typing import Tuple
 
 import numpy as np
 
 from vggp_tpu.data.simulation import generate_track, sim_file_name, synthetic_ssh_field
+from vggp_tpu.data.transforms import (
+    finite_rows,
+    select_time_window,
+    time_mean,
+    window_bounds,
+    window_dates,
+    wrap_longitude,
+)
 from vggp_tpu.utils.integrators import average_grid_2d, simpson_grid_2d, trapz_grid_2d
 
 AVAILABLE_SATELLITES = (
@@ -138,49 +145,60 @@ class GulfStream(_GulfStreamAPI):
         self.ref_data = self._load_ref_data()
 
     def _load_obs_data(self):
+        """Track record of the obs archive cut to the experiment window.
+
+        Thin xarray adapter (open file, pull arrays) + pure
+        :func:`transforms.select_time_window` — the reference's
+        ``sel(time=slice(start, end))`` (``dataloaders.py:428-436``).
+        """
         xr = _require_xarray()
-        start = f"{self.year_frame[0]}-{self.month_frame[0]}-{self.day_frame[0]} {self.hour_frame[0]}"
-        end = f"{self.year_frame[1]}-{self.month_frame[1]}-{self.day_frame[1]} {self.hour_frame[1]}"
-        return xr.open_dataset(self.obs_file_path).sel(time=slice(start, end))
+        with xr.open_dataset(self.obs_file_path) as ds:
+            var = "ssh_obs" if "ssh_obs" in ds else "ssh_model"
+            rec = {
+                "time": np.asarray(ds["time"].values).ravel(),
+                "lon": np.asarray(ds["lon"].values).ravel(),
+                "lat": np.asarray(ds["lat"].values).ravel(),
+                "ssh": np.asarray(ds[var].values).ravel(),
+            }
+        start, end = window_bounds(
+            self.year_frame, self.month_frame, self.day_frame, self.hour_frame
+        )
+        return select_time_window(rec, start, end)
 
     def _load_ref_data(self):
+        """(fields, lons, lats): per-day NATL60 SSH snapshots over the window.
+
+        File enumeration comes from pure :func:`transforms.window_dates`
+        (reference ``dataloaders.py:438-459``); xarray only opens files.
+        """
         xr = _require_xarray()
-        start = datetime.strptime(
-            "-".join([self.year_frame[0], self.month_frame[0], self.day_frame[0]]),
-            "%Y-%m-%d",
-        )
-        end = datetime.strptime(
-            "-".join([self.year_frame[1], self.month_frame[1], self.day_frame[1]]),
-            "%Y-%m-%d",
-        )
-        dates = [start + timedelta(days=i) for i in range((end - start).days + 1)]
-        paths = [
-            os.path.join(
-                self.ref_root_folder,
-                sim_file_name(d.strftime("%Y"), d.strftime("%m"), d.strftime("%d")),
-            )
-            for d in dates
-        ]
-        paths = [p for p in paths if os.path.exists(p)]
-        return xr.open_mfdataset(paths, combine="by_coords")
+        fields, lons, lats = [], None, None
+        for y, m, d in window_dates(self.year_frame, self.month_frame, self.day_frame):
+            path = os.path.join(self.ref_root_folder, sim_file_name(y, m, d))
+            if not os.path.exists(path):
+                continue
+            with xr.open_dataset(path) as ds:
+                # mean over the file's own hours first keeps memory flat
+                fields.append(np.asarray(ds.sossheig.mean(dim="time").values)
+                              if "time" in ds.sossheig.dims
+                              else np.asarray(ds.sossheig.values))
+                if lons is None:
+                    lons = np.asarray(ds.lon.values)
+                    lats = np.asarray(ds.lat.values)
+        if not fields:
+            raise FileNotFoundError(
+                f"no NATL60 files for window in {self.ref_root_folder}")
+        return fields, lons, lats
 
     def _obs(self):
-        ds = self.obs_data
-        lon = np.asarray(ds["lon"].values).ravel()
-        lon = np.where(lon > 180.0, lon - 360.0, lon)
-        lat = np.asarray(ds["lat"].values).ravel()
-        var = "ssh_obs" if "ssh_obs" in ds else "ssh_model"
-        val = np.asarray(ds[var].values).ravel()
-        ok = np.isfinite(lon) & np.isfinite(lat) & np.isfinite(val)
-        return lon[ok], lat[ok], val[ok]
+        rec = dict(self.obs_data)
+        rec["lon"] = wrap_longitude(rec["lon"])
+        rec = finite_rows(rec, ("lon", "lat", "ssh"))
+        return rec["lon"], rec["lat"], rec["ssh"]
 
     def _ref_field(self):
-        ds_mean = self.ref_data.mean(dim="time")
-        return (
-            np.asarray(ds_mean.sossheig.values),
-            np.asarray(ds_mean.lon.values),
-            np.asarray(ds_mean.lat.values),
-        )
+        fields, lons, lats = self.ref_data
+        return time_mean(fields), lons, lats
 
 
 class SyntheticGulfStream(_GulfStreamAPI):

@@ -3,13 +3,29 @@
 Behavioral equivalent of the reference ``src/utils/dataloaders.py:14-180``
 (``MissionData`` / ``MissionAgnosticData``): per-mission monthly NetCDF
 directories, 0-360 → ±180 longitude wrap, lat/lon box filter, concatenation
-along time, empty-dataset fallback. xarray is imported lazily.
+along time, empty-dataset fallback.
+
+All decisions live in :mod:`vggp_tpu.data.transforms` as pure numpy
+functions over plain track records (dicts of 1-D arrays); the xarray
+dependency is confined to :func:`dataset_to_record` / the per-month file
+reader, which only open files and pull arrays. A custom ``read_month``
+callable (e.g. a test fake) replaces the filesystem+xarray layer entirely.
 """
 
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import Callable, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vggp_tpu.data.transforms import (
+    Record,
+    concat_records,
+    finite_rows,
+    load_track_records,
+    record_length,
+)
 
 AVAILABLE_MISSIONS = (
     "e1", "e1g", "e2", "tp", "tpn", "g2", "j1", "j1n", "j1g", "j2",
@@ -24,16 +40,61 @@ def _require_xarray():
     except ImportError as e:  # pragma: no cover - env without xarray
         raise ImportError(
             "xarray is required for NetCDF mission loading; install xarray "
-            "+ netCDF4, or use the synthetic data stand-ins in "
-            "vggp_tpu.data.simulation / .gulfstream"
+            "+ netCDF4, or inject a read_month callable / use the synthetic "
+            "stand-ins in vggp_tpu.data.simulation / .gulfstream"
         ) from e
     return xr
+
+
+def dataset_to_record(ds) -> Record:
+    """xarray Dataset → plain track record (thin adapter, no logic).
+
+    Keeps the time coordinate plus every 1-D along-track variable
+    (longitude, latitude, sla_filtered, …), raveled to numpy.
+    """
+    rec = {}
+    if "time" in ds.coords:
+        rec["time"] = np.asarray(ds["time"].values).ravel()
+    for name in ("longitude", "latitude", *ds.data_vars):
+        if name in rec or name not in ds:
+            continue
+        vals = np.asarray(ds[name].values).ravel()
+        rec[name] = vals
+    # drop anything not aligned with the track axis (scalar QC vars etc.)
+    n = max((v.shape[0] for v in rec.values()), default=0)
+    return {k: v for k, v in rec.items() if v.shape[0] == n}
+
+
+def netcdf_month_reader(mission_folder: str) -> Callable[[str, str], Iterable[Record]]:
+    """Default per-month reader over the CMEMS directory layout
+    ``<mission_folder>/<year>/<month>/*.nc`` (reference ``dataloaders.py:69-99``).
+    Unreadable files are skipped, like the reference's bare try/except."""
+
+    def read_month(year: str, month: str) -> Iterable[Record]:
+        data_dir = os.path.join(mission_folder, year, month)
+        if not os.path.isdir(data_dir):
+            return
+        files = sorted(os.path.join(data_dir, f) for f in os.listdir(data_dir))
+        if not files:
+            return
+        xr = _require_xarray()
+        for path in files:
+            try:
+                with xr.open_dataset(path) as ds:
+                    yield dataset_to_record(ds)
+            except (OSError, ValueError):
+                continue
+
+    return read_month
 
 
 class MissionData:
     """Along-track sea-level observations for one altimetry mission.
 
-    Directory layout matches the CMEMS archive the reference uses:
+    ``mission_data`` is a plain track record (dict of 1-D numpy arrays);
+    empty (``{}``) when no data was found — the reference's empty-Dataset
+    fallback (``dataloaders.py:134``). Directory layout matches the CMEMS
+    archive the reference uses:
     ``<root>/cmems_obs-sl_eur_phy-ssh_my_<mission>-l3-duacs_PT1S/<year>/<month>/*.nc``.
     """
 
@@ -46,6 +107,7 @@ class MissionData:
         latitude_range: Tuple[float, float] = (-90.0, 90.0),
         longitude_range: Tuple[float, float] = (-180.0, 180.0),
         verbose: bool = True,
+        read_month: Optional[Callable[[str, str], Iterable[Record]]] = None,
     ):
         if mission_name not in AVAILABLE_MISSIONS:
             raise ValueError(
@@ -60,64 +122,38 @@ class MissionData:
         self.min_latitude, self.max_latitude = latitude_range
         self.min_longitude, self.max_longitude = longitude_range
         self.verbose = verbose
+        self._read_month = read_month or netcdf_month_reader(self.mission_folder)
         self.mission_data = self.load_data()
 
     def _log(self, msg: str) -> None:
         if self.verbose:
             print(msg)
 
-    def load_data(self):
-        xr = _require_xarray()
-        datasets = []
-        for year in self.years:
-            for month in self.months:
-                data_dir = os.path.join(self.mission_folder, year, month)
-                if not os.path.isdir(data_dir):
-                    self._log(f"> {year}-{month} | directory missing: {data_dir}")
-                    continue
-                files = sorted(os.path.join(data_dir, f) for f in os.listdir(data_dir))
-                if not files:
-                    self._log(f"> {year}-{month} | no data files in {data_dir}")
-                    continue
-                for path in files:
-                    try:
-                        ds = xr.open_dataset(path)
-                    except Exception:
-                        continue
-                    ds["longitude"] = xr.where(
-                        ds["longitude"] > 180.0, ds["longitude"] - 360.0, ds["longitude"]
-                    )
-                    mask = (
-                        (ds["longitude"] > self.min_longitude)
-                        & (ds["longitude"] < self.max_longitude)
-                        & (ds["latitude"] > self.min_latitude)
-                        & (ds["latitude"] < self.max_latitude)
-                    )
-                    datasets.append(ds.where(mask, drop=True))
-                self._log(f"> {year}-{month} | completed")
-        if not datasets:
-            return xr.Dataset(attrs={"description": "Empty dataset, no data found."})
-        if len(datasets) == 1:
-            return datasets[0]
-        return xr.concat(datasets, dim="time")
+    def load_data(self) -> Record:
+        return load_track_records(
+            self._read_month,
+            self.years,
+            self.months,
+            (self.min_latitude, self.max_latitude),
+            (self.min_longitude, self.max_longitude),
+            log=self._log,
+        )
+
+    def __len__(self) -> int:
+        return record_length(self.mission_data)
 
     def observations(self, var: str = "sla_filtered"):
         """(lon, lat, value) numpy arrays of non-NaN observations."""
-        import numpy as np
-
-        ds = self.mission_data
-        if var not in ds:
-            raise KeyError(f"{var!r} not in mission dataset (vars: {list(ds.data_vars)})")
-        lon = np.asarray(ds["longitude"].values).ravel()
-        lat = np.asarray(ds["latitude"].values).ravel()
-        val = np.asarray(ds[var].values).ravel()
-        ok = np.isfinite(lon) & np.isfinite(lat) & np.isfinite(val)
-        return lon[ok], lat[ok], val[ok]
+        rec = self.mission_data
+        if var not in rec:
+            raise KeyError(f"{var!r} not in mission record (vars: {sorted(rec)})")
+        rec = finite_rows(rec, ("longitude", "latitude", var))
+        return rec["longitude"], rec["latitude"], rec[var]
 
 
 class MissionAgnosticData:
     """Concatenation of several missions over the same box/time window
-    (reference ``dataloaders.py:141-180``)."""
+    (reference ``dataloaders.py:141-180``). ``data`` is a track record."""
 
     def __init__(
         self,
@@ -128,17 +164,14 @@ class MissionAgnosticData:
         latitude_range: Tuple[float, float] = (-90.0, 90.0),
         longitude_range: Tuple[float, float] = (-180.0, 180.0),
         verbose: bool = True,
+        read_month_for: Optional[Callable[[str], Callable[[str, str], Iterable[Record]]]] = None,
     ):
-        xr = _require_xarray()
         self.missions = [
-            MissionData(root_folder, name, years, months, latitude_range,
-                        longitude_range, verbose=verbose)
+            MissionData(
+                root_folder, name, years, months, latitude_range,
+                longitude_range, verbose=verbose,
+                read_month=read_month_for(name) if read_month_for else None,
+            )
             for name in mission_names
         ]
-        nonempty = [m.mission_data for m in self.missions if len(m.mission_data.data_vars)]
-        if not nonempty:
-            self.data = xr.Dataset(attrs={"description": "Empty dataset, no data found."})
-        elif len(nonempty) == 1:
-            self.data = nonempty[0]
-        else:
-            self.data = xr.concat(nonempty, dim="time")
+        self.data = concat_records([m.mission_data for m in self.missions])

@@ -38,7 +38,7 @@ def _load_obs(root_folder: str | None):
 
         md = MissionData(root_folder, "al", ["2013"], ["04"],
                          latitude_range=NORTH_SEA_LAT, longitude_range=NORTH_SEA_LON)
-        if len(md.mission_data.data_vars):
+        if len(md):
             return md.observations("sla_filtered")
     extent = (*NORTH_SEA_LON, *NORTH_SEA_LAT)
     syn = SyntheticGulfStream(satellite_name="envisat", seed=7, extent=extent,

@@ -40,6 +40,7 @@ _GOLD_P = {"variance": 1.3, "lengthscale": 0.27}
 _GOLD_M12_ROW4 = [7.85859130e-05, 7.70880966e-05, 7.48895000e-05, 7.27536087e-05]
 _GOLD_M32_ROW3 = [7.93294240e-05, 7.92343147e-05, 7.89592508e-05]
 _GOLD_M52_ROW3 = [7.93364803e-05, 7.92812306e-05, 7.91161120e-05]
+_GOLD_RBF_ROW4 = [7.93401676e-05, 7.93069656e-05, 7.92074430e-05, 7.90418494e-05]
 _GOLD_KUF_SAMPLES = {  # (cell, point-index on linspace(0.013, 0.987, 256))
     (0, 0): 0.009820220820605961,
     (64, 128): 0.010064219468069275,
@@ -71,7 +72,7 @@ def smoke() -> dict:
     @jax.jit
     def covs():
         rows = {kind: g.kuu_first_row(kind, p)
-                for kind in ("matern12", "matern32", "matern52")}
+                for kind in ("matern12", "matern32", "matern52", "rbf")}
         kuf_pallas = g.Kuf("matern12", p, x)          # Pallas on TPU (m,n ≥ mins)
         kuf_ref = _m12_cell_point_cov(jnp.asarray(g.mesh, jnp.float32), x,
                                       p["variance"], p["lengthscale"])
@@ -114,6 +115,8 @@ def smoke() -> dict:
                              / np.abs(_GOLD_M32_ROW3).max()),
         "m52_row_err": float(np.abs(rows["matern52"][:3] - _GOLD_M52_ROW3).max()
                              / np.abs(_GOLD_M52_ROW3).max()),
+        "rbf_row_err": float(np.abs(rows["rbf"][:4] - _GOLD_RBF_ROW4).max()
+                             / np.abs(_GOLD_RBF_ROW4).max()),
         "kuf_sample_err": max(
             abs(float(kuf_pallas[i, j]) - v) / abs(v)
             for (i, j), v in _GOLD_KUF_SAMPLES.items()
@@ -130,6 +133,41 @@ def smoke() -> dict:
     rec.update(checks)
     for k, v in checks.items():
         assert v < 2e-4, f"smoke numerics check failed: {k} = {v}"
+
+    # RBF gridded fits across ℓ/δ ∈ {0.1 .. 50} (VERDICT r2 weak #5): the
+    # Gaussian cell Gram has the fastest eigendecay of all kinds, so this is
+    # exactly the configuration class that NaN'd matern32 before its analytic
+    # row. One compile (lengthscale is a traced leaf), four executions.
+    from vggp_tpu.models import sgpr as _sgpr
+
+    g_rbf = CellIntegralFeature.from_lims(64, 0.0, 1.0)
+    rspec = _sgpr.SGPRSpec(kinds=("rbf",), features=(g_rbf,))
+    rng_r = np.random.default_rng(7)
+    xr = jnp.asarray(np.sort(rng_r.random(384)), jnp.float32)
+    yr = jnp.asarray(np.sin(6 * np.asarray(xr))
+                     + 0.05 * rng_r.standard_normal(384), jnp.float32)
+    r_opt = optax.adam(3e-2)
+
+    @jax.jit
+    def rbf_fit(raw0):
+        def one(carry, _):
+            r, st = carry
+            val, grads = jax.value_and_grad(
+                lambda q: _sgpr.loss(rspec, train.constrain(q), xr, yr))(r)
+            r, st = train.guarded_update(r_opt, r, st, val, grads)
+            return (r, st), val
+
+        (_, _), vals = jax.lax.scan(one, (raw0, r_opt.init(raw0)), None, length=30)
+        return vals
+
+    delta_rbf = 1.0 / 64.0
+    for ratio in (0.1, 1.0, 10.0, 50.0):
+        pr = rspec.init_params(jnp.float32)
+        pr["axes"][0]["lengthscale"] = jnp.asarray(ratio * delta_rbf, jnp.float32)
+        vals = np.asarray(jax.device_get(rbf_fit(train.unconstrain(pr))))
+        key = f"rbf_fit_ld{ratio:g}"
+        rec[key] = bool(np.all(np.isfinite(vals)) and vals[-1] < vals[0])
+        assert rec[key], f"smoke rbf gridded fit failed at l/d={ratio}: {vals}"
 
     # tiny gridded Kronecker SVGP fit + q_v on-device
     spec = svgp.SVGPSpec(kinds=("matern12", "matern12"),

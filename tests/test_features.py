@@ -117,10 +117,41 @@ class TestFourier:
         ref = np.asarray(self.feat.kvu_quadrature("matern12", P, grid, n_quad=4001))
         np.testing.assert_allclose(kvu, ref, rtol=1e-5, atol=1e-7)
 
-    def test_kvu_rejects_grid_outside_domain(self):
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_kvu_outside_domain_vs_quadrature(self, kind):
+        """VERDICT r2 next #8: cells past [a, b] integrate the decaying
+        Markov continuation in closed form (tails, straddles, both sides)."""
+        grid = features.CellIntegralFeature.from_lims(7, -0.31, 1.27)
+        kvu = np.asarray(self.feat.Kvu(kind, P, grid))
+        ref = np.asarray(self.feat.kvu_quadrature(kind, P, grid, n_quad=8001))
+        np.testing.assert_allclose(kvu, ref, rtol=2e-5, atol=2e-7)
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_kvu_straddle_splits_additively(self, kind):
+        """∫ over a boundary-straddling cell == inside part + tail part."""
+        whole = features.CellIntegralFeature(mesh=np.array([-0.2, 0.15]))
+        parts = features.CellIntegralFeature(mesh=np.array([-0.2, 0.0, 0.15]))
+        kw = np.asarray(self.feat.Kvu(kind, P, whole))
+        kp = np.asarray(self.feat.Kvu(kind, P, parts))
+        np.testing.assert_allclose(kw[0], kp[0] + kp[1], rtol=1e-9, atol=1e-12)
+
+    def test_kvu_outside_domain_short_cells_stable(self):
+        """Short far cells exercise the γ(n, λh) series regime (λh ≪ 1):
+        the closed form must track quadrature without cancellation blowup."""
+        mesh = np.array([1.0001, 1.0002, 1.2000, 1.2001])
+        grid = features.CellIntegralFeature(mesh=mesh)
+        for kind in ("matern12", "matern32", "matern52"):
+            kvu = np.asarray(self.feat.Kvu(kind, P, grid))
+            ref = np.asarray(self.feat.kvu_quadrature(kind, P, grid, n_quad=2001))
+            np.testing.assert_allclose(kvu, ref, rtol=1e-6, atol=1e-14)
+
+    def test_kvu_outside_domain_rejects_nonmarkov_kind(self):
         grid = features.CellIntegralFeature.from_lims(4, -0.1, 0.9)
-        with pytest.raises(NotImplementedError):
-            self.feat.Kvu("matern12", P, grid)
+        with pytest.raises(NotImplementedError, match="Markov"):
+            self.feat.Kvu("rbf", P, grid)
+        # inside-domain grids stay kind-generic
+        inside = features.CellIntegralFeature.from_lims(4, 0.1, 0.9)
+        assert np.all(np.isfinite(np.asarray(self.feat.Kvu("rbf", P, inside))))
 
     @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
     def test_kuu_matches_rkhs_quadrature(self, kind):
@@ -383,3 +414,63 @@ class TestCellToeplitzRowAnalytic:
         e_gen = np.abs(gen32 - truth).max() / sc
         assert e_new < 5e-6, e_new
         assert e_new < e_gen, (e_new, e_gen)
+
+
+class TestRbfToeplitzRow:
+    """Hybrid GL/erfc RBF Kuu row (VERDICT r2 weak #5): must equal the
+    quadrature-validated generic cell/cell erf form in float64 across both
+    branches (δ ≤ 2ℓ Gauss–Legendre, δ ≥ 2ℓ erfc closed form), and in f32
+    must stay near the hardware floor where the generic second difference
+    has cancelled (ℓ/δ)²-amplified digits (measured 5e-3 relative entry
+    error at ℓ/δ = 50 on TPU; the hybrid row measured 2.2e-6)."""
+
+    @pytest.mark.parametrize("m,l", [(24, 0.476), (24, 2.0), (128, 0.27),
+                                     (64, 0.004), (64, 0.01), (8, 5.0),
+                                     (2, 1.0), (128, 0.0208), (128, 0.0209)])
+    def test_matches_generic_cell_cell_f64(self, m, l):
+        from vggp_tpu.features import _cell_cell_cov
+
+        g = features.CellIntegralFeature.from_lims(m, 0.0, 1.0)
+        p = {"lengthscale": jnp.asarray(l, jnp.float64),
+             "variance": jnp.asarray(6.9, jnp.float64)}
+        row_new = np.asarray(g.kuu_first_row("rbf", p))
+        mesh = g.mesh_j(p)
+        row_gen = np.asarray(_cell_cell_cov("rbf", mesh, mesh[:2],
+                                            p["variance"], p["lengthscale"])[:, 0])
+        # the generic form itself carries (l/δ)²·eps f64 cancellation noise
+        tol = 1e-13 * max(1.0, (l * m) ** 2)
+        np.testing.assert_allclose(row_new, row_gen, rtol=1e-10,
+                                   atol=tol * np.abs(row_gen).max())
+
+    def test_f32_row_beats_generic_under_long_lengthscale(self):
+        from vggp_tpu.features import _cell_cell_cov, _rbf_toeplitz_first_row
+
+        m, l = 24, 2.0
+        g = features.CellIntegralFeature.from_lims(m, 0.0, 1.0)
+        p64 = {"lengthscale": jnp.asarray(l, jnp.float64),
+               "variance": jnp.asarray(6.9, jnp.float64)}
+        truth = np.asarray(g.kuu_first_row("rbf", p64), np.float64)
+        sc = np.abs(truth).max()
+        new32 = np.asarray(_rbf_toeplitz_first_row(
+            m, g.delta, jnp.asarray(6.9, jnp.float32),
+            jnp.asarray(l, jnp.float32), jnp.float32), np.float64)
+        mesh32 = jnp.asarray(np.asarray(g.mesh), jnp.float32)
+        gen32 = np.asarray(_cell_cell_cov("rbf", mesh32, mesh32[:2],
+                                          jnp.asarray(6.9, jnp.float32),
+                                          jnp.asarray(l, jnp.float32))[:, 0],
+                           np.float64)
+        e_new = np.abs(new32 - truth).max() / sc
+        e_gen = np.abs(gen32 - truth).max() / sc
+        assert e_new < 5e-6, e_new
+        assert e_new < e_gen, (e_new, e_gen)
+
+    def test_grad_finite_both_branches(self):
+        """where() evaluates both branches — their cotangents must be finite
+        on either side of the δ = 2ℓ switch."""
+        from vggp_tpu.features import _rbf_toeplitz_first_row
+
+        for l in (0.001, 0.02, 0.0209, 0.5):
+            from jax import grad as _grad
+            gfn = _grad(lambda t: jnp.sum(_rbf_toeplitz_first_row(
+                32, 1.0 / 32.0, jnp.float64(1.3), t, jnp.float64)))
+            assert np.isfinite(float(gfn(jnp.float64(l))))

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from vggp_tpu import kernels
 from vggp_tpu.ops import diag_lowrank, toeplitz
-from vggp_tpu.ops.stablemath import expm1mx, expm1s
+from vggp_tpu.ops.stablemath import expm1mx, expm1s, gamma2_lower, gamma3_lower
 
 Params = Dict[str, jnp.ndarray]
 
@@ -366,6 +366,65 @@ def _cell_toeplitz_first_row(kind: str, m: int, delta, variance, lengthscale,
     return variance / (lam * lam) * row
 
 
+# 24-point Gauss–Legendre rule on [0, 1] (static constants; see
+# _rbf_toeplitz_first_row — positive-weight quadrature has no cancellation).
+_GL24_NODES, _GL24_WEIGHTS = np.polynomial.legendre.leggauss(24)
+_GL24_S = 0.5 * (_GL24_NODES + 1.0)
+_GL24_W = 0.5 * _GL24_WEIGHTS
+
+
+def _rbf_toeplitz_first_row(m: int, delta, variance, lengthscale,
+                            dtype) -> jnp.ndarray:
+    """Uniform-mesh RBF cell-integral Kuu first row (VERDICT r2 weak #5).
+
+    The generic cell/cell erf closed form second-differences P(r)
+    numerically, cancelling with ~(ℓ/δ)² relative amplification — the same
+    failure mode that NaN'd the on-device Matérn-3/2 Cholesky before its
+    analytic row (:func:`_cell_toeplitz_first_row`). For the RBF there is no
+    poly·exp telescoping, so the two regimes get two different cures:
+
+    - **δ ≤ 2ℓ** (where the cancellation is worst): evaluate
+      ``row[k] = ∫₀^δ (δ−s)·[k(kδ+s) + k(kδ−s)] ds`` — the box⋆box tent
+      autocorrelation form — by a fixed 24-point Gauss–Legendre rule. All
+      weights and integrand values are positive: NO cancellation, error at
+      the f32 hardware floor (the e^{−r²/2ℓ²} integrand is entire and the
+      interval is ≤ 2ℓ, so GL-24 converges far past f32 eps).
+    - **δ ≥ 2ℓ**: the closed form's amplification (ℓ/δ)² ≤ 1/4 is harmless;
+      use Δ²P with erf differences taken tail-accurately through erfc
+      (``erf(x_{k+1}) − erf(x_k) = erfc(x_k) − erfc(x_{k+1})``) so the
+      k-weighted terms inherit the Gaussian decay instead of accumulating
+      k·ε_erf absolute error across a 512-cell row.
+
+    Both branches are bounded everywhere (jnp.where evaluates both), and the
+    k = 0 diagonal falls out of the same formulas (erf oddness / tent at
+    lag 0). f64-quadrature-oracle tested in tests/test_features.py.
+    """
+    from jax.scipy.special import erfc
+
+    k = jnp.arange(m, dtype=dtype)
+    ell = lengthscale
+    # --- Gauss–Legendre branch (exact-to-eps for δ ≤ 2ℓ) ---
+    s = jnp.asarray(_GL24_S, dtype=dtype) * delta            # (q,)
+    w = jnp.asarray(_GL24_W, dtype=dtype) * delta
+    ctr = k[:, None] * delta
+    inv2 = 0.5 / (ell * ell)
+    gsum = (jnp.exp(-(ctr + s[None, :]) ** 2 * inv2)
+            + jnp.exp(-(ctr - s[None, :]) ** 2 * inv2))
+    row_gl = jnp.sum(w[None, :] * (delta - s[None, :]) * gsum, axis=1)
+    # --- closed-form branch (no harmful cancellation for δ ≥ 2ℓ) ---
+    h = delta * _INV_SQRT2 / ell
+    x = jnp.arange(m + 1, dtype=dtype) * h                   # (m+1,)
+    d_up = erfc(x[:-1]) - erfc(x[1:])        # erf(x_{j+1}) − erf(x_j), (m,)
+    dp = d_up                                # Δ⁺ for k = 0..m−1
+    dm = d_up[np.maximum(np.arange(m) - 1, 0)]  # Δ⁻; k = 0 → erf(h) − erf(−h) half
+    g = jnp.exp(-x * x)
+    idx_km1 = np.abs(np.arange(m) - 1)
+    e2 = g[np.arange(m) + 1] - 2.0 * g[np.arange(m)] + g[idx_km1]
+    t_part = _SQRT_HALF_PI * ell * delta * ((k + 1.0) * dp - (k - 1.0) * dm)
+    row_cf = t_part + ell * ell * e2
+    return variance * jnp.where(delta <= 2.0 * ell, row_gl, row_cf)
+
+
 # --------------------------------------------------------------------------- #
 # Features
 # --------------------------------------------------------------------------- #
@@ -626,33 +685,90 @@ class FourierFeature(AxisFeature):
         sin_b = jnp.where(inside[None, :], sin_in, sin_out)
         return jnp.concatenate([cos_b, sin_b], axis=0)
 
-    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
-        """Closed-form cell integrals of the basis (cells must lie in [a,b]).
+    def _tail_integrals(self, kind: str, lam, om, r0, h):
+        """∫ of the Markov-continuation basis over r ∈ [r0, r0 + h].
 
-        Reference ``gridded_univariate_structure.py:354-397``:
-        ∫cell 1 = δ_i; ∫cell cos = (sin(ω(β-a)) - sin(ω(α-a)))/ω;
+        ``r0``/``h`` are (g, 1) distances from the nearest domain boundary
+        (h ≥ 0; h = 0 ⇒ zero integral), ``om`` the (M+1,) frequencies.
+        Returns the cos-block integrals (g, M+1) — the ω = 0 constant basis
+        rides as column 0, its continuation being the ω = 0 cosine — and the
+        *unsigned* sin-block integrals (g, M); the caller applies the
+        boundary-side sign s (see :meth:`Kuf`). The exponential-tail moments
+        ∫ rⁿ e^{-λr} go through :mod:`ops.stablemath`'s γ(n+1, ·) series —
+        the direct antiderivative differences cancel like (λh)ⁿ⁺¹ for short
+        cells and TPU f32 exp error alone is ~1e-6 (CLAUDE.md).
+        """
+        dtype = r0.dtype
+        g = r0.shape[0]
+        x = lam * h
+        e0 = jnp.exp(-lam * r0)
+        i0 = e0 * (-expm1s(-x)) / lam            # ∫ e^{-λr}
+        j1 = e0 * gamma2_lower(x) / (lam * lam)  # ∫ (r−r0) e^{-λr}
+        i1 = r0 * i0 + j1                                   # ∫ r e^{-λr}
+        if kind == "matern12":
+            cos_t = jnp.broadcast_to(i0, (g, om.shape[0]))
+            sin_t = jnp.zeros((g, om.shape[0] - 1), dtype)
+        elif kind == "matern32":
+            cos_t = jnp.broadcast_to(i0 + lam * i1, (g, om.shape[0]))
+            sin_t = om[1:][None, :] * i1
+        elif kind == "matern52":
+            k2 = e0 * gamma3_lower(x) / (lam ** 3)
+            i2 = r0 * r0 * i0 + 2.0 * r0 * j1 + k2          # ∫ r² e^{-λr}
+            cos_t = (i0 + lam * i1
+                     + 0.5 * (lam * lam - om[None, :] ** 2) * i2)
+            sin_t = om[1:][None, :] * (i1 + lam * i2)
+        else:  # pragma: no cover — guarded statically in Kvu
+            raise NotImplementedError(f"Fourier tail integrals for {kind}")
+        return cos_t, sin_t
+
+    def Kvu(self, kind: str, p: Params, grid: "CellIntegralFeature") -> jnp.ndarray:
+        """Closed-form cell integrals of the basis, inside AND outside [a, b].
+
+        Inside the Fourier domain (reference
+        ``gridded_univariate_structure.py:354-397``): ∫cell 1 = δ_i;
+        ∫cell cos = (sin(ω(β-a)) - sin(ω(α-a)))/ω;
         ∫cell sin = -(cos(ω(β-a)) - cos(ω(α-a)))/ω.
 
-        These forms hold only for cells inside the Fourier domain; a grid
-        extending past [a, b] would need integrals of the decaying Markov
-        continuation instead, which silently differ — so it is rejected
-        (static numpy check; grid meshes are static data).
+        Cells extending past [a, b] — which the reference's closed forms do
+        not cover — integrate the same decaying Markov continuation that
+        :meth:`Kuf` evaluates pointwise (exponential-polynomial moments,
+        :meth:`_tail_integrals`). Each cell splits into left-tail / inside /
+        right-tail segments via static-free clamps, so straddling cells are
+        exact and a grid fully inside costs nothing extra (the tail branch
+        is skipped on a static numpy check of the grid mesh).
         """
-        g = np.asarray(grid.mesh)
-        if g[0] < self.a - 1e-12 or g[-1] > self.b + 1e-12:
-            raise NotImplementedError(
-                f"FourierFeature.Kvu: grid [{g[0]}, {g[-1]}] extends past the "
-                f"Fourier domain [{self.a}, {self.b}]; closed-form cell "
-                "integrals only cover cells inside the domain"
-            )
         mesh = grid.mesh_j(p)
         om = self.omegas(dtype=mesh.dtype)
-        alpha = mesh[:-1][:, None] - self.a
-        beta = mesh[1:][:, None] - self.a
-        col0 = (mesh[1:] - mesh[:-1])[:, None]  # (g, 1)
+        al = mesh[:-1][:, None]
+        be = mesh[1:][:, None]
+        # inside segment [max(α, a), min(β, b)] (empty ⇒ zero-length ⇒ 0)
+        ai = jnp.clip(al, self.a, self.b) - self.a
+        bi = jnp.clip(be, self.a, self.b) - self.a
+        col0 = bi - ai
         w = om[1:][None, :]
-        cos_int = (jnp.sin(w * beta) - jnp.sin(w * alpha)) / w
-        sin_int = -(jnp.cos(w * beta) - jnp.cos(w * alpha)) / w
+        cos_int = (jnp.sin(w * bi) - jnp.sin(w * ai)) / w
+        sin_int = -(jnp.cos(w * bi) - jnp.cos(w * ai)) / w
+
+        g = np.asarray(grid.mesh)
+        if g[0] < self.a - 1e-12 or g[-1] > self.b + 1e-12:
+            if kind not in ("matern12", "matern32", "matern52"):
+                raise NotImplementedError(
+                    f"FourierFeature.Kvu outside [a, b] needs the Markov "
+                    f"continuation, defined for Matérn kinds only (got {kind!r})"
+                )
+            lam = kernels.lam(kind, p["lengthscale"])
+            # right tail: x = b + r, r ∈ [max(α−b, 0), max(α−b, 0) + h]
+            r0_r = jnp.maximum(al - self.b, 0.0)
+            h_r = jnp.maximum(be - jnp.maximum(al, self.b), 0.0)
+            cos_r, sin_r = self._tail_integrals(kind, lam, om, r0_r, h_r)
+            # left tail: x = a − r, r ∈ [max(a−β, 0), …]; dx = −dr reverses
+            # the limits and the boundary-side sign s = −1 flips sin
+            r0_l = jnp.maximum(self.a - be, 0.0)
+            h_l = jnp.maximum(jnp.minimum(be, self.a) - al, 0.0)
+            cos_l, sin_l = self._tail_integrals(kind, lam, om, r0_l, h_l)
+            col0 = col0 + cos_r[:, :1] + cos_l[:, :1]
+            cos_int = cos_int + cos_r[:, 1:] + cos_l[:, 1:]
+            sin_int = sin_int + sin_r - sin_l
         return jnp.concatenate([col0, cos_int, sin_int], axis=1)
 
 
@@ -1075,6 +1191,11 @@ class CellIntegralFeature(AxisFeature):
             # form cancels with ~(ℓ/δ)² amplification (see the builder doc)
             return _cell_toeplitz_first_row(kind, self.m, self.delta,
                                             p["variance"], p["lengthscale"], dtype)
+        if kind == "rbf":
+            # hybrid GL/closed-form row — the generic erf form cancels with
+            # the same (ℓ/δ)² amplification as the Matérn orders above
+            return _rbf_toeplitz_first_row(self.m, self.delta,
+                                           p["variance"], p["lengthscale"], dtype)
         # uniform mesh: the Gram is Toeplitz; build its first row as
         # Cov[cell_0, cell_k] via the generic compensated cell/cell form
         mesh = self.mesh_j(p)
@@ -1114,8 +1235,15 @@ class CellIntegralFeature(AxisFeature):
         and the on-device Cholesky NaN'd outright — the Poisson-drive
         failure that motivated this hook.) Matérn-1/2 keeps its dedicated
         row and the ops/kms closed-form factorization and needs nothing.
+
+        RBF: with the hybrid GL/erfc row (:func:`_rbf_toeplitz_first_row`,
+        on-TPU entry error ~1e-6 = the f32 transcendental floor) the
+        measured λ_min drift is −2.8e-5 of diagonal scale at ℓ/δ = 50,
+        m = 256 — same magnitude as the Matérn orders, and the true λ_min
+        of the Gaussian cell Gram is ~1e-14 (super-exponential eigendecay),
+        so the floor is load-bearing: give it the same 2e-4 margin.
         """
-        return 2e-4 if kind in ("matern32", "matern52") else 0.0
+        return 2e-4 if kind in ("matern32", "matern52", "rbf") else 0.0
 
     def inv_chol_kuu(self, kind: str, p: Params, rel_jitter: float):
         """Closed-form F⁻¹ of the relative-jittered Kuu Cholesky, or None.

@@ -115,3 +115,88 @@ def sinhmx(x: jnp.ndarray) -> jnp.ndarray:
     series = acc * x2 * xs
     xl = jnp.where(small, 1.0, x)
     return jnp.where(small, series, 0.5 * (expm1mx(xl) - expm1mx(-xl)))
+
+
+# Series coefficients (k−1)/k! for k = 2..19 and (k−1)(k−2)/k! for k = 3..19
+# (exact rationals rounded once to f64), behind the unnormalized lower
+# incomplete gammas γ(2, x) and γ(3, x) below.
+_G2_COEFF = [
+    0.5,                       # (2) 1/2
+    0.3333333333333333,        # (3) 1/3
+    0.125,                     # (4) 1/8
+    0.03333333333333333,       # (5) 1/30
+    0.006944444444444444,      # (6) 1/144
+    0.0011904761904761906,     # (7) 1/840
+    0.00017361111111111112,    # (8) 1/5760
+    2.2045855379188714e-05,    # (9) 1/45360
+    2.48015873015873e-06,      # (10) 1/403200
+    2.505210838544172e-07,     # (11) 1/3991680
+    2.296443268665491e-08,     # (12) 1/43545600
+    1.9270852604185937e-09,    # (13) 1/518918400
+    1.4911969277048643e-10,    # (14) 1/6706022400
+    1.0706029224547743e-11,    # (15) 1/93405312000
+    7.169215998581078e-13,     # (16) 1/1394852659200
+    4.498331606952833e-14,     # (17) 1/22230464256000
+    2.6552651846596585e-15,    # (18) 1/376610217984000
+    1.4797143443923793e-16,    # (19) 1/6758061133824000
+]
+_G3_COEFF = [
+    0.3333333333333333,        # (3) 1/3
+    0.25,                      # (4) 1/4
+    0.1,                       # (5) 1/10
+    0.027777777777777776,      # (6) 1/36
+    0.005952380952380952,      # (7) 1/168
+    0.0010416666666666667,     # (8) 1/960
+    0.00015432098765432098,    # (9) 1/6480
+    1.984126984126984e-05,     # (10) 1/50400
+    2.2546897546897547e-06,    # (11) 1/443520
+    2.296443268665491e-07,     # (12) 1/4354560
+    2.1197937864604532e-08,    # (13) 1/47174400
+    1.789436313245837e-09,     # (14) 1/558835200
+    1.3917837991912066e-10,    # (15) 1/7185024000
+    1.0036902398013508e-11,    # (16) 1/99632332800
+    6.74749741042925e-13,      # (17) 1/1482030950400
+    4.2484242954554536e-14,    # (18) 1/23538138624000
+    2.515514385467045e-15,     # (19) 1/397533007872000
+]
+# f32: terms through k = 12 put the next term below f32 eps relative to
+# γ(2, 1) ≈ 0.264 / γ(3, 1) ≈ 0.160 (same cutoff logic as _N_TERMS_F32).
+_N_G_TERMS_F32 = 11
+
+
+def _gamma_series(x: jnp.ndarray, coeffs, lead: int, sign: float) -> jnp.ndarray:
+    cs = coeffs[:_N_G_TERMS_F32] if x.dtype == jnp.float32 else coeffs
+    t = -x
+    acc = jnp.zeros_like(x) + cs[-1]
+    for c in reversed(cs[:-1]):
+        acc = acc * t + c
+    return sign * acc * t ** lead
+
+
+def gamma2_lower(x: jnp.ndarray) -> jnp.ndarray:
+    """γ(2, x) = 1 − (1 + x)e^{−x}, accurate for all x ≥ 0 (series |x| < 1).
+
+    The x-weighted exponential-tail mass behind the Markov-continuation
+    cell integrals (``features.FourierFeature.Kvu`` outside [a, b]):
+    ∫₀ʰ t·e^{−λt} dt = γ(2, λh)/λ². The direct form cancels like x²/2 for
+    small x (both terms → 1), losing ~2 digits per decade; the series is
+    eps-accurate, and the x ≥ 1 branch is cancellation-free.
+    """
+    small = jnp.abs(x) < 1.0
+    xs = jnp.where(small, x, 0.0)
+    xl = jnp.where(small, 1.0, x)
+    return jnp.where(small, _gamma_series(xs, _G2_COEFF, 2, 1.0),
+                     1.0 - (1.0 + xl) * jnp.exp(-xl))
+
+
+def gamma3_lower(x: jnp.ndarray) -> jnp.ndarray:
+    """γ(3, x) = 2 − (2 + 2x + x²)e^{−x}, accurate for all x ≥ 0.
+
+    ∫₀ʰ t²·e^{−λt} dt = γ(3, λh)/λ³ — the r² tail mass of the Matérn-5/2
+    Markov continuation integrals. Direct evaluation cancels like x³/3.
+    """
+    small = jnp.abs(x) < 1.0
+    xs = jnp.where(small, x, 0.0)
+    xl = jnp.where(small, 1.0, x)
+    return jnp.where(small, _gamma_series(xs, _G3_COEFF, 3, -1.0),
+                     2.0 - (2.0 + (2.0 + xl) * xl) * jnp.exp(-xl))

@@ -178,3 +178,163 @@ def test_q_v_cache_hits_on_equal_grids(data1d):
     q2 = m.q_v((g2,))
     assert len(m._jitted) == n_cached  # content-keyed: no recompile
     np.testing.assert_allclose(np.asarray(q1.mean), np.asarray(q2.mean))
+
+
+# --------------------------------------------------------------------------- #
+# SVGP / Streaming facades (VERDICT r2 next #4)
+# --------------------------------------------------------------------------- #
+
+from vggp_tpu.api import SVGP, Streaming  # noqa: E402
+from vggp_tpu.models import svgp as msvgp  # noqa: E402
+from vggp_tpu import streaming as mstreaming  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def data2d():
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0.0, 1.0, (200, 2)).astype(np.float32)
+    y = (np.sin(4 * X[:, 0]) * np.cos(3 * X[:, 1])
+         + 0.05 * rng.standard_normal(200)).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def test_svgp_facade_matches_functional_core(data2d):
+    X, y = data2d
+    m = SVGP.gridded((8, 8), (0.0, 1.0), num_data=X.shape[0])
+    assert m.spec.variational == "kron"  # ndim>=2 default
+    m.fit(X, y, n_iters=30, batch_size=64, learning_rate=0.05, seed=0)
+
+    # the functional core run with the same seed/params must agree exactly
+    spec = msvgp.SVGPSpec(kinds=("matern12", "matern12"),
+                          features=(CellIntegralFeature.from_lims(8, 0.0, 1.0),
+                                    CellIntegralFeature.from_lims(8, 0.0, 1.0)),
+                          num_data=X.shape[0], variational="kron")
+    p0 = train.non_informative_init(spec.init_params(), X, y)
+    p_ref, _ = train.fit_minibatch(
+        lambda p, xb, yb: msvgp.loss(spec, p, xb, yb),
+        p0, X, y, 30, 64, 0.05, seed=0)
+    np.testing.assert_allclose(np.asarray(m.params["noise"]),
+                               np.asarray(p_ref["noise"]), rtol=1e-6)
+
+    qv = m.q_v()  # defaults to the model's own cell axes
+    qv_ref = msvgp.q_v(spec, p_ref, spec.features, full_cov=False)
+    np.testing.assert_allclose(np.asarray(qv.mean), np.asarray(qv_ref.mean),
+                               rtol=1e-5, atol=1e-7)
+    assert np.all(np.asarray(qv.var) > 0)
+
+    xs = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (7, 2)), jnp.float32)
+    post = m.predict(xs, predictive=True)
+    post_ref = msvgp.posterior_predictive(spec, p_ref, xs)
+    np.testing.assert_allclose(np.asarray(post.mean), np.asarray(post_ref.mean),
+                               rtol=1e-5, atol=1e-7)
+    # data-free heads exist and are finite
+    for g in (m.q_u(), m.p_v_u(), m.prior(xs), m.q_dv(axis=1)):
+        assert np.all(np.isfinite(np.asarray(g.mean)))
+    assert np.isfinite(m.elbo(X, y))
+
+
+def test_svgp_facade_fit_keeps_supplied_params(data2d):
+    X, y = data2d
+    spec = SVGP.gridded((4, 4), (0.0, 1.0), num_data=X.shape[0]).spec
+    p = spec.init_params()
+    p["noise"] = jnp.asarray(123.0, p["noise"].dtype)
+    m = SVGP(spec, params=jax.tree.map(lambda a: a, p))
+    m.fit(X, y, n_iters=1, batch_size=32, learning_rate=0.0)
+    assert float(m.params["noise"]) == pytest.approx(123.0, rel=1e-6)
+    m2 = SVGP(spec).fit(X, y, n_iters=1, batch_size=32, learning_rate=0.0)
+    assert float(m2.params["noise"]) != pytest.approx(123.0, rel=1e-3)
+
+
+def test_svgp_spec_rejected_by_gp_facade():
+    spec = SVGP.gridded((4, 4), (0.0, 1.0), num_data=10).spec
+    with pytest.raises(TypeError, match="api.SVGP"):
+        GP(spec)
+    with pytest.raises(TypeError, match="SVGPSpec"):
+        SVGP(GP.gridded(4, (0.0, 1.0)).spec)
+
+
+def test_streaming_facade_matches_functional_core(data1d):
+    X, y = data1d
+    m = SVGP.gridded(12, (0.0, 1.0), num_data=X.shape[0])
+    assert m.spec.variational == "full"  # 1D default
+    m.non_informative_initialise(X, y)
+
+    s = m.streaming(dtype=jnp.float64)
+    s.assimilate(X[:25], y[:25]).assimilate(X[25:], y[25:])
+    assert s.n_seen == X.shape[0]
+
+    # same chunking as the facade: the f32 per-chunk whitens make chunked vs
+    # one-batch agree only to f32 (covered in test_streaming); facade == core
+    # must be exact
+    state_ref = mstreaming.init_state(m.spec, jnp.float64)
+    state_ref = mstreaming.assimilate(m.spec, m.params, state_ref, X[:25], y[:25])
+    state_ref = mstreaming.assimilate(m.spec, m.params, state_ref, X[25:], y[25:])
+    np.testing.assert_allclose(np.asarray(s.state["lam"]),
+                               np.asarray(state_ref["lam"]), rtol=1e-10, atol=1e-12)
+
+    xs = jnp.linspace(0.0, 1.0, 9)
+    got = s.predict(xs)
+    want = msvgp.posterior(m.spec, mstreaming.to_params(m.spec, m.params, state_ref), xs)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               rtol=1e-6, atol=1e-8)
+
+    # materialize: heads on the returned SVGP agree with the stream's own
+    m2 = s.to_svgp()
+    got2 = m2.predict(xs)
+    np.testing.assert_allclose(np.asarray(got2.mean), np.asarray(got.mean),
+                               rtol=1e-6, atol=1e-8)
+    qv = s.q_v(CellIntegralFeature.from_lims(6, 0.0, 1.0))
+    assert qv.mean.shape == (6,) and np.all(np.asarray(qv.var) > 0)
+
+
+def test_additive_and_sum_facades(data2d):
+    X, y = data2d
+    m = GP.additive((6, 5), (0.0, 1.0)).fit(X, y, n_iters=25, learning_rate=0.05)
+    assert np.isfinite(m.elbo())
+    qv = m.q_v()  # additive: per-axis grids
+    assert np.all(np.isfinite(np.asarray(qv.mean)))
+    qu = m.q_u()
+    assert np.all(np.isfinite(np.asarray(qu.mean)))
+
+    coarse = GP.gridded((4, 4), (0.0, 1.0)).spec
+    fine = GP.gridded((8, 8), (0.0, 1.0))  # GP instances are unwrapped
+    ms = GP.sum([coarse, fine]).fit(X, y, n_iters=20, learning_rate=0.05)
+    assert np.isfinite(ms.elbo())
+    qv = ms.q_v()  # grid defaults to the first component's axes
+    assert qv.mean.shape == (16,) and np.all(np.isfinite(np.asarray(qv.mean)))
+    with pytest.raises(TypeError, match="SGPRSpec"):
+        GP.sum([GP.exact()])
+
+
+def test_multioutput_facade(data2d):
+    X, y = data2d
+    P = 2
+    rng = np.random.default_rng(3)
+    out = rng.integers(0, P, X.shape[0]).astype(np.float32)
+    Xo = jnp.concatenate([X, out[:, None]], axis=1)
+    yo = y + jnp.asarray(0.5 * out)
+    m = GP.multioutput((5, 5), (0.0, 1.0), n_outputs=P, per_output_noise=True)
+    assert m.spec.kinds[-1] == "coregion"
+    m.fit(Xo, yo, n_iters=25, learning_rate=0.05)
+    assert np.isfinite(m.elbo())
+    post = m.predict(Xo[:7])
+    assert np.all(np.isfinite(np.asarray(post.mean)))
+    qv = m.q_v()  # cells x cells x outputs
+    assert qv.mean.shape == (5 * 5 * P,)
+
+
+def test_vff_q_v_on_grid_past_domain(data1d):
+    """VERDICT r2 next #8 end-to-end: the gridded head on a VFF model now
+    covers cells outside the Fourier domain (Markov continuation integrals)."""
+    X, y = data1d
+    m = GP.vff(8, (0.1, 0.9), kinds="matern32").fit(X, y, n_iters=20)
+    grid = CellIntegralFeature.from_lims(10, 0.0, 1.0)  # extends both sides
+    qv = m.q_v(grid)
+    assert qv.mean.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(qv.mean))) and np.all(np.asarray(qv.var) > 0)
+    # the straddling-cell posterior mean must agree with a quadrature-split
+    # grid summed over sub-cells (linearity of the integral functional)
+    sub = CellIntegralFeature(mesh=np.linspace(0.0, 0.1, 6))
+    qv_sub = m.q_v(sub)
+    np.testing.assert_allclose(float(qv.mean[0]), float(np.sum(np.asarray(qv_sub.mean))),
+                               rtol=1e-4, atol=1e-6)

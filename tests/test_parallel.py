@@ -251,3 +251,32 @@ def test_sharded_assimilate_matches_single_device():
     s1h = fnh(streaming.init_state(spec, jnp.float64), xb, yb, nb)
     np.testing.assert_allclose(np.asarray(s0h["lam"]), np.asarray(s1h["lam"]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_qv_matches_unsharded():
+    """make_sharded_qv over the model-sharded state == plain q_v on the same
+    (constrained) params — train and serve share one placement."""
+    from vggp_tpu.parallel import make_sharded_qv
+
+    spec, X, y = _spec_and_data(m1=8, m2=8)
+    params = train.non_informative_init(spec.init_params(jnp.float64), X, y)
+    opt = optax.adam(0.05)
+    mesh = make_mesh(("data", "model1", "model2"), (2, 2, 2))
+    init_fn, step_fn = make_sharded_svgp_step(
+        spec, opt, mesh, model_axes=("model1", "model2"))
+    raw, st = init_fn(params)
+    xb, yb = shard_batch(X, y, mesh)
+    for _ in range(3):
+        raw, st, _ = step_fn(raw, st, xb, yb)
+
+    grids = (CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    got = make_sharded_qv(spec, mesh, grids)(raw)
+    host_raw = jax.tree.map(np.asarray, raw)
+    want = svgp.q_v(spec, train.constrain(jax.tree.map(jnp.asarray, host_raw)),
+                    grids, full_cov=False)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
+                               rtol=1e-10, atol=1e-12)
+    assert np.all(np.asarray(got.var) > 0)

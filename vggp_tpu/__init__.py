@@ -36,4 +36,4 @@ __version__ = "0.1.0"
 from vggp_tpu import kernels, ops, features, models, train, utils, parallel, data  # noqa: F401,E402
 from vggp_tpu import basis, hyperpost, likelihoods, sampling, streaming  # noqa: F401,E402
 from vggp_tpu import api  # noqa: F401,E402
-from vggp_tpu.api import GP  # noqa: F401,E402
+from vggp_tpu.api import GP, SVGP, Streaming  # noqa: F401,E402

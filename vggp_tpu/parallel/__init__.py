@@ -15,13 +15,14 @@ psum/all-gather (scaling-book recipe).
 
 from vggp_tpu.parallel.mesh import make_mesh, data_model_mesh
 from vggp_tpu.parallel.dp import (make_sharded_svgp_step, make_sharded_assimilate,
-                                  shard_params, shard_batch)
+                                  make_sharded_qv, shard_params, shard_batch)
 
 __all__ = [
     "make_mesh",
     "data_model_mesh",
     "make_sharded_svgp_step",
     "make_sharded_assimilate",
+    "make_sharded_qv",
     "shard_params",
     "shard_batch",
 ]

@@ -117,6 +117,30 @@ def make_sharded_svgp_step(
     return init_fn, step_fn
 
 
+def make_sharded_qv(
+    spec: svgp.SVGPSpec,
+    mesh: Mesh,
+    grid_axes,
+    full_cov: bool = False,
+):
+    """Jitted gridded-prediction head over the sharded variational state.
+
+    ``fn(raw_params) -> Gaussian`` consumes the raw parameter pytree exactly
+    as :func:`make_sharded_svgp_step` leaves it (μ / raw_L_i model-sharded);
+    the per-axis whitens become GSPMD collective matmuls and the (small)
+    grid posterior is returned replicated, so training and serving share one
+    placement — no host gather of the inducing state in between.
+    """
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def qv_fn(raw):
+        q = svgp.q_v(spec, vtrain.constrain(raw), grid_axes, full_cov=full_cov)
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), q)
+
+    return qv_fn
+
+
 def make_sharded_assimilate(
     spec: svgp.SVGPSpec,
     params: Dict,

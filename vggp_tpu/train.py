@@ -83,6 +83,20 @@ def non_informative_init(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
         X = X[:, None]
     y = jnp.reshape(y, (-1,))
     yvar = jnp.var(y)
+    if "components" in params:  # sum-of-kernels: init every component's axes
+        out = dict(params)
+        out["components"] = tuple(
+            {**cp, "axes": non_informative_init(
+                {"axes": cp["axes"], "noise": params["noise"]},
+                X, y, lmbda=lmbda, kappa=kappa)["axes"]}
+            for cp in params["components"])
+        out["noise"] = jnp.broadcast_to(
+            (yvar / (kappa**2)).astype(params["noise"].dtype),
+            params["noise"].shape)
+        if "mean" in params:
+            out["mean"] = jnp.broadcast_to(
+                jnp.mean(y).astype(params["mean"].dtype), params["mean"].shape)
+        return out
     axes = []
     for i, p in enumerate(params["axes"]):
         q = dict(p)

@@ -69,8 +69,11 @@ def smoke() -> dict:
     g = CellIntegralFeature.from_lims(128, 0.0, 1.0)
     x = jnp.asarray(np.linspace(0.013, 0.987, 256), jnp.float32)
 
+    # Goldens MUST be measured with traced arguments: a zero-argument jitted
+    # thunk lets XLA constant-fold the whole graph on the host, and the
+    # recorded "TPU" numerics are fake (CLAUDE.md).
     @jax.jit
-    def covs():
+    def covs(p, x):
         rows = {kind: g.kuu_first_row(kind, p)
                 for kind in ("matern12", "matern32", "matern52", "rbf")}
         kuf_pallas = g.Kuf("matern12", p, x)          # Pallas on TPU (m,n ≥ mins)
@@ -82,7 +85,7 @@ def smoke() -> dict:
         return rows, kuf_pallas, kuf_ref, r
 
     @jax.jit
-    def fused_check():
+    def fused_check(p, x):
         # fused Kuf→banded-whiten kernel (m = 256: two 128-bands) vs the
         # dense on-device apply of the jnp-reference Kuf — catches Mosaic
         # lowering regressions in the fused kernel that CPU interpret mode
@@ -106,8 +109,8 @@ def smoke() -> dict:
         return (jnp.max(jnp.abs(a_f - a_d)) / scale,
                 jnp.max(jnp.abs(t_f - t_d)) / tscale)
 
-    rows, kuf_pallas, kuf_ref, r_vec = jax.device_get(covs())
-    fused_a_err, fused_t_err = jax.device_get(fused_check())
+    rows, kuf_pallas, kuf_ref, r_vec = jax.device_get(covs(p, x))
+    fused_a_err, fused_t_err = jax.device_get(fused_check(p, x))
     checks = {
         "m12_row_err": float(np.abs(rows["matern12"][:4] - _GOLD_M12_ROW4).max()
                              / np.abs(_GOLD_M12_ROW4).max()),

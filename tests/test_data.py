@@ -121,3 +121,63 @@ def test_grid_integrators_reject_degenerate_cells():
     field = np.ones((10, 10))
     with pytest.raises(ValueError, match="cells"):
         trapz_grid_2d(field, xs, xs, 12)
+
+
+class _FakeVar:
+    def __init__(self, values):
+        self.values = np.asarray(values)
+
+
+class _FakeDataset:
+    """Duck-typed stand-in for the slice of the xarray.Dataset API that
+    dataset_to_record touches (coords/data_vars/__contains__/__getitem__)."""
+
+    def __init__(self, coords, data_vars):
+        self.coords = {k: _FakeVar(v) for k, v in coords.items()}
+        self.data_vars = {k: _FakeVar(v) for k, v in data_vars.items()}
+
+    def __contains__(self, k):
+        return k in self.coords or k in self.data_vars
+
+    def __getitem__(self, k):
+        return self.coords.get(k) or self.data_vars[k]
+
+
+def test_dataset_to_record_ignores_higher_dim_ancillaries():
+    """A >1-D ancillary variable (e.g. an (n, 2) QC matrix) must not poison
+    the track-length vote and drop the real 1-D along-track variables
+    (regression: max-raveled-length selection kept ONLY the 2-D variable)."""
+    from vggp_tpu.data.missions import dataset_to_record
+
+    n = 5
+    ds = _FakeDataset(
+        coords={"time": np.arange(n)},
+        data_vars={
+            "longitude": np.linspace(-60, -59, n),
+            "latitude": np.linspace(38, 39, n),
+            "sla_filtered": np.ones(n),
+            "qc_matrix": np.zeros((n, 2)),      # 2-D ancillary
+            "scalar_flag": np.asarray(3.0),     # 0-D ancillary
+        },
+    )
+    rec = dataset_to_record(ds)
+    assert sorted(rec) == ["latitude", "longitude", "sla_filtered", "time"]
+    assert all(v.shape == (n,) for v in rec.values())
+
+
+def test_dataset_to_record_anchors_length_on_time():
+    """A mismatched-length 1-D variable is dropped; the along-track length is
+    the time axis's, not whichever variable happens to be longest."""
+    from vggp_tpu.data.missions import dataset_to_record
+
+    ds = _FakeDataset(
+        coords={"time": np.arange(4)},
+        data_vars={
+            "longitude": np.zeros(4),
+            "latitude": np.zeros(4),
+            "sla_filtered": np.ones(4),
+            "bounds_1d": np.zeros(9),           # longer non-track 1-D var
+        },
+    )
+    rec = dataset_to_record(ds)
+    assert sorted(rec) == ["latitude", "longitude", "sla_filtered", "time"]

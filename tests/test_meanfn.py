@@ -150,6 +150,55 @@ def test_svgp_fixed_mean_elbo_identity_and_posterior_shift():
                                rtol=1e-9, atol=1e-12)
 
 
+def test_p_v_u_heads_add_grid_mean():
+    """p(v|u) is a head over v = ∫_cell f, so like q_v it must carry the
+    learned mean's exact cell integral (regression: p_v_u used to return the
+    residual-process conditional, off by −c·|cell| per cell)."""
+    from vggp_tpu.models import sum as msum
+
+    X, y = _data_1d()
+    c = 0.9
+    feat = CellIntegralFeature(mesh=np.linspace(0, 1, 11))
+    cell = c / 10.0
+
+    spec_m = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,),
+                           learn_mean=True)
+    spec_0 = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,))
+    pm = spec_m.init_params(jnp.float64)
+    pm["mean"] = jnp.asarray(c)
+    p0 = {"axes": pm["axes"], "noise": pm["noise"]}
+    gm = sgpr.p_v_u(spec_m, pm, X, y, (feat,))
+    g0 = sgpr.p_v_u(spec_0, p0, X, y - c, (feat,))
+    np.testing.assert_allclose(np.asarray(gm.mean),
+                               np.asarray(g0.mean) + cell, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gm.cov), np.asarray(g0.cov),
+                               rtol=1e-12)
+
+    vspec_m = svgp.SVGPSpec(kinds=("matern32",), features=(feat,),
+                            num_data=60, variational="full", learn_mean=True)
+    vspec_0 = svgp.SVGPSpec(kinds=("matern32",), features=(feat,),
+                            num_data=60, variational="full")
+    vm = vspec_m.init_params(jnp.float64)
+    vm["mean"] = jnp.asarray(c)
+    v0 = {k: v for k, v in vm.items() if k != "mean"}
+    hm = svgp.p_v_u(vspec_m, vm, (feat,))
+    h0 = svgp.p_v_u(vspec_0, v0, (feat,))
+    np.testing.assert_allclose(np.asarray(hm.mean),
+                               np.asarray(h0.mean) + cell,
+                               rtol=1e-9, atol=1e-12)
+
+    comp = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,))
+    sspec_m = msum.SumSGPRSpec(components=(comp,), learn_mean=True)
+    sspec_0 = msum.SumSGPRSpec(components=(comp,))
+    sm = sspec_m.init_params(jnp.float64)
+    sm["mean"] = jnp.asarray(c)
+    s0 = {k: v for k, v in sm.items() if k != "mean"}
+    km = msum.p_v_u(sspec_m, sm, X, y, (feat,))
+    k0 = msum.p_v_u(sspec_0, s0, X, y - c, (feat,))
+    np.testing.assert_allclose(np.asarray(km.mean),
+                               np.asarray(k0.mean) + cell, rtol=1e-9)
+
+
 def test_icm_learned_means_recover_offsets_and_sharpen_correlation():
     X, y, task = _data_icm()
     feat = CellIntegralFeature(mesh=np.linspace(0, 1, 13))

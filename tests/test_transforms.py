@@ -126,6 +126,29 @@ def test_time_mean_skips_nan():
     np.testing.assert_allclose(out, [[2.0, 6.0], [2.0, 6.0]])
 
 
+def test_pooled_time_mean_weights_by_time_steps_not_files():
+    """Window mean must equal xarray's pooled mean(dim="time") over ALL
+    snapshots, even when per-file time-step counts differ or some steps are
+    NaN — a mean of per-file daily means is wrong in exactly those cases."""
+    rng = np.random.default_rng(0)
+    f1 = rng.standard_normal((5, 3, 4))   # 5 hourly steps
+    f2 = rng.standard_normal((2, 3, 4))   # short day: 2 steps
+    f2[0, 1, 1] = np.nan                  # partially-NaN pixel
+    f3 = rng.standard_normal((3, 4))      # single-snapshot file (no time dim)
+    pairs = [tr.field_sum_count(f1, 0), tr.field_sum_count(f2, 0),
+             tr.field_sum_count(f3, None)]
+    out = tr.pooled_time_mean([s for s, _ in pairs], [c for _, c in pairs])
+    truth = np.nanmean(np.concatenate([f1, f2, f3[None]], axis=0), axis=0)
+    np.testing.assert_allclose(out, truth, rtol=1e-12)
+    # mean-of-means is measurably different on this input
+    mom = tr.time_mean([np.nanmean(f1, 0), np.nanmean(f2, 0), f3])
+    assert np.abs(mom - truth).max() > 1e-3
+    # all-NaN pixel stays NaN
+    g = np.full((2, 2, 2), np.nan)
+    s, c = tr.field_sum_count(g, 0)
+    assert np.isnan(tr.pooled_time_mean([s], [c])).all()
+
+
 # --------------------------------------------------------------------------- #
 # Full mission pipeline with fake month readers (no xarray, no files)
 # --------------------------------------------------------------------------- #

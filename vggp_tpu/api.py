@@ -462,11 +462,14 @@ class SVGP:
                     n_outputs: int, num_data: int,
                     kinds: Union[str, Sequence[str]] = "matern12",
                     ndim: Optional[int] = None, per_output_noise: bool = False,
-                    learn_mean: bool = True, **spec_kwargs) -> "SVGP":
+                    learn_mean: bool = True, variational: str = "kron",
+                    **spec_kwargs) -> "SVGP":
         """Multi-output ICM SVGP: continuous cell axes + a coregion axis; the
-        output index is the LAST column of X. Prefer collapsed
-        :meth:`GP.multioutput` at small n — an undertrained Kronecker S is
-        measurably overconfident there (CLAUDE.md)."""
+        output index is the LAST column of X. ``variational`` defaults to the
+        Kronecker family; pass ``"full"`` for a natgrad-trainable / streamable
+        model. Prefer collapsed :meth:`GP.multioutput` at small n — an
+        undertrained Kronecker S is measurably overconfident there
+        (CLAUDE.md)."""
         ndim = _infer_ndim(n_cells, lims, kinds, ndim)
         lims_ax = _lims_per_axis(lims, ndim)
         cells = _counts_per_axis(n_cells, ndim, "n_cells")
@@ -475,7 +478,7 @@ class SVGP:
         return cls(msvgp.SVGPSpec(
             kinds=_kinds(kinds, ndim) + ("coregion",),
             features=feats + (OutputFeature(n_outputs=int(n_outputs)),),
-            num_data=int(num_data), variational="kron",
+            num_data=int(num_data), variational=variational,
             per_output_noise=per_output_noise, learn_mean=learn_mean,
             **spec_kwargs))
 
@@ -655,6 +658,11 @@ class Streaming:
             nb = None if noise is None else jnp.asarray(noise)
             self.state = fn(self.params, self.state, X, y, nb)
         else:
+            if noise is not None:
+                raise ValueError(
+                    "per-point noise is a Gaussian-likelihood concept; the "
+                    "CVI site update for a non-conjugate spec takes no noise "
+                    "argument (it would be silently ignored)")
             fn = self._get(("assim_cvi", gamma), lambda s: jax.jit(
                 lambda p, state, xb, yb: st.assimilate_natgrad(s, p, state, xb, yb,
                                                                gamma=gamma)))

@@ -28,9 +28,10 @@ import numpy as np
 
 from vggp_tpu.data.simulation import generate_track, sim_file_name, synthetic_ssh_field
 from vggp_tpu.data.transforms import (
+    field_sum_count,
     finite_rows,
+    pooled_time_mean,
     select_time_window,
-    time_mean,
     window_bounds,
     window_dates,
     wrap_longitude,
@@ -166,29 +167,34 @@ class GulfStream(_GulfStreamAPI):
         return select_time_window(rec, start, end)
 
     def _load_ref_data(self):
-        """(fields, lons, lats): per-day NATL60 SSH snapshots over the window.
-
-        File enumeration comes from pure :func:`transforms.window_dates`
-        (reference ``dataloaders.py:438-459``); xarray only opens files.
+        """((sums, counts), lons, lats): per-file NaN-skipping per-pixel time
+        sums and finite counts over the window, so the final field is the
+        POOLED ``mean(dim="time")`` of the reference (``dataloaders.py:456``)
+        — a mean of per-file daily means would diverge whenever files carry
+        unequal (or partially-NaN) time-step counts. File enumeration comes
+        from pure :func:`transforms.window_dates` (reference
+        ``dataloaders.py:438-459``); xarray only opens files.
         """
         xr = _require_xarray()
-        fields, lons, lats = [], None, None
+        sums, counts, lons, lats = [], [], None, None
         for y, m, d in window_dates(self.year_frame, self.month_frame, self.day_frame):
             path = os.path.join(self.ref_root_folder, sim_file_name(y, m, d))
             if not os.path.exists(path):
                 continue
             with xr.open_dataset(path) as ds:
-                # mean over the file's own hours first keeps memory flat
-                fields.append(np.asarray(ds.sossheig.mean(dim="time").values)
-                              if "time" in ds.sossheig.dims
-                              else np.asarray(ds.sossheig.values))
+                dims = ds.sossheig.dims
+                taxis = dims.index("time") if "time" in dims else None
+                # per-file (sum, count) keeps memory flat per file
+                s, c = field_sum_count(np.asarray(ds.sossheig.values), taxis)
+                sums.append(s)
+                counts.append(c)
                 if lons is None:
                     lons = np.asarray(ds.lon.values)
                     lats = np.asarray(ds.lat.values)
-        if not fields:
+        if not sums:
             raise FileNotFoundError(
                 f"no NATL60 files for window in {self.ref_root_folder}")
-        return fields, lons, lats
+        return (sums, counts), lons, lats
 
     def _obs(self):
         rec = dict(self.obs_data)
@@ -197,8 +203,8 @@ class GulfStream(_GulfStreamAPI):
         return rec["lon"], rec["lat"], rec["ssh"]
 
     def _ref_field(self):
-        fields, lons, lats = self.ref_data
-        return time_mean(fields), lons, lats
+        (sums, counts), lons, lats = self.ref_data
+        return pooled_time_mean(sums, counts), lons, lats
 
 
 class SyntheticGulfStream(_GulfStreamAPI):

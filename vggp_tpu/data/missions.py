@@ -54,14 +54,26 @@ def dataset_to_record(ds) -> Record:
     """
     rec = {}
     if "time" in ds.coords:
-        rec["time"] = np.asarray(ds["time"].values).ravel()
+        vals = np.asarray(ds["time"].values)
+        if vals.ndim == 1:
+            rec["time"] = vals
     for name in ("longitude", "latitude", *ds.data_vars):
         if name in rec or name not in ds:
             continue
-        vals = np.asarray(ds[name].values).ravel()
+        vals = np.asarray(ds[name].values)
+        if vals.ndim != 1:
+            # >1-D ancillary variables (QC matrices etc.) are not
+            # along-track; raveling one would poison the length vote below.
+            continue
         rec[name] = vals
-    # drop anything not aligned with the track axis (scalar QC vars etc.)
-    n = max((v.shape[0] for v in rec.values()), default=0)
+    # drop anything not aligned with the track axis (scalar QC vars etc.);
+    # the track length is anchored on time/longitude when present.
+    for anchor in ("time", "longitude"):
+        if anchor in rec:
+            n = rec[anchor].shape[0]
+            break
+    else:
+        n = max((v.shape[0] for v in rec.values()), default=0)
     return {k: v for k, v in rec.items() if v.shape[0] == n}
 
 
@@ -81,9 +93,10 @@ def netcdf_month_reader(mission_folder: str) -> Callable[[str, str], Iterable[Re
         for path in files:
             try:
                 with xr.open_dataset(path) as ds:
-                    yield dataset_to_record(ds)
-            except (OSError, ValueError):
+                    rec = dataset_to_record(ds)
+            except Exception:  # noqa: BLE001 - reference skips any bad file
                 continue
+            yield rec
 
     return read_month
 

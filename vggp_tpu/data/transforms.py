@@ -12,7 +12,7 @@ pipeline is exercised by in-repo fake records.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -197,6 +197,33 @@ def time_mean(fields: Iterable[np.ndarray]) -> np.ndarray:
     NaN by default, so land/gap cells don't poison the window average)."""
     stack = np.stack([np.asarray(f) for f in fields])
     return np.nanmean(stack, axis=0)
+
+
+def field_sum_count(arr: np.ndarray, time_axis: Optional[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-pixel (NaN-skipping sum, finite count) of one file's snapshots.
+
+    ``time_axis`` is the position of the time dimension, or ``None`` for a
+    single 2-D snapshot. Accumulating these per file and dividing once
+    (:func:`pooled_time_mean`) reproduces the reference's POOLED
+    ``mean(dim="time")`` over a whole window (``dataloaders.py:450-456``)
+    while keeping memory flat — unlike a mean of per-file means, which
+    diverges whenever files carry unequal (or partially-NaN) time-step
+    counts."""
+    arr = np.asarray(arr, dtype=np.float64)
+    finite = np.isfinite(arr)
+    if time_axis is None:
+        return np.where(finite, arr, 0.0), finite.astype(np.int64)
+    return (np.where(finite, arr, 0.0).sum(axis=time_axis),
+            finite.sum(axis=time_axis))
+
+
+def pooled_time_mean(sums: Iterable[np.ndarray], counts: Iterable[np.ndarray]) -> np.ndarray:
+    """Equal-weight-per-TIME-STEP mean from per-file (sum, count) pairs;
+    pixels with no finite sample in the window are NaN (xarray semantics)."""
+    total = np.sum(np.stack([np.asarray(s) for s in sums]), axis=0)
+    n = np.sum(np.stack([np.asarray(c) for c in counts]), axis=0)
+    with np.errstate(invalid="ignore"):
+        return np.where(n > 0, total / np.maximum(n, 1), np.nan)
 
 
 # --------------------------------------------------------------------------- #

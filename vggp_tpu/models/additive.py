@@ -317,4 +317,5 @@ def p_v_u(
     # mean = Kvu Kuu⁻¹ m_u with m_u = L L_B⁻ᵀ c  →  R L_B⁻ᵀ c
     mean = tri_solve(LB, R.T).T @ c
     kvv = _kvv_dense(kvv1, kvv2, G1, G2)
-    return Gaussian(mean=mean, cov=kvv - R @ R.T)
+    g = Gaussian(mean=mean, cov=kvv - R @ R.T)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))

@@ -184,7 +184,8 @@ def p_v_u(
     R = chol.whiten(kvu.T).T                  # Kvu F⁻ᵀ  (g, m)
     mean = tri_solve(LB, R.T).T @ c           # Kvu Kuu⁻¹ m_u = R F_B⁻ᵀ c
     kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
-    return Gaussian(mean=mean, cov=kvv - R @ R.T)
+    g = Gaussian(mean=mean, cov=kvv - R @ R.T)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 @common.highest_precision

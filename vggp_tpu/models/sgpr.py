@@ -303,7 +303,11 @@ def p_v_u(
     y: jnp.ndarray,
     grid_axes: Sequence[CellIntegralFeature],
 ) -> Gaussian:
-    """p(v | u = E_q[u]) (reference ``gridded_univariate_structure.py:462-473``)."""
+    """p(v | u = E_q[u]) (reference ``gridded_univariate_structure.py:462-473``).
+
+    Like :func:`q_v`, v = ∫_cell f includes the learned mean function, so the
+    head adds ``grid_mean`` back (training conditions on the residual).
+    """
     chols, A, LB, c, y = _factored_state(spec, params, X, y)
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
     r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
@@ -312,4 +316,5 @@ def p_v_u(
     mean = tri_solve(LB, R.T).T @ c
     kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
     cov = kvv - R @ R.T
-    return Gaussian(mean=mean, cov=cov)
+    g = Gaussian(mean=mean, cov=cov)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))

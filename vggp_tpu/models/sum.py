@@ -321,7 +321,8 @@ def p_v_u(spec: SumSGPRSpec, params: Params, X, y,
         kq = kron_dense(common.grid_kvv(comp, _comp_params(params, q),
                                         grid_axes, dense=False))
         kvv = kq if kvv is None else kvv + kq
-    return Gaussian(mean=mean, cov=kvv - R @ R.T)
+    g = Gaussian(mean=mean, cov=kvv - R @ R.T)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 @common.highest_precision

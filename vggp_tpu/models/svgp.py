@@ -470,7 +470,9 @@ def p_v_u(
     spec: SVGPSpec, params: Params, grid_axes: Sequence[CellIntegralFeature]
 ) -> Gaussian:
     """p(v | u = E_q[u]): conditional of the cell integrals on the mean
-    inducing state (reference ``gridded_univariate_structure.py:462-473``)."""
+    inducing state (reference ``gridded_univariate_structure.py:462-473``).
+    Adds the learned mean's cell integral back, consistently with
+    :func:`q_v` (v = ∫_cell f includes the mean function)."""
     chols = common.axis_chol_kuu(spec, params)
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
     r_blocks = tuple(chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
@@ -483,7 +485,8 @@ def p_v_u(
         mean = _kron_contract(q["mu"], r_blocks, out="grid")
         RR = kron_dense([R @ R.T for R in r_blocks])
     kvv = common.grid_kvv(spec, params, grid_axes, dense=True)
-    return Gaussian(mean=mean, cov=kvv - RR)
+    g = Gaussian(mean=mean, cov=kvv - RR)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
 
 
 def _grid_gaussian(spec: SVGPSpec, params: Params, r_blocks, kvv_blocks,

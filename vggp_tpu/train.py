@@ -548,10 +548,19 @@ def load_checkpoint(path: str, step: int = 0, like: Optional[Dict] = None) -> Di
 
     ckptr = ocp.PyTreeCheckpointer()
     target = os.path.join(os.path.abspath(path), str(step))
+    # Fall back to the legacy item= API only when the modern API-SHAPE itself
+    # is unavailable — a genuine restore failure (e.g. pytree-structure
+    # mismatch against ``like``) must surface as-is, not be retried and
+    # masked behind an unrelated "unexpected keyword 'item'" error.
     try:
-        # modern orbax (>= 0.5): item= was removed in favor of ocp.args
-        return ckptr.restore(target, args=ocp.args.PyTreeRestore(item=like))
-    except (AttributeError, TypeError):  # pragma: no cover - old orbax
+        restore_args = ocp.args.PyTreeRestore(item=like)
+    except AttributeError:  # pragma: no cover - orbax < 0.5: no ocp.args
+        return ckptr.restore(target, item=like)
+    try:
+        return ckptr.restore(target, args=restore_args)
+    except TypeError as e:  # pragma: no cover - old orbax restore signature
+        if "args" not in str(e):
+            raise
         return ckptr.restore(target, item=like)
 
 

@@ -30,3 +30,40 @@ def rng():
 def pytest_sessionstart(session):
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
+
+
+# --- Test tiering -----------------------------------------------------------
+#
+# The full suite is ~45-50 min on this 1-CPU box (dominated by jit compiles of
+# the larger oracle fits). `-m quick` selects a < 5 min subset that still
+# touches every test module; `-m slow` is the complement. Membership is
+# keyed per test *function* (parametrizations stay together) from measured
+# `--durations=0` data — regenerate with tools/tier_tests.py after adding
+# expensive tests.
+#
+#   python -m pytest tests/ -m quick -q    # iteration loop (< 5 min)
+#   python -m pytest tests/ -x -q          # full suite (CI cadence)
+
+from pathlib import Path  # noqa: E402
+
+_SLOW_FILE = Path(__file__).with_name("slow_tests.txt")
+SLOW_TESTS = frozenset(
+    line.strip()
+    for line in _SLOW_FILE.read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+) if _SLOW_FILE.exists() else frozenset()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (excluded from -m quick)")
+    config.addinivalue_line("markers", "quick: fast iteration subset (complement of slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name.split("[")[0]
+        key = f"{Path(str(item.fspath)).name}::{name}"
+        if key in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)

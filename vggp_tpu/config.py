@@ -72,6 +72,16 @@ STRUCTURED_FINV: bool = True
 # fused_whiten_{a,t}_err). May win at larger m or on HBM-poorer parts.
 FUSED_WHITEN_KUF: bool = False
 
+# Toeplitz circulant matvec FFT backend (ops.toeplitz.sym_toeplitz_matvec):
+# "auto" uses jnp.fft.rfft on CPU/GPU and the complex-free (re, im)-pair
+# radix-2 FFT (ops.realfft) on any "tpu" backend — the axon remote-TPU
+# plugin identifies as plain "tpu" (default_backend/platform/device all say
+# so) yet implements no complex64 ops (even rfft raises UNIMPLEMENTED), so
+# platform sniffing cannot tell it from a real TPU; the pair FFT is correct
+# on both. True forces the real-pair path everywhere (A/B + CPU testing);
+# False forces rfft.
+REAL_FFT_TOEPLITZ: bool | str = "auto"
+
 # Route large structured-covariance constructions through the Pallas TPU
 # kernels (vggp_tpu.ops.pallas_kernels). Off-TPU the jnp reference
 # implementations are used regardless (interpret-mode Pallas is for tests).

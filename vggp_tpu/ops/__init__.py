@@ -19,6 +19,12 @@ from vggp_tpu.ops.chol import (
     PSDFactor,
 )
 from vggp_tpu.ops.toeplitz import sym_toeplitz_dense, sym_toeplitz_matvec
+from vggp_tpu.ops.realfft import (
+    circulant_matvec,
+    fft_pair,
+    ifft_pair,
+    sym_toeplitz_matvec_real,
+)
 from vggp_tpu.ops.kron import (
     kron_dense,
     kron_matvec,
@@ -48,6 +54,10 @@ __all__ = [
     "logdet_from_chol",
     "sym_toeplitz_dense",
     "sym_toeplitz_matvec",
+    "sym_toeplitz_matvec_real",
+    "fft_pair",
+    "ifft_pair",
+    "circulant_matvec",
     "kron_dense",
     "kron_matvec",
     "khatri_rao_rows",

@@ -13,6 +13,7 @@ The reference builds dense Toeplitz matrices through
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,7 +40,22 @@ def sym_toeplitz_matvec(first_row: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Matvec T @ v via circulant embedding + FFT, O(m log m).
 
     ``v`` may be (m,) or (m, k); the product is applied down the first axis.
+
+    Backend dispatch: ``jnp.fft.rfft`` where the backend lowers complex ops
+    natively (CPU, GPU); the complex-free (re, im)-pair radix-2 FFT
+    (:mod:`vggp_tpu.ops.realfft`) on ANY tpu backend — the axon remote-TPU
+    plugin identifies as plain "tpu" yet implements no complex64 ops at all
+    (rfft raises UNIMPLEMENTED), and the pair FFT is correct (and
+    layout-op/VPU-friendly) on real TPU runtimes too.
+    See ``config.REAL_FFT_TOEPLITZ``.
     """
+    from vggp_tpu import config
+
+    mode = config.REAL_FFT_TOEPLITZ
+    if mode is True or (mode == "auto" and jax.default_backend() == "tpu"):
+        from vggp_tpu.ops.realfft import sym_toeplitz_matvec_real
+
+        return sym_toeplitz_matvec_real(first_row, v)
     m = first_row.shape[0]
     # circulant embedding of length 2m: [r0, r1, ..., r_{m-1}, 0, r_{m-1}, ..., r1]
     c = jnp.concatenate(

@@ -131,3 +131,64 @@ def test_cg_f32_default_tol_terminates_early():
         np.asarray(x), np.linalg.solve(np.asarray(A, np.float64),
                                        np.asarray(b, np.float64)),
         rtol=2e-3, atol=2e-4)
+
+
+def test_2d_kron_cg_matches_dense_pipeline():
+    """ndim=2: the kron-structured CG means must equal the dense collapsed
+    pipeline (posterior mean AND gridded product mean) — the joint (m, n)
+    Khatri-Rao block and the (m, m) B are never materialized."""
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.random((90, 2)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.05 * rng.standard_normal(90))
+    feats = (features.CellIntegralFeature.from_lims(12, 0.0, 1.0),
+             features.B1SplineFeature(np.linspace(0.0, 1.0, 11)))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats,
+                         jitter=1e-12)
+    p = {"axes": (dict(P), dict(P)), "noise": jnp.asarray(0.02)}
+    grids = (features.CellIntegralFeature.from_lims(6, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(5, 0.0, 1.0))
+    want_qv = np.asarray(sgpr.q_v(spec, p, X, y, grids, full_cov=False).mean)
+    got_qv = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-12,
+                                              maxiter=3000))
+    np.testing.assert_allclose(got_qv, want_qv, rtol=1e-6, atol=1e-9)
+    xs = jnp.asarray(rng.random((17, 2)))
+    want_f = np.asarray(sgpr.posterior(spec, p, X, y, xs, full_cov=False).mean)
+    got_f = np.asarray(iterative.posterior_mean_cg(spec, p, X, y, xs,
+                                                   tol=1e-12, maxiter=3000))
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-9)
+
+
+def test_2d_cg_scales_past_dense_range():
+    """m = 256x256 = 65536 inducing cells: dense B would be 65536² (34 GB);
+    the matrix-free path runs and its gridded means track the field."""
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(rng.random((200, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0]))
+                    * np.cos(3 * np.asarray(X[:, 1]))
+                    + 0.02 * rng.standard_normal(200))
+    feats = (features.CellIntegralFeature.from_lims(256, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(256, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats)
+    p = {"axes": (dict(P), dict(P)), "noise": jnp.asarray(0.05)}
+    grids = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(8, 0.0, 1.0))
+    mean = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-8,
+                                            maxiter=2000))
+    assert mean.shape == (64,)
+    assert np.all(np.isfinite(mean))
+    i1 = np.array([(np.cos(4 * a) - np.cos(4 * b)) / 4.0
+                   for a, b in zip(grids[0].mesh[:-1], grids[0].mesh[1:])])
+    i2 = np.array([(np.sin(3 * b) - np.sin(3 * a)) / 3.0
+                   for a, b in zip(grids[1].mesh[:-1], grids[1].mesh[1:])])
+    truth = np.kron(i1, i2)
+    assert np.corrcoef(mean, truth)[0, 1] > 0.98
+
+
+def test_iterative_rejects_coregion():
+    feats = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),
+             features.OutputFeature(n_outputs=2))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "coregion"), features=feats)
+    p = spec.init_params(jnp.float64)
+    with pytest.raises(ValueError, match="coregion"):
+        iterative.solve_w(spec, p, jnp.zeros((4, 2)), jnp.zeros(4))

@@ -364,3 +364,81 @@ def test_vff_q_v_on_grid_past_domain(data1d):
     qv_sub = m.q_v(sub)
     np.testing.assert_allclose(float(qv.mean[0]), float(np.sum(np.asarray(qv_sub.mean))),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_free_z_facade_matches_functional_core(data1d):
+    """GP.free_z (the reference's nb61 Z-sweep model) delegates 1:1 to
+    models.freesvgp, including the grid heads with explicit grid_axes."""
+    from vggp_tpu.models import freesvgp
+
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.random((60, 2)), jnp.float32)
+    y = jnp.asarray((np.sin(5 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                     + 0.05 * rng.standard_normal(60)), jnp.float32)
+    m = GP.free_z(12, ((0.0, 1.0), (0.0, 1.0)), kinds="matern32", seed=4)
+    assert isinstance(m.spec, freesvgp.FreeSVGPSpec)
+    assert m.params["z"].shape == (12, 2)
+    m.fit(X, y, n_iters=30, learning_rate=0.05)
+
+    spec, p = m.spec, m.params
+    xs = jnp.asarray(rng.random((9, 2)), jnp.float32)
+    want = freesvgp.posterior(spec, p, X, y, xs, full_cov=False)
+    got = m.predict(xs)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
+                               rtol=1e-4, atol=1e-6)
+
+    grids = (CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    want_qv = freesvgp.q_v(spec, p, X, y, grids, full_cov=False)
+    got_qv = m.q_v(grid_axes=grids)
+    np.testing.assert_allclose(np.asarray(got_qv.mean), np.asarray(want_qv.mean),
+                               rtol=1e-5, atol=1e-6)
+    got_qu = m.q_u()
+    want_qu = freesvgp.q_u(spec, p, X, y)
+    np.testing.assert_allclose(np.asarray(got_qu.mean), np.asarray(want_qu.mean),
+                               rtol=1e-5, atol=1e-6)
+    # grid heads without explicit axes must fail loudly (no feature default)
+    with pytest.raises(ValueError, match="grid_axes"):
+        m.q_v()
+
+
+def test_iterative_facade_matches_qv_mean(data1d):
+    X, y = data1d
+    m = GP.gridded(40, (0.0, 1.0)).fit(X, y, n_iters=30, learning_rate=0.05)
+    grids = (CellIntegralFeature.from_lims(10, 0.0, 1.0),)
+    want = np.asarray(m.q_v(grids).mean)
+    got = np.asarray(m.q_v_mean_iterative(grids))
+    # facade params are float32: CG stagnates at ~1e-6 relative residual,
+    # which maps to ~1e-4 relative solution error vs the dense pipeline
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+    xs = jnp.linspace(0.02, 0.98, 11)
+    np.testing.assert_allclose(np.asarray(m.predict_mean_iterative(xs)),
+                               np.asarray(m.predict(xs).mean),
+                               rtol=2e-3, atol=1e-5)
+    # the cached CG solve must not survive a param change
+    assert m._w is not None
+    m.fit(X, y, n_iters=2, learning_rate=0.01)
+    assert m._w is None
+
+
+def test_marginalized_facade_widen_variances(data1d):
+    """Laplace-marginalized predictions: same means to leading order, strictly
+    wider variances than the point-estimate heads (law of total variance)."""
+    X, y = data1d
+    m = GP.gridded(8, (0.0, 1.0)).fit(X, y, n_iters=60, learning_rate=0.05)
+    xs = jnp.linspace(0.1, 0.9, 7)
+    point = m.predict(xs)
+    marg = m.predict_marginalized(xs, n_samples=48, seed=1)
+    assert np.all(np.isfinite(np.asarray(marg.mean)))
+    assert np.all(np.asarray(marg.var) >= np.asarray(point.var) * 0.5)
+    assert float(np.mean(np.asarray(marg.var))) > float(np.mean(np.asarray(point.var)))
+    qmarg = m.q_v_marginalized(n_samples=32, seed=2)
+    qpoint = m.q_v()
+    assert qmarg.mean.shape == qpoint.mean.shape
+    assert float(np.mean(np.asarray(qmarg.var))) > 0.0
+    # laplace state caches until params change
+    assert m._laplace is not None
+    m.fit(X, y, n_iters=2)
+    assert m._laplace is None

@@ -118,6 +118,64 @@ def main():
     print(f"posterior_grad @ {N_QUERY} pts: {t_grad * 1e3:.2f} ms "
           f"({N_QUERY / t_grad / 1e6:.1f} M pts/s)")
 
+    # ---- warm serving (VERDICT r3 weak #5): precompute the Kuu factors +
+    # variational chol ONCE (svgp.precompute), then time the *_from_state
+    # heads. q_v_warm perturbs μ each iteration (the streaming-update serving
+    # pattern: state fixed, mean refreshed) — the μ-independent variance
+    # pipeline hoists out of the scan, which is exactly the reuse the warm
+    # path exists to buy. posterior_warm perturbs the QUERY points (the
+    # request-serving pattern): per-request Kuf + whitening stays in the
+    # loop, only the factorizations are amortized.
+    state = jax.jit(lambda p: svgp.precompute(spec, p))(params)
+
+    def timed_scan_warm(fn, k):
+        def body(carry, _):
+            out = fn(carry)
+            acc = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(out))
+            return carry * (1.0 + 1e-7), acc
+
+        @jax.jit
+        def run():
+            _, accs = lax.scan(body, jnp.float32(1.0), None, length=k)
+            return jnp.sum(accs)
+
+        out = float(run())
+        assert np.isfinite(out), "warm serving scan produced non-finite output"
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run())
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best
+
+    def with_mu(scale):
+        p = dict(params)
+        q = dict(p["q"])
+        q["mu"] = q["mu"] * scale
+        p["q"] = q
+        return p
+
+    t_qv_w = timed_scan_warm(
+        lambda c: svgp.q_v_from_state(spec, with_mu(c), state, g_prod,
+                                      full_cov=False), K_PRODUCT)
+    results["qv_warm_ms"] = t_qv_w * 1e3
+    print(f"q_v   512² WARM (state cached, μ refreshed): {t_qv_w * 1e3:.2f} ms "
+          f"({t_qv / t_qv_w:.1f}x cold)")
+
+    t_qdv_w = timed_scan_warm(
+        lambda c: svgp.q_dv_from_state(spec, with_mu(c), state, g_prod,
+                                       axis=0, full_cov=False), K_PRODUCT)
+    results["qdv_warm_ms"] = t_qdv_w * 1e3
+    print(f"q_dv  512² WARM: {t_qdv_w * 1e3:.2f} ms ({t_qdv / t_qdv_w:.1f}x cold)")
+
+    t_post_w = timed_scan_warm(
+        lambda c: svgp.posterior_from_state(spec, params, state, xq * c,
+                                            full_cov=False), K_QUERY)
+    results["posterior_warm_ms"] = t_post_w * 1e3
+    results["posterior_warm_points_per_s"] = N_QUERY / t_post_w
+    print(f"posterior WARM @ {N_QUERY} new pts: {t_post_w * 1e3:.2f} ms "
+          f"({N_QUERY / t_post_w / 1e6:.1f} M pts/s, {t_post / t_post_w:.1f}x cold)")
+
     os.makedirs("results/scaling", exist_ok=True)
     with open("results/scaling/serving.json", "w") as fh:
         json.dump(results, fh, indent=2)

@@ -31,7 +31,7 @@ from vggp_tpu.features import (
     PointFeature,
     SplineRKHSFeature,
 )
-from vggp_tpu.models import additive, exact, sgpr, svgp as msvgp
+from vggp_tpu.models import additive, exact, freesvgp, sgpr, svgp as msvgp
 from vggp_tpu.models import sum as msum
 from vggp_tpu.models.common import Gaussian
 
@@ -48,6 +48,8 @@ def _module_for(spec):
         return additive
     if isinstance(spec, msum.SumSGPRSpec):
         return msum
+    if isinstance(spec, freesvgp.FreeSVGPSpec):
+        return freesvgp
     if isinstance(spec, msvgp.SVGPSpec):
         raise TypeError(
             "GP is the collapsed/exact facade; wrap an SVGPSpec in api.SVGP "
@@ -133,6 +135,8 @@ class GP:
         self._X = self._y = None
         self._jitted: Dict = {}
         self._mod = _module_for(spec)
+        self._w = None        # cached CG solve (solve_iterative)
+        self._laplace = None  # cached hyperparameter Laplace state
 
     # ------------------------------------------------------------------ #
     # Factories (one per reference model family)
@@ -220,6 +224,28 @@ class GP:
         return cls(additive.AdditiveSGPRSpec(kinds=_kinds(kinds, ndim), features=feats))
 
     @classmethod
+    def free_z(cls, n_inducing: int, lims: Union[Lims, Sequence[Lims]],
+               kinds: Union[str, Sequence[str]] = "matern12",
+               ndim: Optional[int] = None, seed: int = 0) -> "GP":
+        """FREE d-dimensional inducing points z_i ∈ ℝᵈ (Hadamard-product
+        Grams) — the reference's nb61 Z-sweep model
+        (``gridded_kronecker_structure.py:222-460``), ``models.freesvgp``.
+        Unlike :meth:`svgp` (separable per-axis points), the m points do not
+        factorize across axes; Z initializes uniformly at random in ``lims``.
+        Grid heads (``q_v``/``q_dv``/``p_v_u``) need explicit ``grid_axes``.
+        ``n_inducing`` is the TOTAL point count (not per-axis) — pass lims
+        pairs or ``ndim`` for a multi-dimensional model."""
+        ndim = _infer_ndim(None, lims, kinds, ndim)
+        lims_ax = _lims_per_axis(lims, ndim)
+        spec = freesvgp.FreeSVGPSpec(kinds=_kinds(kinds, ndim), m=int(n_inducing))
+        lo = np.array([a for a, _ in lims_ax])
+        hi = np.array([b for _, b in lims_ax])
+        z0 = lo + (hi - lo) * np.random.default_rng(seed).random((int(n_inducing), ndim))
+        gp = cls(spec, params=spec.init_params(z_init=z0))
+        gp._params_are_fresh = True  # factory-made init counts as fresh
+        return gp
+
+    @classmethod
     def sum(cls, components: Sequence, per_output_noise: bool = False,
             learn_mean: bool = False) -> "GP":
         """Sum-of-kernels GP over shared axes (``models.sum``): each component
@@ -261,6 +287,8 @@ class GP:
         """Reference ``non_informative_initialise`` (``univariate_structure.py:86``)."""
         self.params = train.non_informative_init(self.params, jnp.asarray(X), jnp.asarray(y),
                                                  lmbda=lmbda, kappa=kappa)
+        self._w = None
+        self._laplace = None
         return self
 
     def fit(self, X, y, n_iters: int = 1000, learning_rate: float = 0.1,
@@ -284,6 +312,8 @@ class GP:
             lambda p: self._mod.loss(spec, p, self._X, self._y),
             self.params, n_iters, learning_rate, **fit_kwargs)
         self._jitted.clear()  # params changed shape-compatibly; keep caches keyed small
+        self._w = None
+        self._laplace = None
         return self
 
     def elbo(self) -> float:
@@ -369,6 +399,96 @@ class GP:
                                      data=(self._X, self._y))
 
     # ------------------------------------------------------------------ #
+    # Matrix-free (CG) mean heads — very large 1D inducing grids
+    # ------------------------------------------------------------------ #
+
+    def solve_iterative(self, tol: Optional[float] = None, maxiter: int = 1000) -> "GP":
+        """Run the Jacobi-preconditioned CG solve (``models.iterative``) and
+        cache w = (σ²Kuu + KufKufᵀ)⁻¹Kuf y for the mean heads below. Any
+        number of Kronecker axes (continuous kinds); O(iters·(m log m + n·m))
+        with no (m, m) factorization, so m ≈ 10⁴–10⁵ inducing cells (e.g. a
+        512² grid's means) is fine where dense :meth:`q_v` is not.
+        Invalidated by ``fit``/``restore`` (w is a function of the params)."""
+        self._need_data()
+        from vggp_tpu.models import iterative
+
+        fn = self._get(("solve_w", tol, maxiter), lambda s: jax.jit(
+            lambda p, X, y: iterative.solve_w(s, p, X, y, tol=tol, maxiter=maxiter)))
+        self._w = fn(self.params, self._X, self._y)
+        return self
+
+    def predict_mean_iterative(self, xstar) -> jnp.ndarray:
+        """E_q[f*] via the cached CG solve (== ``predict(...).mean``);
+        runs :meth:`solve_iterative` with defaults if not yet solved."""
+        if getattr(self, "_w", None) is None:
+            self.solve_iterative()
+        from vggp_tpu.models import iterative
+
+        fn = self._get("cg_post_mean", lambda s: jax.jit(
+            lambda p, xs, w: iterative.posterior_mean_from_w(s, p, xs, w)))
+        return fn(self.params, jnp.asarray(xstar), self._w)
+
+    def q_v_mean_iterative(self, grid_axes=None) -> jnp.ndarray:
+        """E_q[v] (gridded-product mean field) via the cached CG solve
+        (== ``q_v(...).mean``); means only — variances need a factorization."""
+        if getattr(self, "_w", None) is None:
+            self.solve_iterative()
+        from vggp_tpu.models import iterative
+
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("cg_qv_mean", tuple(map(_feature_key, axes))), lambda s: jax.jit(
+            lambda p, w: iterative.q_v_mean_from_w(s, p, axes, w)))
+        return fn(self.params, self._w)
+
+    # ------------------------------------------------------------------ #
+    # Hyperparameter-posterior (Laplace) marginalized prediction
+    # ------------------------------------------------------------------ #
+
+    def laplace(self, min_eig_rel: float = 1e-8):
+        """Laplace approximation N(θ̂, H⁻¹) to the hyperparameter posterior
+        at the current (fitted) params (``vggp_tpu.hyperpost.laplace``), over
+        the same collapsed bound / MLL ``fit`` minimized. Cached until the
+        params change; returned for direct use with ``hyperpost.*``."""
+        self._need_data()
+        from vggp_tpu import hyperpost
+
+        if getattr(self, "_laplace", None) is None:
+            spec, X, y = self.spec, self._X, self._y
+            self._laplace = hyperpost.laplace(
+                lambda p: self._mod.loss(spec, p, X, y), self.params,
+                min_eig_rel=min_eig_rel)
+        return self._laplace
+
+    def predict_marginalized(self, xstar, n_samples: int = 64, seed: int = 0) -> Gaussian:
+        """q(f*) with hyperparameter uncertainty: vmap the posterior head
+        over Laplace draws and moment-match (law of total variance). Honest
+        intervals on the small per-window datasets of nb61 — beyond-reference
+        (``hyperpost.predict_marginalized``)."""
+        self._need_data()
+        from vggp_tpu import hyperpost
+
+        state = self.laplace()
+        spec, X, y = self.spec, self._X, self._y
+        xs = jnp.asarray(xstar)
+        return hyperpost.predict_marginalized(
+            lambda p: self._mod.posterior(spec, p, X, y, xs, full_cov=False),
+            state, jax.random.PRNGKey(seed), n_samples=n_samples)
+
+    def q_v_marginalized(self, grid_axes=None, n_samples: int = 64,
+                         seed: int = 0) -> Gaussian:
+        """Gridded product q(v) marginalized over the Laplace hyperparameter
+        posterior (moment-matched mixture of per-draw q_v marginals)."""
+        self._need_data()
+        from vggp_tpu import hyperpost
+
+        state = self.laplace()
+        axes = self._grid_axes(grid_axes)
+        spec, X, y = self.spec, self._X, self._y
+        return hyperpost.predict_marginalized(
+            lambda p: self._mod.q_v(spec, p, X, y, axes, full_cov=False),
+            state, jax.random.PRNGKey(seed), n_samples=n_samples)
+
+    # ------------------------------------------------------------------ #
     # Persistence
     # ------------------------------------------------------------------ #
 
@@ -381,6 +501,8 @@ class GP:
         self.params = train.load_checkpoint(path, step=step, like=self.params)
         self._params_are_fresh = False  # continued training keeps the restore
         self._jitted.clear()
+        self._w = None
+        self._laplace = None
         return self
 
     # ------------------------------------------------------------------ #
@@ -388,8 +510,13 @@ class GP:
     def _grid_axes(self, grid_axes) -> tuple:
         if grid_axes is None:
             feats = getattr(self.spec, "features", None)
-            if feats is None:  # sum-of-kernels: components share the axes
-                feats = self.spec.components[0].features
+            if feats is None:
+                comps = getattr(self.spec, "components", None)
+                if comps is None:  # free-Z: no per-axis features to default to
+                    raise ValueError(
+                        "this spec has no per-axis grid features (free "
+                        "inducing points); pass grid_axes explicitly")
+                feats = comps[0].features  # sum-of-kernels: shared axes
             if not all(isinstance(f, (CellIntegralFeature, OutputFeature))
                        for f in feats):
                 raise ValueError("grid_axes is required unless every model axis "
@@ -431,6 +558,7 @@ class SVGP:
         self._params_are_fresh = params is None
         self.history: Optional[Dict] = None
         self._jitted: Dict = {}
+        self._state = None  # warm serving cache (see precompute())
 
     # ------------------------------------------------------------------ #
     # Factories
@@ -489,6 +617,7 @@ class SVGP:
     def non_informative_initialise(self, X, y, lmbda: float = 1.0, kappa: float = 2.0) -> "SVGP":
         self.params = train.non_informative_init(self.params, jnp.asarray(X), jnp.asarray(y),
                                                  lmbda=lmbda, kappa=kappa)
+        self._state = None  # params changed; warm cache is stale
         return self
 
     def fit(self, X, y, n_iters: int = 1000, batch_size: int = 4096,
@@ -510,6 +639,7 @@ class SVGP:
             self.params, X, y, n_iters, min(int(batch_size), y.shape[0]),
             learning_rate, seed=seed, **fit_kwargs)
         self._jitted.clear()
+        self._state = None
         return self
 
     def fit_natgrad(self, X, y, n_iters: int = 200, gamma: float = 0.5,
@@ -527,6 +657,7 @@ class SVGP:
             self.spec, self.params, X, y, n_iters, gamma=gamma,
             hyper_lr=hyper_lr, batch_size=batch_size, seed=seed)
         self._jitted.clear()
+        self._state = None
         return self
 
     def elbo(self, X, y) -> float:
@@ -539,7 +670,23 @@ class SVGP:
     # Prediction heads (data-free: the posterior lives in q)
     # ------------------------------------------------------------------ #
 
+    def precompute(self) -> "SVGP":
+        """Build the frozen-param serving cache (``models.svgp.precompute``):
+        per-axis Kuu factorizations + the variational Cholesky, computed once.
+        Until the params change (``fit``/``restore`` invalidate it), every
+        ``predict`` / ``q_v`` / ``q_dv`` / ``posterior_grad`` call rides the
+        warm ``*_from_state`` heads — query-size work only."""
+        fn = self._get("precompute", lambda s: jax.jit(
+            lambda p: msvgp.precompute(s, p)))
+        self._state = fn(self.params)
+        return self
+
     def predict(self, xstar, full_cov: bool = False, predictive: bool = False) -> Gaussian:
+        if self._state is not None:
+            fn = self._get(("predict_warm", full_cov, predictive), lambda s: jax.jit(
+                lambda p, st, xs: msvgp.posterior_from_state(
+                    s, p, st, xs, full_cov=full_cov, predictive=predictive)))
+            return fn(self.params, self._state, jnp.asarray(xstar))
         fn = self._get(("predict", full_cov, predictive), lambda s: jax.jit(
             lambda p, xs: msvgp.posterior(s, p, xs, full_cov=full_cov,
                                           predictive=predictive)))
@@ -571,17 +718,33 @@ class SVGP:
         """Gridded product q(v) straight from the variational state (the
         serving path; sharded analogue: ``parallel.make_sharded_qv``)."""
         axes = self._grid_axes(grid_axes)
+        if self._state is not None:
+            fn = self._get(("q_v_warm", tuple(map(_feature_key, axes)), full_cov),
+                           lambda s: jax.jit(
+                lambda p, st: msvgp.q_v_from_state(s, p, st, axes, full_cov=full_cov)))
+            return fn(self.params, self._state)
         fn = self._get(("q_v", tuple(map(_feature_key, axes)), full_cov), lambda s: jax.jit(
             lambda p: msvgp.q_v(s, p, axes, full_cov=full_cov)))
         return fn(self.params)
 
     def q_dv(self, grid_axes=None, axis: int = 0, full_cov: bool = False) -> Gaussian:
         axes = self._grid_axes(grid_axes)
+        if self._state is not None:
+            fn = self._get(("q_dv_warm", tuple(map(_feature_key, axes)), axis, full_cov),
+                           lambda s: jax.jit(
+                lambda p, st: msvgp.q_dv_from_state(s, p, st, axes, axis=axis,
+                                                    full_cov=full_cov)))
+            return fn(self.params, self._state)
         fn = self._get(("q_dv", tuple(map(_feature_key, axes)), axis, full_cov), lambda s: jax.jit(
             lambda p: msvgp.q_dv(s, p, axes, axis=axis, full_cov=full_cov)))
         return fn(self.params)
 
     def posterior_grad(self, xstar, axis: int = 0, full_cov: bool = False) -> Gaussian:
+        if self._state is not None:
+            fn = self._get(("posterior_grad_warm", axis, full_cov), lambda s: jax.jit(
+                lambda p, st, xs: msvgp.posterior_grad_from_state(
+                    s, p, st, xs, axis=axis, full_cov=full_cov)))
+            return fn(self.params, self._state, jnp.asarray(xstar))
         fn = self._get(("posterior_grad", axis, full_cov), lambda s: jax.jit(
             lambda p, xs: msvgp.posterior_grad(s, p, xs, axis=axis, full_cov=full_cov)))
         return fn(self.params, jnp.asarray(xstar))
@@ -610,6 +773,7 @@ class SVGP:
         self.params = train.load_checkpoint(path, step=step, like=self.params)
         self._params_are_fresh = False
         self._jitted.clear()
+        self._state = None
         return self
 
     def _grid_axes(self, grid_axes) -> tuple:

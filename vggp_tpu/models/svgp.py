@@ -245,21 +245,25 @@ def _kron_moments(spec: SVGPSpec, mu, Ls, blocks):
     return f(mu, Ls, blocks)
 
 
-def _qf_mean_var(spec: SVGPSpec, params: Params, blocks) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _qf_mean_var(spec: SVGPSpec, params: Params, blocks,
+                 Ls=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Marginal q(f) mean/variance at the points whose whitened features are
-    ``blocks`` (per-axis (m_i, n))."""
+    ``blocks`` (per-axis (m_i, n)). ``Ls`` optionally supplies the already-
+    built variational Cholesky factor(s) (the warm serving path)."""
     from vggp_tpu import config
 
     q = params["q"]
     if spec.variational == "full":
         a = common.khatri_rao_all(blocks)  # (m, n)
-        Ls = chol_from_raw(q["raw_L"])
+        if Ls is None:
+            Ls = chol_from_raw(q["raw_L"])
         mean = a.T @ q["mu"]
         sa = Ls.T @ a
         var_red = jnp.sum(a * a, axis=0)
         var_add = jnp.sum(sa * sa, axis=0)
     else:
-        Ls = _kron_chols(spec, q)
+        if Ls is None:
+            Ls = _kron_chols(spec, q)
         if config.FAST_MOMENTS_BWD:
             return _kron_moments(spec, q["mu"], Ls, blocks)
         mean = _kron_contract(q["mu"], blocks, out="n")
@@ -490,16 +494,17 @@ def p_v_u(
 
 
 def _grid_gaussian(spec: SVGPSpec, params: Params, r_blocks, kvv_blocks,
-                   full_cov: bool) -> Gaussian:
+                   full_cov: bool, Ls=None) -> Gaussian:
     """Assemble a grid-product posterior from whitened per-axis cross blocks
     R_i (g_i, m_i) and per-axis prior blocks Kvv_i: mean = (⊗R_i) μ,
     cov = Kvv − R Rᵀ + (R L_S)(R L_S)ᵀ. Shared by :func:`q_v` (cell
     integrals) and :func:`q_dv` (gridded gradients); for ``full_cov=False``
-    only per-cell variances are formed (kron-diagonals — O(g) memory)."""
+    only per-cell variances are formed (kron-diagonals — O(g) memory).
+    ``Ls`` optionally supplies prebuilt variational factor(s) (warm path)."""
     q = params["q"]
     if spec.variational == "full":
         R = r_blocks[0] if spec.ndim == 1 else kron_dense(r_blocks)
-        Ls = chol_from_raw(q["raw_L"])
+        Ls = chol_from_raw(q["raw_L"]) if Ls is None else Ls
         mean = R @ q["mu"]
         RS = R @ Ls
         if full_cov:
@@ -509,7 +514,7 @@ def _grid_gaussian(spec: SVGPSpec, params: Params, r_blocks, kvv_blocks,
         var = kvv_diag - jnp.sum(R * R, axis=1) + jnp.sum(RS * RS, axis=1)
         return Gaussian(mean=mean, var=common.floor_var(var, kvv_diag))
     # kron family (any ndim ≥ 2)
-    Lk = _kron_chols(spec, q)
+    Lk = _kron_chols(spec, q) if Ls is None else Ls
     mean = _kron_contract(q["mu"], r_blocks, out="grid")
     rs_blocks = [r_blocks[i] @ Lk[i] for i in range(spec.ndim)]
     if full_cov:
@@ -572,6 +577,115 @@ def q_dv(
     )
     kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
     return _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov)
+
+
+# --------------------------------------------------------------------------- #
+# Warm serving path: cache the Kuu factorizations + variational Cholesky
+# once, then every head is query-size work only. Mirrors the collapsed
+# model's precompute/..._from_state (models/sgpr.py) for the family that
+# actually scales; the state is a pytree (PSDFactor is registered), so it
+# jits, ships across devices, and checkpoints.
+# --------------------------------------------------------------------------- #
+
+
+def precompute(spec: SVGPSpec, params: Params):
+    """Cache (per-axis Kuu factors, variational Cholesky) for frozen-param
+    serving. The O(m³) per-axis factorizations happen once here; every
+    subsequent :func:`posterior_from_state` / :func:`q_v_from_state` /
+    :func:`q_dv_from_state` / :func:`posterior_grad_from_state` call pays
+    only the per-query solves. Rebuild the state after ANY param update —
+    it is a pure function of ``params``.
+
+    gpytorch's ``fast_pred_var`` caches play this role in the reference
+    stack; the reference itself re-derives everything per call.
+    """
+    chols = common.axis_chol_kuu(spec, params)
+    q = params["q"]
+    Ls = (chol_from_raw(q["raw_L"]) if spec.variational == "full"
+          else _kron_chols(spec, q))
+    return (chols, Ls)
+
+
+@common.highest_precision
+def posterior_from_state(
+    spec: SVGPSpec, params: Params, state, xstar: jnp.ndarray,
+    full_cov: bool = False, predictive: bool = False,
+) -> Gaussian:
+    """q(f*) from a :func:`precompute` state — no Kuu factorization."""
+    chols, Ls = state
+    blocks = common.axis_whitened_kuf(spec, params, chols, xstar)
+    mean, var_red, var_add = _qf_mean_var(spec, params, blocks, Ls=Ls)
+    mean = mean + common.mean_fn(spec, params, xstar)
+    noise = common.obs_noise(spec, params, xstar) if predictive else 0.0
+    if not full_cov:
+        kss = common.kdiag(spec, params, xstar)
+        var = jnp.maximum(kss - var_red, 0.0) + var_add + noise
+        return Gaussian(mean=mean, var=var)
+    a = common.khatri_rao_all(blocks)
+    kss = common.gram_full(spec, params, xstar, xstar)
+    if spec.variational == "full":
+        sa = Ls.T @ a
+    else:
+        sa = common.khatri_rao_all(
+            tuple(Ls[i].T @ blocks[i] for i in range(spec.ndim)))
+    cov = kss - a.T @ a + sa.T @ sa
+    if predictive:
+        cov = cov + noise * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return Gaussian(mean=mean, cov=cov)
+
+
+@common.highest_precision
+def q_v_from_state(
+    spec: SVGPSpec, params: Params, state,
+    grid_axes: Sequence[CellIntegralFeature], full_cov: bool = False,
+) -> Gaussian:
+    """q(v) from a :func:`precompute` state (the warm gridded-product head)."""
+    chols, Ls = state
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    kvv_blocks = common.grid_kvv(spec, params, grid_axes, dense=False)
+    g = _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov, Ls=Ls)
+    return common.shift_mean(g, common.grid_mean(spec, params, grid_axes))
+
+
+@common.highest_precision
+def q_dv_from_state(
+    spec: SVGPSpec, params: Params, state,
+    grid_axes: Sequence[CellIntegralFeature], axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """q(∫_cell ∂f/∂x_axis) from a :func:`precompute` state."""
+    chols, Ls = state
+    kvu_blocks = common.grad_grid_kvu(spec, params, grid_axes, axis)
+    r_blocks = tuple(
+        chols[i].whiten(kvu_blocks[i].T).T for i in range(spec.ndim))
+    kvv_blocks = common.grad_grid_kvv(spec, params, grid_axes, axis, dense=False)
+    return _grid_gaussian(spec, params, r_blocks, kvv_blocks, full_cov, Ls=Ls)
+
+
+@common.highest_precision
+def posterior_grad_from_state(
+    spec: SVGPSpec, params: Params, state, xstar: jnp.ndarray, axis: int,
+    full_cov: bool = False,
+) -> Gaussian:
+    """Pointwise-gradient posterior from a :func:`precompute` state."""
+    chols, Ls = state
+    blocks = common.axis_whitened_dkuf(spec, params, chols, xstar, axis)
+    mean, var_red, var_add = _qf_mean_var(spec, params, blocks, Ls=Ls)
+    if not full_cov:
+        kdd = common.grad_kdiag(spec, params, xstar, axis)
+        var = jnp.maximum(kdd - var_red, 0.0) + var_add
+        return Gaussian(mean=mean, var=common.floor_var(var, kdd))
+    a = common.khatri_rao_all(blocks)
+    kss = common.grad_gram_full(spec, params, xstar, xstar, axis)
+    if spec.variational == "full":
+        sa = Ls.T @ a
+    else:
+        sa = common.khatri_rao_all(
+            tuple(Ls[i].T @ blocks[i] for i in range(spec.ndim)))
+    cov = kss - a.T @ a + sa.T @ sa
+    return Gaussian(mean=mean, cov=cov)
 
 
 @common.highest_precision

@@ -202,3 +202,42 @@ def test_laplace_hessian_matches_finite_differences():
                           - f(v0 - e_i + e_j) + f(v0 - e_i - e_j)) / (4 * h * h)
     cov = np.asarray(st.chol_cov @ st.chol_cov.T)
     np.testing.assert_allclose(np.linalg.inv(cov), H_fd, rtol=2e-3, atol=1e-4)
+
+
+def test_laplace_indefinite_hessian_stays_bounded():
+    """Saddle-free |H| regression: the TPU-f32 second-order AD graph can hand
+    laplace() a badly INDEFINITE Hessian at a converged optimum (measured
+    on-device, VERDICT r4). The absolute-eigenvalue treatment must keep the
+    curvature scale — bounded draw scatter, finite marginalized moments —
+    instead of flooring a negative direction into a ~1/min_eig_rel variance
+    that scatters draws to NaN-producing hyperparameters."""
+    feats_params = {
+        "axes": [{"lengthscale": jnp.asarray(0.5), "variance": jnp.asarray(1.2)}],
+        "noise": jnp.asarray(0.1),
+    }
+    flat0, unravel = jax.flatten_util.ravel_pytree(train.unconstrain(feats_params))
+    rng = np.random.default_rng(3)
+    Q = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    H_ind = jnp.asarray(Q @ np.diag([-9.8, 1.6, 4.8]) @ Q.T)  # the measured shape
+
+    def loss_fn(params):
+        v, _ = jax.flatten_util.ravel_pytree(train.unconstrain(params))
+        d = v - flat0
+        return 0.5 * d @ (H_ind @ d)
+
+    state = hyperpost.laplace(loss_fn, feats_params)
+    # curvature scale preserved: no covariance direction wider than 1/min|eig|
+    sd = np.sqrt(np.sum(np.asarray(state.chol_cov) ** 2, axis=1))
+    assert np.all(np.isfinite(sd)) and sd.max() < 1.0 / np.sqrt(1.6) + 1e-6
+    draws = hyperpost.sample_params(state, jax.random.PRNGKey(0), 64)
+    ls = np.asarray(draws["axes"][0]["lengthscale"])
+    assert np.all(np.isfinite(ls)) and ls.max() < 50.0 and ls.min() > 1e-6
+    # and the marginalized-prediction pipeline stays finite through it
+    g = hyperpost.predict_marginalized(
+        lambda p: exact.posterior(
+            exact.ExactGPSpec(kinds=("matern32",)), p,
+            jnp.linspace(0, 1, 8), jnp.sin(jnp.linspace(0, 1, 8)),
+            jnp.linspace(0.1, 0.9, 5), full_cov=False),
+        state, jax.random.PRNGKey(1), n_samples=32)
+    assert np.all(np.isfinite(np.asarray(g.mean)))
+    assert np.all(np.asarray(g.variance()) > 0)

@@ -55,10 +55,16 @@ def laplace(loss_fn, params, min_eig_rel: float = 1e-8) -> LaplaceState:
     raw (softplus⁻¹) space, matching the geometry the optimizer ran in and
     making the Gaussian respect positivity when mapped back.
 
-    The Hessian at a finitely-converged optimum can have tiny negative
-    eigenvalues (roundoff or residual gradient); eigenvalues are floored at
-    ``min_eig_rel`` of the spectral radius before inversion, which bounds
-    the approximate posterior instead of exploding a flat direction.
+    The Hessian at a finitely-converged optimum can have negative
+    eigenvalues — tiny ones from roundoff/residual gradient in f64, but on
+    TPU float32 the second-order AD graph of the collapsed bound is noise-
+    limited and the computed H can be badly asymmetric and indefinite (O(1)
+    negative eigenvalues measured on-device at a converged optimum). The
+    saddle-free |H| treatment (absolute eigenvalues, floored at
+    ``min_eig_rel`` of the spectral radius) keeps the curvature SCALE of
+    such directions instead of exploding them into ~1/floor variances that
+    scatter draws to NaN-producing hyperparameters; on a clean positive f64
+    spectrum it is a no-op.
     """
     raw = train.unconstrain(params)
     flat, unravel = ravel_pytree(raw)
@@ -69,7 +75,7 @@ def laplace(loss_fn, params, min_eig_rel: float = 1e-8) -> LaplaceState:
     H = jax.hessian(flat_loss)(flat)
     H = 0.5 * (H + H.T)
     w, V = jnp.linalg.eigh(H)
-    w = jnp.maximum(w, min_eig_rel * jnp.max(jnp.abs(w)))
+    w = jnp.maximum(jnp.abs(w), min_eig_rel * jnp.max(jnp.abs(w)))
     # cov = V w⁻¹ Vᵀ; its Cholesky factor for sampling is V w^{-1/2} — not
     # triangular, but any square root works for affine Gaussian sampling.
     half = V * (1.0 / jnp.sqrt(w))[None, :]

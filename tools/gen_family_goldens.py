@@ -1,0 +1,33 @@
+"""Generate CPU-float64 goldens for the bench.py family smoke rows.
+
+The coregion/sum/additive/streaming paths are exactly the ones CLAUDE.md
+documents as invisible to CPU f64 tests (default-bf16 matmuls, TPU exp
+error), so bench.smoke() checks them ON DEVICE against the constants this
+script prints. The cases themselves live in vggp_tpu/utils/smoke_cases.py
+(one source of truth for generator and device check). Re-run after any
+numerics change to these families:
+
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python tools/gen_family_goldens.py
+
+and paste the emitted block into bench.py.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from vggp_tpu.utils.smoke_cases import cg_case, family_values  # noqa: E402
+
+
+if __name__ == "__main__":
+    compute, args = family_values(jnp.float64)
+    vals = compute(*args)
+    cg_compute, cg_args = cg_case(jnp.float64)
+    vals["cg_qv_abs_sum"] = cg_compute(*cg_args)
+    print("_GOLD_FAMILIES = {")
+    for k, v in vals.items():
+        print(f"    \"{k}\": {float(v)!r},")
+    print("}")

@@ -477,6 +477,91 @@ err_st = float(np.abs(np.asarray(qv_st.mean) - truth).max())
 print(f"Streaming facade q_v err {err_st:.4f}")
 assert err_st < 0.1 and float(np.min(np.asarray(qv_st.var))) > 0
 
+# --- round-4 surfaces: complex-free FFT Toeplitz matvec + on-device CG, ----
+# --- SVGP warm serving state, facade iterative/marginalized heads -----------
+
+# (re, im)-pair radix-2 FFT matvec on the axon backend (which has NO complex
+# ops — jnp.fft.rfft raises UNIMPLEMENTED there). Golden is host numpy f64.
+from vggp_tpu.ops import toeplitz as _toep
+
+row_np = 1.3 * np.exp(-np.arange(384) / 37.0)
+v_np = np.random.default_rng(13).standard_normal((384, 3))
+T_np = np.empty((384, 384))
+for i_ in range(384):
+    T_np[i_] = row_np[np.abs(np.arange(384) - i_)]
+want_tv = T_np @ v_np
+got_tv = np.asarray(jax.jit(_toep.sym_toeplitz_matvec)(
+    jnp.asarray(row_np, jnp.float32), jnp.asarray(v_np, jnp.float32)))
+tv_err = float(np.abs(got_tv - want_tv).max() / np.abs(want_tv).max())
+print(f"real-FFT toeplitz matvec on {jax.default_backend()}: rel err {tv_err:.2e}")
+assert tv_err < 1e-5, "complex-free Toeplitz matvec wrong on device"
+
+# matrix-free CG on the device: m = 16384 cells (dense would factor 16384²),
+# q_v mean must track the analytic cell integrals of the generating field.
+from vggp_tpu.models import iterative as _iter
+
+rng_cg = np.random.default_rng(14)
+x_cg = jnp.asarray(np.sort(rng_cg.uniform(size=256)), jnp.float32)
+y_cg = jnp.asarray(np.sin(7 * np.asarray(x_cg))
+                   + 0.05 * rng_cg.standard_normal(256), jnp.float32)
+feat_cg = CellIntegralFeature.from_lims(16384, 0.0, 1.0)
+spec_cg = sgpr.SGPRSpec(kinds=("matern12",), features=(feat_cg,))
+p_cg = {"axes": ({"variance": jnp.asarray(1.0, jnp.float32),
+                  "lengthscale": jnp.asarray(0.25, jnp.float32)},),
+        "noise": jnp.asarray(0.05, jnp.float32)}
+grid_cg = (CellIntegralFeature.from_lims(20, 0.0, 1.0),)
+w_cg = jax.jit(lambda p: _iter.solve_w(spec_cg, p, x_cg, y_cg,
+                                       maxiter=600))(p_cg)
+qvm_cg = np.asarray(jax.jit(
+    lambda p, w: _iter.q_v_mean_from_w(spec_cg, p, grid_cg, w))(p_cg, w_cg))
+assert np.all(np.isfinite(qvm_cg)), "CG q_v mean not finite on device"
+cell_truth_cg = np.array([(np.cos(7 * a) - np.cos(7 * b)) / 7.0
+                          for a, b in zip(grid_cg[0].mesh[:-1], grid_cg[0].mesh[1:])])
+cg_corr = float(np.corrcoef(qvm_cg, cell_truth_cg)[0, 1])
+# cross-check vs the dense pipeline at a dense-feasible size, same device
+feat_cgs = CellIntegralFeature.from_lims(512, 0.0, 1.0)
+spec_cgs = sgpr.SGPRSpec(kinds=("matern12",), features=(feat_cgs,))
+qv_dense_s = jax.jit(lambda p: sgpr.q_v(spec_cgs, p, x_cg, y_cg, grid_cg,
+                                        full_cov=False).mean)(p_cg)
+qv_cg_s = jax.jit(lambda p: _iter.q_v_mean_cg(spec_cgs, p, x_cg, y_cg,
+                                              grid_cg, maxiter=600))(p_cg)
+cg_gap = float(np.abs(np.asarray(qv_cg_s) - np.asarray(qv_dense_s)).max()
+               / np.abs(np.asarray(qv_dense_s)).max())
+print(f"iterative CG on-device: m=16384 corr {cg_corr:.4f}; "
+      f"m=512 CG-vs-dense rel gap {cg_gap:.2e}")
+assert cg_corr > 0.99, "CG posterior mean decorrelated from truth"
+assert cg_gap < 5e-3, "CG mean diverged from the dense pipeline on device"
+
+# SVGP warm serving: precompute state, warm heads == cold heads on-device
+st_w = jax.jit(lambda p: svgp.precompute(spec2, p))(p2)
+qv_warm = jax.jit(lambda p, s: svgp.q_v_from_state(
+    spec2, p, s, grids2, full_cov=False))(p2, st_w)
+wgap = float(np.abs(np.asarray(qv_warm.mean) - np.asarray(qv2.mean)).max())
+po_cold = jax.jit(lambda p: svgp.posterior(spec2, p, X2[:32],
+                                           full_cov=False))(p2)
+po_warm = jax.jit(lambda p, s: svgp.posterior_from_state(
+    spec2, p, s, X2[:32], full_cov=False))(p2, st_w)
+pgap = float(np.abs(np.asarray(po_warm.mean) - np.asarray(po_cold.mean)).max())
+vgap = float(np.abs(np.asarray(po_warm.var) - np.asarray(po_cold.var)).max())
+print(f"svgp warm serving: q_v gap {wgap:.2e}, posterior mean/var gaps "
+      f"{pgap:.2e}/{vgap:.2e}")
+assert wgap < 1e-4 and pgap < 1e-4 and vgap < 1e-4, "warm path drifted"
+
+# facade: free-Z constructor + iterative and marginalized heads on-device
+m_fz = GP.free_z(16, ((0.0, 1.0), (0.0, 1.0)), kinds="matern32", seed=3)
+m_fz.fit(X2, y2, n_iters=150, learning_rate=0.05)
+assert np.all(np.isfinite(np.asarray(m_fz.history["loss"]))), "free_z NaN"
+qv_fz = m_fz.q_v(grid_axes=grids2)
+assert np.all(np.isfinite(np.asarray(qv_fz.mean)))
+m_it = GP.gridded(256, (0.0, 1.0)).fit(X, y, n_iters=200, learning_rate=0.05)
+qvm_it = np.asarray(m_it.q_v_mean_iterative((grid,)))
+qvm_dn = np.asarray(m_it.q_v((grid,)).mean)
+it_gap = float(np.abs(qvm_it - qvm_dn).max())
+marg_g = m_it.predict_marginalized(xs_h, n_samples=32, seed=5)
+assert np.all(np.isfinite(np.asarray(marg_g.mean)))
+print(f"facade: free_z ok; iterative q_v gap {it_gap:.2e}; marginalized ok")
+assert it_gap < 5e-3
+
 print("DRIVE OK")
 
 

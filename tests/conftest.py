@@ -34,7 +34,8 @@ def pytest_sessionstart(session):
 
 # --- Test tiering -----------------------------------------------------------
 #
-# The full suite is ~45-50 min on this 1-CPU box (dominated by jit compiles of
+# The full suite is ~54 min on this 1-CPU box (measured 54:08, round 3;
+# dominated by jit compiles of
 # the larger oracle fits). `-m quick` selects a < 5 min subset that still
 # touches every test module; `-m slow` is the complement. Membership is
 # keyed per test *function* (parametrizations stay together) from measured
@@ -60,9 +61,18 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    markexpr = config.getoption("-m", default="") or ""
+    if "quick" in markexpr and not SLOW_TESTS:
+        raise pytest.UsageError(
+            "-m quick requested but tests/slow_tests.txt is missing/empty, so the "
+            "'quick' tier would be the FULL ~54-min suite. Regenerate it: "
+            "python -m pytest tests/ -q --durations=0 > /tmp/full_suite.log && "
+            "python tools/tier_tests.py /tmp/full_suite.log"
+        )
     for item in items:
         name = getattr(item, "originalname", None) or item.name.split("[")[0]
-        key = f"{Path(str(item.fspath)).name}::{name}"
+        cls = f"{item.cls.__name__}::" if getattr(item, "cls", None) else ""
+        key = f"{Path(str(item.fspath)).name}::{cls}{name}"
         if key in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
         else:

@@ -53,12 +53,35 @@ _GOLD_KUF_SUM = 133.36001797326242
 _GOLD_R_SUM = 330.72390424878466
 _GOLD_R_17 = 1.2891879138256372
 
-# CPU-float64 goldens for the round-3 model families whose bf16/exp failure
-# modes CPU tests cannot see (coregion ICM, sum-of-kernels, additive,
-# streaming assimilation) plus the m=16384 matrix-free CG solve. Cases live
-# in vggp_tpu/utils/smoke_cases.py; regenerate these constants with
-# tools/gen_family_goldens.py after any numerics change to those paths.
-_GOLD_FAMILIES = {
+# Goldens for the round-3 model families whose bf16/exp failure modes CPU
+# tests cannot see (coregion ICM, sum-of-kernels, additive, streaming
+# assimilation) plus the m=16384 matrix-free CG solve. Cases live in
+# vggp_tpu/utils/smoke_cases.py; regenerate with tools/gen_family_goldens.py
+# after any numerics change to those paths.
+#
+# TWO TIERS. The ASSERTED check is device-f32 vs CPU-f32 goldens — same
+# dtype, so it isolates exactly the device effects (bf16-default matmuls,
+# TPU exp error) the smoke exists to catch. The f64 gaps are RECORDED but
+# not asserted: these collapsed ELBOs are genuinely ill-conditioned in
+# float32 (measured CPU-f32-vs-f64: additive_elbo 6.2%, sum_elbo 0.5%,
+# coregion_elbo 0.23% — pure dtype conditioning, identical off-device), so
+# an f64 bound tight enough to catch device bugs would be impossible and a
+# loose one would assert nothing.
+_GOLD_FAMILIES_F32 = {
+    "coregion_elbo": -47.59423828125,
+    "coregion_qv_mean_sum": 0.427493691444397,
+    "coregion_qv_var_sum": 0.0009293855400756001,
+    "sum_elbo": -72.27989196777344,
+    "sum_post_mean_sum": 3.5802884101867676,
+    "sum_post_var_sum": 1.1309404373168945,
+    "additive_elbo": 6.7396087646484375,
+    "additive_qv_mean_sum": 0.22462376952171326,
+    "additive_qv_var_sum": 7.233110954985023e-05,
+    "streaming_post_mean_sum": 1.4756808280944824,
+    "streaming_post_var_sum": 0.06081078574061394,
+    "cg_qv_abs_sum": 0.6034155488014221,
+}
+_GOLD_FAMILIES_F64 = {
     "coregion_elbo": -47.485966495554294,
     "coregion_qv_mean_sum": 0.42749339860245494,
     "coregion_qv_var_sum": 0.0009221060452785777,
@@ -72,10 +95,9 @@ _GOLD_FAMILIES = {
     "streaming_post_var_sum": 0.05895930264182915,
     "cg_qv_abs_sum": 0.6034675343733363,
 }
-# Per-row relative-error bounds. ELBOs/means ride the "high" (bf16x3) matmul
-# path with "highest" whitening — ~1e-4-relative historically; var sums see
-# the Titsias cancellation (looser); the f32 CG stops at a ~6e-6 relative
-# residual, which maps to ~1e-3 on the solution functional.
+# Per-row bounds on |device_f32 − cpu_f32| / |cpu_f32|. ELBO/mean rows ride
+# the "high" (bf16x3) matmul path with "highest" whitening; var sums see the
+# Titsias cancellation (looser); the f32 CG is iteration-path sensitive.
 _FAMILY_TOL = {
     "coregion_qv_var_sum": 2e-2,
     "sum_post_var_sum": 5e-3,
@@ -83,7 +105,7 @@ _FAMILY_TOL = {
     "streaming_post_var_sum": 5e-3,
     "cg_qv_abs_sum": 5e-3,
 }
-_FAMILY_TOL_DEFAULT = 1e-3
+_FAMILY_TOL_DEFAULT = 2e-3
 
 
 def smoke() -> dict:
@@ -248,9 +270,11 @@ def smoke() -> dict:
     fam = jax.device_get(jax.jit(compute_fam)(*fam_args))
     compute_cg, cg_args = cg_case(jnp.float32)
     fam["cg_qv_abs_sum"] = jax.device_get(jax.jit(compute_cg)(*cg_args))
-    for k, gold in _GOLD_FAMILIES.items():
+    for k, gold in _GOLD_FAMILIES_F32.items():
         err = abs(float(fam[k]) - gold) / max(abs(gold), 1e-12)
         rec[f"fam_{k}_err"] = err
+        g64 = _GOLD_FAMILIES_F64[k]
+        rec[f"fam_{k}_f64_gap"] = abs(float(fam[k]) - g64) / max(abs(g64), 1e-12)
         tol = _FAMILY_TOL.get(k, _FAMILY_TOL_DEFAULT)
         assert err < tol, f"family smoke failed: {k} rel err {err} >= {tol}"
     return rec

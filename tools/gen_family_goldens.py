@@ -23,11 +23,13 @@ from vggp_tpu.utils.smoke_cases import cg_case, family_values  # noqa: E402
 
 
 if __name__ == "__main__":
-    compute, args = family_values(jnp.float64)
-    vals = compute(*args)
-    cg_compute, cg_args = cg_case(jnp.float64)
-    vals["cg_qv_abs_sum"] = cg_compute(*cg_args)
-    print("_GOLD_FAMILIES = {")
-    for k, v in vals.items():
-        print(f"    \"{k}\": {float(v)!r},")
-    print("}")
+    for dtype, name in ((jnp.float32, "_GOLD_FAMILIES_F32"),
+                        (jnp.float64, "_GOLD_FAMILIES_F64")):
+        compute, args = family_values(dtype)
+        vals = jax.jit(compute)(*args)
+        cg_compute, cg_args = cg_case(dtype)
+        vals["cg_qv_abs_sum"] = jax.jit(cg_compute)(*cg_args)
+        print(name + " = {")
+        for k, v in vals.items():
+            print(f"    \"{k}\": {float(v)!r},")
+        print("}")

@@ -64,13 +64,23 @@ STRUCTURED_FINV: bool = True
 # (ops.pallas_kernels.fused_banded_whiten_kuf): the (m, n) Kuf and ∂Kuf/∂ℓ
 # tiles are built in VMEM and contracted against the structured F⁻¹ blocks
 # on the MXU without ever materializing in HBM — removes a write + two
-# reads of two (m, n) arrays per axis per training step. Measured NEUTRAL-
-# to-slightly-slower at the 512²/4096 bench (same-process A/B: 1190 vs
-# 1221 steps/s — XLA's schedule already hides that HBM traffic behind MXU
-# work, and the monolithic kernel pipelines worse), so OFF by default;
-# numerically validated on-device every bench run (SMOKE.json
-# fused_whiten_{a,t}_err). May win at larger m or on HBM-poorer parts.
-FUSED_WHITEN_KUF: bool = False
+# reads of two (m, n) arrays per axis per training step. Batch-dependent
+# (same-session A/Bs at the 512² workload, v5e): NEUTRAL-to-slightly-
+# slower at batch 4096 (1190 vs 1221 steps/s — XLA's schedule already
+# hides that HBM traffic behind MXU work), but the (512, n) block round
+# trips dominate at large batch: +5% at 16384 (389 vs 370 steps/s) and
+# +10% at 65536 (97.1 vs 88.0). "auto" enables the fusion at
+# n ≥ FUSED_WHITEN_MIN_POINTS; True/False force it for A/Bs. Numerically
+# validated on-device every bench run (SMOKE.json fused_whiten_{a,t}_err).
+FUSED_WHITEN_KUF: bool | str = "auto"
+FUSED_WHITEN_MIN_POINTS: int = 16384
+
+
+def fused_whiten_enabled(n: int) -> bool:
+    mode = FUSED_WHITEN_KUF
+    if mode == "auto":
+        return n >= FUSED_WHITEN_MIN_POINTS
+    return bool(mode)
 
 # Toeplitz circulant matvec FFT backend (ops.toeplitz.sym_toeplitz_matvec):
 # "auto" uses jnp.fft.rfft on CPU/GPU and the complex-free (re, im)-pair

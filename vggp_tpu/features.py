@@ -1316,9 +1316,10 @@ class CellIntegralFeature(AxisFeature):
         where the factor genuinely isn't banded)."""
         from vggp_tpu import config
 
-        if kind != "matern12" or ratio is None or not config.FUSED_WHITEN_KUF:
-            return None
         x = jnp.reshape(x, (-1,))
+        if (kind != "matern12" or ratio is None
+                or not config.fused_whiten_enabled(x.shape[0])):
+            return None
         from vggp_tpu.ops.kms import BAND_BLOCK
 
         if (self.m % BAND_BLOCK != 0 or self.m // BAND_BLOCK < 2

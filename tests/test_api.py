@@ -442,3 +442,18 @@ def test_marginalized_facade_widen_variances(data1d):
     assert m._laplace is not None
     m.fit(X, y, n_iters=2)
     assert m._laplace is None
+
+
+def test_pathwise_iterative_facade(data1d):
+    """Matrix-free q_v with uncertainty through the facade: moments track
+    the dense q_v head on a dense-feasible model."""
+    X, y = data1d
+    m = GP.gridded(32, (0.0, 1.0)).fit(X, y, n_iters=40, learning_rate=0.05)
+    grids = (CellIntegralFeature.from_lims(6, 0.0, 1.0),)
+    dense = m.q_v(grids)
+    pw = m.q_v_pathwise_iterative(grids, n_samples=512, n_features=2048, seed=3)
+    w_var = np.asarray(dense.var)
+    np.testing.assert_allclose(np.asarray(pw.mean), np.asarray(dense.mean),
+                               atol=5.0 * float(np.max(np.sqrt(w_var / 512))))
+    np.testing.assert_allclose(np.asarray(pw.var), w_var, rtol=0.3,
+                               atol=1e-6 * float(np.max(w_var)))

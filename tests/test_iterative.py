@@ -192,3 +192,58 @@ def test_iterative_rejects_coregion():
     p = spec.init_params(jnp.float64)
     with pytest.raises(ValueError, match="coregion"):
         iterative.solve_w(spec, p, jnp.zeros((4, 2)), jnp.zeros(4))
+
+
+def test_pathwise_qv_moments_match_dense_1d():
+    """Matrix-free pathwise q(v): empirical mean/var over S draws must match
+    the dense sgpr.q_v moments (the Matheron update with the DTC-projected
+    residual reproduces the Titsias covariance exactly — the only slack is
+    MC error ~ sqrt(2/S) and the F-feature prior path)."""
+    import jax
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(np.sort(rng.uniform(size=70)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x)) + 0.1 * rng.standard_normal(70))
+    feat = features.CellIntegralFeature.from_lims(24, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.2)},),
+         "noise": jnp.asarray(0.05)}
+    grids = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),)
+    want = sgpr.q_v(spec, p, x, y, grids, full_cov=False)
+    got = iterative.q_v_pathwise(spec, p, x, y, grids, jax.random.PRNGKey(0),
+                                 n_samples=1024, n_features=4096, tol=1e-10,
+                                 kuu_maxiter=4000)
+    w_mean, w_var = np.asarray(want.mean), np.asarray(want.var)
+    scale = np.sqrt(w_var + np.max(w_var))
+    # mean: MC std of the sample mean is sqrt(var/S) — 4-sigma bound
+    np.testing.assert_allclose(np.asarray(got.mean), w_mean,
+                               atol=4.0 * float(np.max(np.sqrt(w_var / 1024))))
+    # var: chi^2 concentration ~ sqrt(2/S) ≈ 4.4% relative; allow 20%
+    np.testing.assert_allclose(np.asarray(got.var), w_var, rtol=0.2,
+                               atol=1e-6 * float(np.max(w_var)))
+    assert np.all(np.asarray(got.var) > 0)
+
+
+def test_pathwise_qv_moments_match_dense_2d():
+    import jax
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.random((80, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.05 * rng.standard_normal(80))
+    feats = (features.CellIntegralFeature.from_lims(10, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(9, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats,
+                         jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(0.8), "lengthscale": jnp.asarray(0.3)},
+                  {"variance": jnp.asarray(1.1), "lengthscale": jnp.asarray(0.25)}),
+         "noise": jnp.asarray(0.04)}
+    grids = (features.CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    want = sgpr.q_v(spec, p, X, y, grids, full_cov=False)
+    got = iterative.q_v_pathwise(spec, p, X, y, grids, jax.random.PRNGKey(1),
+                                 n_samples=768, n_features=4096, tol=1e-10,
+                                 kuu_maxiter=4000)
+    w_var = np.asarray(want.var)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               atol=5.0 * float(np.max(np.sqrt(w_var / 768))))
+    np.testing.assert_allclose(np.asarray(got.var), w_var, rtol=0.25,
+                               atol=1e-6 * float(np.max(w_var)))

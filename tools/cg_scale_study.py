@@ -1,0 +1,117 @@
+"""Matrix-free scale study: CG gridded means + pathwise uncertainty at sizes
+no dense pipeline can represent.
+
+- 1D m = 262 144 cells (a dense B = I + AAᵀ would be 275 GB)
+- 2D 1024×1024 = 1 048 576 inducing cells
+- 512² pathwise q(v) draws (two CG solves per sample) for the uncertainty
+  field at a size whose dense q_v covariance path is the practical limit
+
+Writes results/scaling/cg.json. Timings are one jitted call each (CG is a
+lax.while_loop — a scan-of-solves would multiply minutes), forced by a
+device→host transfer; compile excluded via one warmup.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vggp_tpu.features import CellIntegralFeature
+from vggp_tpu.models import iterative, sgpr
+
+
+def timed(fn, *args):
+    out = jax.block_until_ready(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    return out, time.perf_counter() - t0
+
+
+def main():
+    print("backend:", jax.default_backend())
+    results = {}
+    rng = np.random.default_rng(0)
+
+    # --- 1D, m = 2^18 cells -------------------------------------------------
+    n = 2048
+    x = jnp.asarray(np.sort(rng.uniform(size=n)), jnp.float32)
+    y = jnp.asarray(np.sin(9 * np.asarray(x)) + 0.05 * rng.standard_normal(n),
+                    jnp.float32)
+    m1 = 262_144
+    spec1 = sgpr.SGPRSpec(kinds=("matern12",),
+                          features=(CellIntegralFeature.from_lims(m1, 0.0, 1.0),))
+    p1 = {"axes": ({"variance": jnp.asarray(1.0, jnp.float32),
+                    "lengthscale": jnp.asarray(0.2, jnp.float32)},),
+          "noise": jnp.asarray(0.05, jnp.float32)}
+    grid1 = (CellIntegralFeature.from_lims(24, 0.0, 1.0),)
+    f1 = jax.jit(lambda p: iterative.q_v_mean_cg(spec1, p, x, y, grid1,
+                                                 maxiter=800))
+    mean1, dt1 = timed(f1, p1)
+    truth1 = np.array([(np.cos(9 * a) - np.cos(9 * b)) / 9.0
+                       for a, b in zip(grid1[0].mesh[:-1], grid1[0].mesh[1:])])
+    corr1 = float(np.corrcoef(np.asarray(mean1), truth1)[0, 1])
+    results["cg_1d_m262144"] = {"m": m1, "n": n, "seconds": dt1,
+                                "corr_vs_truth": corr1}
+    print(f"1D m={m1}: q_v mean in {dt1:.2f}s, corr {corr1:.4f}")
+    assert corr1 > 0.99
+
+    # --- 2D, 1024 x 1024 = 1.05M inducing cells -----------------------------
+    n2 = 4096
+    X2 = jnp.asarray(rng.random((n2, 2)), jnp.float32)
+    y2 = jnp.asarray(np.sin(5 * np.asarray(X2[:, 0]))
+                     * np.cos(4 * np.asarray(X2[:, 1]))
+                     + 0.05 * rng.standard_normal(n2), jnp.float32)
+    feats2 = (CellIntegralFeature.from_lims(1024, 0.0, 1.0),
+              CellIntegralFeature.from_lims(1024, 0.0, 1.0))
+    spec2 = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats2)
+    p2 = {"axes": ({"variance": jnp.asarray(1.0, jnp.float32),
+                    "lengthscale": jnp.asarray(0.15, jnp.float32)},
+                   {"variance": jnp.asarray(1.0, jnp.float32),
+                    "lengthscale": jnp.asarray(0.15, jnp.float32)}),
+          "noise": jnp.asarray(0.05, jnp.float32)}
+    grid2 = (CellIntegralFeature.from_lims(16, 0.0, 1.0),
+             CellIntegralFeature.from_lims(16, 0.0, 1.0))
+    f2 = jax.jit(lambda p: iterative.q_v_mean_cg(spec2, p, X2, y2, grid2,
+                                                 maxiter=600))
+    mean2, dt2 = timed(f2, p2)
+    i1 = np.array([(np.cos(5 * a) - np.cos(5 * b)) / 5.0
+                   for a, b in zip(grid2[0].mesh[:-1], grid2[0].mesh[1:])])
+    i2 = np.array([(np.sin(4 * b) - np.sin(4 * a)) / 4.0
+                   for a, b in zip(grid2[1].mesh[:-1], grid2[1].mesh[1:])])
+    truth2 = np.kron(i1, i2)
+    corr2 = float(np.corrcoef(np.asarray(mean2), truth2)[0, 1])
+    results["cg_2d_1024x1024"] = {"m": 1024 * 1024, "n": n2, "seconds": dt2,
+                                  "corr_vs_truth": corr2}
+    print(f"2D 1024²={1024*1024}: q_v mean in {dt2:.2f}s, corr {corr2:.4f}")
+    assert corr2 > 0.98
+
+    # --- pathwise uncertainty at 512² (S = 32, two CG solves per draw) ------
+    feats3 = (CellIntegralFeature.from_lims(512, 0.0, 1.0),
+              CellIntegralFeature.from_lims(512, 0.0, 1.0))
+    spec3 = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats3)
+    f3 = jax.jit(lambda p, k: iterative.q_v_pathwise(
+        spec3, p, X2, y2, grid2, k, n_samples=32, n_features=1024,
+        maxiter=400, kuu_maxiter=800))
+    g3, dt3 = timed(f3, p2, jax.random.PRNGKey(5))
+    var3 = np.asarray(g3.var)
+    ok3 = bool(np.all(np.isfinite(var3)) and np.min(var3) > 0)
+    results["pathwise_2d_512x512_s32"] = {
+        "m": 512 * 512, "n_samples": 32, "seconds": dt3,
+        "var_finite_positive": ok3,
+        "mean_corr_vs_truth": float(np.corrcoef(np.asarray(g3.mean),
+                                                truth2)[0, 1]),
+    }
+    print(f"pathwise 512² S=32: {dt3:.2f}s, var ok {ok3}")
+    assert ok3
+
+    os.makedirs("results/scaling", exist_ok=True)
+    with open("results/scaling/cg.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

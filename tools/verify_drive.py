@@ -532,6 +532,21 @@ print(f"iterative CG on-device: m=16384 corr {cg_corr:.4f}; "
 assert cg_corr > 0.99, "CG posterior mean decorrelated from truth"
 assert cg_gap < 5e-3, "CG mean diverged from the dense pipeline on device"
 
+# matrix-free pathwise q_v UNCERTAINTY (two CG solves per draw): moments
+# must track the dense q_v at a dense-feasible size, on device, in f32
+qv_dense_m = jax.jit(lambda p: sgpr.q_v(spec_cgs, p, x_cg, y_cg, grid_cg,
+                                        full_cov=False))(p_cg)
+qv_pw = jax.jit(lambda p, k: _iter.q_v_pathwise(
+    spec_cgs, p, x_cg, y_cg, grid_cg, k, n_samples=256, n_features=2048,
+    maxiter=600, kuu_maxiter=1500))(p_cg, jax.random.PRNGKey(17))
+pw_mean_gap = float(np.abs(np.asarray(qv_pw.mean)
+                           - np.asarray(qv_dense_m.mean)).max())
+vr = np.asarray(qv_pw.var) / np.asarray(qv_dense_m.var)
+print(f"pathwise-CG q_v: mean gap {pw_mean_gap:.2e}, var ratio "
+      f"[{vr.min():.2f}, {vr.max():.2f}] (S=256)")
+assert pw_mean_gap < 6.0 * float(np.sqrt(np.asarray(qv_dense_m.var).max() / 256))
+assert 0.6 < vr.min() and vr.max() < 1.6, "pathwise variance off dense q_v"
+
 # SVGP warm serving: precompute state, warm heads == cold heads on-device
 st_w = jax.jit(lambda p: svgp.precompute(spec2, p))(p2)
 qv_warm = jax.jit(lambda p, s: svgp.q_v_from_state(

@@ -430,7 +430,8 @@ class GP:
 
     def q_v_mean_iterative(self, grid_axes=None) -> jnp.ndarray:
         """E_q[v] (gridded-product mean field) via the cached CG solve
-        (== ``q_v(...).mean``); means only — variances need a factorization."""
+        (== ``q_v(...).mean``); for matching matrix-free uncertainties see
+        :meth:`q_v_pathwise_iterative`."""
         if getattr(self, "_w", None) is None:
             self.solve_iterative()
         from vggp_tpu.models import iterative
@@ -439,6 +440,25 @@ class GP:
         fn = self._get(("cg_qv_mean", tuple(map(_feature_key, axes))), lambda s: jax.jit(
             lambda p, w: iterative.q_v_mean_from_w(s, p, axes, w)))
         return fn(self.params, self._w)
+
+    def q_v_pathwise_iterative(self, grid_axes=None, n_samples: int = 64,
+                               n_features: int = 1024, seed: int = 0,
+                               **cg_kwargs) -> Gaussian:
+        """Matrix-free gridded product WITH per-cell uncertainty: Matheron
+        posterior draws through CG solves (``iterative.q_v_pathwise``) —
+        exact moments up to MC error ~√(2/S), no (m, m) factorization, so
+        it serves grids far past :meth:`q_v`'s dense range."""
+        self._need_data()
+        from vggp_tpu.models import iterative
+
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("cg_qv_pathwise", tuple(map(_feature_key, axes)),
+                        n_samples, n_features, tuple(sorted(cg_kwargs.items()))),
+                       lambda s: jax.jit(
+            lambda p, X, y, k: iterative.q_v_pathwise(
+                s, p, X, y, axes, k, n_samples=n_samples,
+                n_features=n_features, **cg_kwargs)))
+        return fn(self.params, self._X, self._y, jax.random.PRNGKey(seed))
 
     # ------------------------------------------------------------------ #
     # Hyperparameter-posterior (Laplace) marginalized prediction

@@ -24,7 +24,10 @@ be 275 GB. The reference materializes every Kuu
 ``kronecker_structure.py:496,513``) and cannot represent these sizes at
 all. Uncertainty still requires a factorization — use the dense path (or
 subsampled grids) for variances; means are what the nb7-style monthly
-products plot.
+products plot — and :func:`pathwise_q_v_samples` / :func:`q_v_pathwise`
+now supply the per-cell UNCERTAINTY matrix-free too, via Matheron posterior
+function draws whose per-sample cost is two CG solves (exact moments up to
+MC error; derivation at the sampler).
 
 ``solve_w`` is public so a caller wanting BOTH the pointwise means and the
 gridded product pays the CG solve once:
@@ -38,6 +41,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from vggp_tpu.features import CellIntegralFeature
@@ -96,22 +100,20 @@ def _kuu_matvec_tensor(spec, params: Params, W: jnp.ndarray) -> jnp.ndarray:
     return W
 
 
-@common.highest_precision
-def solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
-            tol: float | None = None, maxiter: int = 1000) -> jnp.ndarray:
-    """w = (σ² Kuu + Kuf Kufᵀ)⁻¹ Kuf y via Jacobi-preconditioned CG.
+def _kuu_diag_flat(spec, params: Params) -> jnp.ndarray:
+    """diag(⊗ Kuu_i) as a flat (m,) vector."""
+    kdiag = None
+    for i in range(spec.ndim):
+        di = spec.features[i].kuu_diag(spec.kinds[i], common.axis_params(params, i))
+        kdiag = di if kdiag is None else (kdiag[:, None] * di[None, :]).reshape(-1)
+    return kdiag
 
-    Any number of Kronecker axes; w returns FLAT (m,) in the numpy.kron
-    row-major index convention. ``tol=None`` → the dtype-aware ``cg_solve``
-    default (a fixed 1e-8 is unreachable in f32 and would silently burn all
-    ``maxiter`` iterations).
-    """
-    _check_spec(spec)
+
+def _g_solver(spec, params: Params, blocks, tol, maxiter):
+    """Preconditioned-CG solver for G = σ²Kuu + Kuf Kufᵀ; returns a function
+    rhs_flat (m,) → G⁻¹ rhs (m,), shared by the mean solve and the sampler."""
     p_noise = params["noise"]
-    y = jnp.reshape(y, (-1,))
-    blocks = _kuf_blocks(spec, params, X)
     shape = _axis_shape(spec)
-    b = _kuf_v(blocks, y).reshape(-1)
 
     def matvec(v):
         W = v.reshape(shape)
@@ -125,22 +127,37 @@ def solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     # ~ℓ/δ — the "preconditioner" then WORSENS conditioning by (ℓ/δ)².)
     # diag(Kuu) = ⊗ diag(Kuu_i); rowsum(Kuf²) = ⊗-contraction of per-axis
     # squared blocks (the Khatri–Rao rows square elementwise).
-    kdiag = None
-    for i in range(spec.ndim):
-        di = spec.features[i].kuu_diag(spec.kinds[i], common.axis_params(params, i))
-        kdiag = di if kdiag is None else (kdiag[:, None] * di[None, :]).reshape(-1)
     d_sub = ",".join(f"{_L[i]}n" for i in range(spec.ndim))
     rowsum = jnp.einsum(
         f"{d_sub}->{_L[:spec.ndim]}", *[bk * bk for bk in blocks]).reshape(-1)
-    d = p_noise * kdiag + rowsum
-    d = jnp.maximum(d, jnp.finfo(b.dtype).tiny)
+    d = p_noise * _kuu_diag_flat(spec, params) + rowsum
+    d = jnp.maximum(d, jnp.finfo(blocks[0].dtype).tiny)
     s = 1.0 / jnp.sqrt(d)
 
-    def matvec_pc(v):
-        return s * matvec(s * v)
+    def solve(b_flat):
+        def matvec_pc(v):
+            return s * matvec(s * v)
 
-    w_pc = cg_solve(matvec_pc, s * b, tol=tol, maxiter=maxiter)
-    return s * w_pc
+        return s * cg_solve(matvec_pc, s * b_flat, tol=tol, maxiter=maxiter)
+
+    return solve
+
+
+@common.highest_precision
+def solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+            tol: float | None = None, maxiter: int = 1000) -> jnp.ndarray:
+    """w = (σ² Kuu + Kuf Kufᵀ)⁻¹ Kuf y via Jacobi-preconditioned CG.
+
+    Any number of Kronecker axes; w returns FLAT (m,) in the numpy.kron
+    row-major index convention. ``tol=None`` → the dtype-aware ``cg_solve``
+    default (a fixed 1e-8 is unreachable in f32 and would silently burn all
+    ``maxiter`` iterations).
+    """
+    _check_spec(spec)
+    y = jnp.reshape(y, (-1,))
+    blocks = _kuf_blocks(spec, params, X)
+    b = _kuf_v(blocks, y).reshape(-1)
+    return _g_solver(spec, params, blocks, tol, maxiter)(b)
 
 
 @common.highest_precision
@@ -163,6 +180,107 @@ def q_v_mean_from_w(spec, params: Params,
     G = _L[d:2 * d].upper()
     sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
     return jnp.einsum(f"{_L[:d]},{sub}->{G}", W, *kvu_blocks).reshape(-1)
+
+
+# --------------------------------------------------------------------------- #
+# Matrix-free UNCERTAINTY: pathwise q(v) samples through CG solves.
+#
+# The mean heads above leave variances to the dense path; this closes that
+# gap with Matheron-style posterior function draws that never factorize
+# anything. Under Titsias's optimal q — equivalently the exact posterior of
+# the DTC linear model y = Kfu Kuu⁻¹ u + ε — a joint prior path with EXACT
+# inducing/grid functionals (sampling.prior_inducing_sample /
+# prior_grid_integral_sample: closed-form ∫cell e^{iωs}, no discretization)
+# updates as
+#
+#   v_s = v_prior + Kvu G⁻¹ Kuf (y − Kfuᵀ Kuu⁻¹ u_prior − ε_s),
+#   G = σ²Kuu + Kuf Kufᵀ,  ε_s ~ N(0, σ²I),
+#
+# using the push-through identity Kuu⁻¹Kuf(Qff + σ²I)⁻¹ = G⁻¹Kuf. The
+# resulting moments are EXACT (up to the F-feature prior-path approximation
+# and CG tolerance): E[v_s] = Kvu G⁻¹Kuf y = Kvu w, and
+# Cov[v_s] = Kvv − Kvu Kuu⁻¹ D G⁻¹ Kuv  (D = KufKufᵀ)
+#          = Kvv − KvuKuu⁻¹Kuv + KvuKuu⁻¹ S_u Kuu⁻¹Kuv  (S_u = σ²Kuu G⁻¹Kuu),
+# which is precisely the q(v) covariance sgpr.q_v computes densely. Cost per
+# sample: one CG solve on Kuu (structured matvecs) + one on G.
+# --------------------------------------------------------------------------- #
+
+
+@common.highest_precision
+def pathwise_q_v_samples(
+    spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature], key,
+    n_samples: int = 64, n_features: int = 1024,
+    tol: float | None = None, maxiter: int = 1000,
+    kuu_tol: float | None = None, kuu_maxiter: int = 2000,
+) -> jnp.ndarray:
+    """(S, ∏g_i) joint posterior draws of the gridded product, matrix-free.
+
+    ``n_features`` controls the RFF prior-path fidelity (the only
+    approximation besides CG tolerance); ``kuu_maxiter`` bounds the Kuu
+    solve, whose conditioning grows with (ℓ/δ)² — raise it for very smooth
+    fits on fine grids.
+    """
+    _check_spec(spec)
+    from vggp_tpu import sampling
+
+    y = jnp.reshape(y, (-1,))
+    blocks = _kuf_blocks(spec, params, X)
+    shape = _axis_shape(spec)
+    noise = params["noise"]
+    g_solve = _g_solver(spec, params, blocks, tol, maxiter)
+
+    kdiag = jnp.maximum(_kuu_diag_flat(spec, params),
+                        jnp.finfo(blocks[0].dtype).tiny)
+    s_k = 1.0 / jnp.sqrt(kdiag)
+
+    def kuu_solve(b_flat):
+        def mv(v):
+            W = (s_k * v).reshape(shape)
+            return s_k * _kuu_matvec_tensor(spec, params, W).reshape(-1)
+
+        return s_k * cg_solve(mv, s_k * b_flat, tol=kuu_tol,
+                              maxiter=kuu_maxiter)
+
+    d = spec.ndim
+    G = _L[d:2 * d].upper()
+    sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        om, ph, amp = sampling.prior_paths(k1, spec, params, n_features)
+        u_p = sampling.prior_inducing_sample(om, ph, amp, spec, params)
+        v_p = sampling.prior_grid_integral_sample(om, ph, amp, grid_axes)
+        t = kuu_solve(u_p.reshape(-1)).reshape(shape)
+        f_proj = _kufT_w(blocks, t)       # DTC-projected prior path at data
+        eps = jnp.sqrt(noise) * jax.random.normal(k2, y.shape, y.dtype)
+        alpha = g_solve(
+            _kuf_v(blocks, y - f_proj - eps).reshape(-1)).reshape(shape)
+        corr = jnp.einsum(f"{_L[:d]},{sub}->{G}", alpha, *kvu_blocks)
+        return (v_p + corr).reshape(-1)
+
+    keys = jax.random.split(key, n_samples)
+    return jax.vmap(one)(keys)
+
+
+def q_v_pathwise(
+    spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature], key,
+    n_samples: int = 64, n_features: int = 1024, **cg_kwargs,
+):
+    """Gaussian(mean, var) moment summary of :func:`pathwise_q_v_samples` —
+    the matrix-free analogue of ``sgpr.q_v(..., full_cov=False)`` for grids
+    whose (m, m) factorization is impossible. Var is the unbiased
+    sample variance: MC-accurate to ~√(2/S) relative."""
+    from vggp_tpu.models.common import Gaussian
+
+    samples = pathwise_q_v_samples(spec, params, X, y, grid_axes, key,
+                                   n_samples=n_samples,
+                                   n_features=n_features, **cg_kwargs)
+    mean = jnp.mean(samples, axis=0)
+    var = jnp.var(samples, axis=0, ddof=1)
+    return Gaussian(mean=mean, var=var)
 
 
 def posterior_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,

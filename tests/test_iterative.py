@@ -247,3 +247,116 @@ def test_pathwise_qv_moments_match_dense_2d():
                                atol=5.0 * float(np.max(np.sqrt(w_var / 768))))
     np.testing.assert_allclose(np.asarray(got.var), w_var, rtol=0.25,
                                atol=1e-6 * float(np.max(w_var)))
+
+
+def test_pcg_identity_matches_cg(rng):
+    from vggp_tpu.ops.cg import pcg_solve
+    a = rng.normal(size=(20, 20))
+    A = jnp.asarray(a @ a.T + 20 * np.eye(20))
+    b = jnp.asarray(rng.normal(size=20))
+    x_pcg = np.asarray(pcg_solve(lambda v: A @ v, b, lambda r: r, tol=1e-12))
+    x_cg = np.asarray(cg_solve(lambda v: A @ v, b, tol=1e-12))
+    np.testing.assert_allclose(x_pcg, x_cg, rtol=1e-9, atol=1e-11)
+
+
+def test_pcg_good_preconditioner_cuts_iterations(rng):
+    from vggp_tpu.ops.cg import pcg_solve
+    a = rng.normal(size=(60, 60))
+    A = np.asarray(a @ a.T + 0.1 * np.eye(60))
+    A = A + np.diag(np.geomspace(1.0, 1e6, 60))      # badly conditioned
+    Ainv = np.linalg.inv(A + 1e-3 * np.eye(60))       # near-exact M⁻¹
+    b = jnp.asarray(rng.normal(size=60))
+    Aj = jnp.asarray(A)
+    x, it_pc, _ = pcg_solve(lambda v: Aj @ v, b,
+                            lambda r: jnp.asarray(Ainv) @ r,
+                            tol=1e-10, return_info=True)
+    _, it_id, _ = pcg_solve(lambda v: Aj @ v, b, lambda r: r,
+                            tol=1e-10, maxiter=10_000, return_info=True)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, np.asarray(b)),
+                               rtol=1e-6, atol=1e-8)
+    assert int(it_pc) < 10 and int(it_pc) * 5 < int(it_id)
+
+
+def test_kms_woodbury_precond_converges_fast_when_stiff():
+    """The ℓ/δ ≫ 1 regime that runs Jacobi-CG to its iteration cap: with the
+    KMS-Woodbury preconditioner (M == G up to the O(δ/ℓ) η terms) a 30-iter
+    budget must reach the dense answer; with Jacobi it must not (that is
+    exactly why this preconditioner exists)."""
+    from vggp_tpu import config
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.sort(rng.uniform(size=128)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)) + 0.05 * rng.standard_normal(128))
+    m = 2048                          # δ = 1/2048, ℓ = 0.5 → ℓ/δ = 1024
+    feat = features.CellIntegralFeature.from_lims(m, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.5)},),
+         "noise": jnp.asarray(0.01)}
+    grids = (features.CellIntegralFeature.from_lims(10, 0.0, 1.0),)
+    want = np.asarray(sgpr.q_v(spec, p, x, y, grids, full_cov=False).mean)
+    assert config.CG_KMS_PRECOND
+    got_kms = np.asarray(iterative.q_v_mean_cg(spec, p, x, y, grids,
+                                               tol=1e-11, maxiter=30))
+    err_kms = np.abs(got_kms - want).max()
+    try:
+        config.CG_KMS_PRECOND = False
+        got_jac = np.asarray(iterative.q_v_mean_cg(spec, p, x, y, grids,
+                                                   tol=1e-11, maxiter=30))
+    finally:
+        config.CG_KMS_PRECOND = True
+    err_jac = np.abs(got_jac - want).max()
+    scale = np.abs(want).max()
+    assert err_kms < 1e-8 * scale, err_kms
+    assert err_jac > 100 * max(err_kms, 1e-14), (err_jac, err_kms)
+
+
+def test_kms_precond_2d_and_pathwise_still_exact():
+    """2D: the Hadamard-factored Woodbury S must leave answers identical to
+    the dense pipeline (the preconditioner changes the path, not the
+    solution)."""
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.random((70, 2)))
+    y = jnp.asarray(np.sin(5 * np.asarray(X[:, 0])) + 0.05 * rng.standard_normal(70))
+    feats = (features.CellIntegralFeature.from_lims(64, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(48, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats,
+                         jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.4)},
+                  {"variance": jnp.asarray(0.9), "lengthscale": jnp.asarray(0.3)}),
+         "noise": jnp.asarray(0.02)}
+    grids = (features.CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    want = np.asarray(sgpr.q_v(spec, p, X, y, grids, full_cov=False).mean)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-12,
+                                           maxiter=2000))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-10)
+
+
+def test_kms_precond_f32_substiff_falls_back_finite():
+    """f32 + u = δ/ℓ below the √eps boundary: the tridiagonal KMS⁻¹ apply is
+    pure rounding noise amplified by 1/γ (measured NaN on device before the
+    gate). The runtime u-gate must select Jacobi and produce the same finite
+    answer the plain-Jacobi config gives."""
+    from vggp_tpu import config
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(np.sort(rng.uniform(size=128)), jnp.float32)
+    y = jnp.asarray(np.sin(5 * np.asarray(x))
+                    + 0.05 * rng.standard_normal(128), jnp.float32)
+    feat = features.CellIntegralFeature.from_lims(8192, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,))
+    p = {"axes": ({"variance": jnp.asarray(1.0, jnp.float32),
+                   "lengthscale": jnp.asarray(0.2, jnp.float32)},),
+         "noise": jnp.asarray(0.05, jnp.float32)}   # u = 6.1e-4 < 5·√eps_f32
+    grids = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, x, y, grids, maxiter=400))
+    assert np.all(np.isfinite(got))
+    try:
+        config.CG_KMS_PRECOND = False
+        want = np.asarray(iterative.q_v_mean_cg(spec, p, x, y, grids,
+                                                maxiter=400))
+    finally:
+        config.CG_KMS_PRECOND = True
+    # the gated path runs PCG (Jacobi selected) vs cg_solve's symmetric
+    # scaling — same math, different f32 iteration path
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)

@@ -82,6 +82,26 @@ def fused_whiten_enabled(n: int) -> bool:
         return n >= FUSED_WHITEN_MIN_POINTS
     return bool(mode)
 
+# KMS preconditioners for the matrix-free CG path (models.iterative): when
+# every axis is a uniform matern12 cell feature, Kuu = γ·KMS(ρ) + η·I
+# exactly and KMS⁻¹ is a closed tridiagonal, giving
+# (a) a near-exact ⊗(γ⁻¹KMS⁻¹) preconditioner for the sampler's Kuu solves
+#     (cond(Kuu) ~ (ℓ/δ)², where Jacobi is useless — measured 18× on the
+#     512² pathwise field, 29.4 s → 1.6 s on-chip), and
+# (b) a Woodbury preconditioner M = σ²·⊗(γᵢKMSᵢ) + KufKufᵀ for the G-solve
+#     (one (n, n) factorization + O(m) tridiagonal matvecs per apply).
+# (b) is DUAL-gated at runtime: the tridiagonal apply cancels to rounding
+# noise below u = δ/ℓ ≈ √eps (u-floor), and in the MILD regime (ℓ/δ small)
+# plain Jacobi already converges while CG with a strong preconditioner and
+# bf16x3 matvec noise measurably regresses (on-chip 1024²: corr 0.9997
+# Jacobi vs 0.984 Woodbury) — so (b) engages only past CG_KMS_MIN_STIFFNESS
+# = max-axis ℓ/δ, the regime where Jacobi genuinely fails (f64 oracle: 30
+# Woodbury iterations reach 1e-8 at ℓ/δ = 1024 where Jacobi-30 is 100×
+# off). The (n, n) build is gated off above CG_KMS_MAX_POINTS.
+CG_KMS_PRECOND: bool = True
+CG_KMS_MAX_POINTS: int = 8192
+CG_KMS_MIN_STIFFNESS: float = 512.0
+
 # Toeplitz circulant matvec FFT backend (ops.toeplitz.sym_toeplitz_matvec):
 # "auto" uses jnp.fft.rfft on CPU/GPU and the complex-free (re, im)-pair
 # radix-2 FFT (ops.realfft) on any "tpu" backend — the axon remote-TPU

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -109,9 +111,96 @@ def _kuu_diag_flat(spec, params: Params) -> jnp.ndarray:
     return kdiag
 
 
+def _kms_precond_eligible(spec, n: int) -> bool:
+    """Static gate for the KMS-Woodbury preconditioner (see config)."""
+    from vggp_tpu import config
+
+    if not config.CG_KMS_PRECOND or n > config.CG_KMS_MAX_POINTS:
+        return False
+    return all(
+        kind == "matern12"
+        and isinstance(feat, CellIntegralFeature)
+        and feat.uniform
+        for kind, feat in zip(spec.kinds, spec.features)
+    )
+
+
+def _kms_woodbury_precond(spec, params: Params, blocks):
+    """M⁻¹ for M = σ²·⊗(γᵢ KMS(ρᵢ)) + Kuf Kufᵀ — a near-exact surrogate of
+    G (they differ by the O(δ/ℓ)-relative η·I terms of the exact
+    decomposition Kuu = γ·KMS(ρ) + η·I, ops/kms.py).
+
+    Woodbury: M⁻¹r = M₀⁻¹r − M₀⁻¹Kuf S⁻¹ Kufᵀ M₀⁻¹ r with
+    S = I + Kufᵀ M₀⁻¹ Kuf. Every M₀⁻¹ apply is per-axis closed-form
+    TRIDIAGONAL matvecs (no solve, O(m)); S is built once from the
+    Hadamard product of per-axis (n, n) quadratic forms (the Khatri–Rao
+    columns factor the kron inverse) and Cholesky-factorized once.
+    """
+    from jax.scipy.linalg import cho_solve
+
+    from vggp_tpu.ops import safe_cholesky
+    from vggp_tpu.ops.kms import kms_gamma_rho, kms_tinv_matvec
+
+    p_noise = params["noise"]
+    shape = _axis_shape(spec)
+    n = blocks[0].shape[1]
+
+    u_floor = 5.0 * float(np.sqrt(np.finfo(blocks[0].dtype).eps))
+    axes = []
+    gam_total = p_noise
+    for i in range(spec.ndim):
+        p = common.axis_params(params, i)
+        gamma, rho, s2 = kms_gamma_rho(spec.features[i].delta,
+                                       p["variance"], p["lengthscale"],
+                                       u_floor=u_floor)
+        gam_total = gam_total * gamma
+        axes.append((rho, s2))
+
+    def m0_inv(W):
+        for i, (rho, s2) in enumerate(axes):
+            Wm = jnp.moveaxis(W, i, 0)
+            sh = Wm.shape
+            out = kms_tinv_matvec(rho, s2, Wm.reshape(sh[0], -1))
+            W = jnp.moveaxis(out.reshape(sh), 0, i)
+        return W / gam_total
+
+    # Matmul precision is pinned to 6-pass f32 here: the Woodbury output is
+    # the small difference of two ~‖M₀⁻¹r‖-sized terms, and on TPU the
+    # ambient bf16(x3) default puts enough noise on the S build and the
+    # (m, n) contractions to flip b·M⁻¹b negative — PCG's SPD guard then
+    # exits on iteration 1 (measured on-device at 1024²/n=4096; CPU f32 is
+    # fine). The preconditioner is ~2 matvec-equivalents per iteration, so
+    # the 6-pass cost is bounded.
+    had = None
+    for (rho, s2), Bi in zip(axes, blocks):
+        Gi = jnp.matmul(Bi.T, kms_tinv_matvec(rho, s2, Bi),
+                        precision="highest")            # (n, n)
+        had = Gi if had is None else had * Gi
+    S = jnp.eye(n, dtype=had.dtype) + had / gam_total
+    LS = safe_cholesky(S, 1e-10)
+    d = len(blocks)
+    sub = ",".join(f"{_L[i]}n" for i in range(d))
+
+    def minv(r_flat):
+        W = m0_inv(r_flat.reshape(shape))
+        q = jnp.einsum(f"{_L[:d]},{sub}->n", W, *blocks,
+                       precision="highest")
+        t = cho_solve((LS, True), q)
+        W2 = m0_inv(jnp.einsum(f"n,{sub}->{_L[:d]}", t, *blocks,
+                               precision="highest"))
+        return (W - W2).reshape(-1)
+
+    return minv
+
+
 def _g_solver(spec, params: Params, blocks, tol, maxiter):
     """Preconditioned-CG solver for G = σ²Kuu + Kuf Kufᵀ; returns a function
-    rhs_flat (m,) → G⁻¹ rhs (m,), shared by the mean solve and the sampler."""
+    rhs_flat (m,) → G⁻¹ rhs (m,), shared by the mean solve and the sampler.
+
+    Preconditioner choice (static): the KMS-Woodbury M⁻¹ when every axis is
+    a uniform matern12 cell feature (near-exact — a handful of iterations
+    at ANY ℓ/δ), Jacobi diagonal scaling otherwise.
+    """
     p_noise = params["noise"]
     shape = _axis_shape(spec)
 
@@ -132,6 +221,47 @@ def _g_solver(spec, params: Params, blocks, tol, maxiter):
         f"{d_sub}->{_L[:spec.ndim]}", *[bk * bk for bk in blocks]).reshape(-1)
     d = p_noise * _kuu_diag_flat(spec, params) + rowsum
     d = jnp.maximum(d, jnp.finfo(blocks[0].dtype).tiny)
+
+    if _kms_precond_eligible(spec, blocks[0].shape[1]):
+        # KMS-Woodbury where the dtype can represent the stiffness; Jacobi
+        # where it cannot. The gate is a RUNTIME scalar (u = δ/ℓ with a
+        # traced ℓ) so both preconditioner applies run each iteration and a
+        # jnp.where selects — a lax.cond would evaluate both branches under
+        # the sampler's vmap anyway, and the losing apply is at most the
+        # cost of one extra G-matvec. Selection is constant across a solve,
+        # so the effective M stays one SPD matrix (CG requirement). The
+        # u-floor clamp inside the build keeps the UNSELECTED KMS branch
+        # finite (NaN would leak through jnp.where).
+        from vggp_tpu.ops.cg import pcg_solve
+
+        from vggp_tpu import config
+
+        u_floor = 5.0 * float(np.sqrt(np.finfo(blocks[0].dtype).eps))
+        u_min = None
+        for i in range(spec.ndim):
+            p_ax = common.axis_params(params, i)
+            u_i = spec.features[i].delta / p_ax["lengthscale"]
+            u_min = u_i if u_min is None else jnp.minimum(u_min, u_i)
+        # dual gate: representable stiffness (u-floor) AND — in f32, where
+        # the bf16x3 device matvec noise makes CG with a strong
+        # preconditioner regress in mild regimes (config) — stiff enough
+        # that Jacobi actually struggles. f64 CG is noise-free enough that
+        # the Woodbury wins at every stiffness (Jacobi stalls at ~2e-4
+        # relative even on mild 2-D problems; the Woodbury reaches 1e-7).
+        use_kms = u_min >= u_floor
+        if blocks[0].dtype == jnp.float32:
+            use_kms = use_kms & (u_min <= 1.0 / config.CG_KMS_MIN_STIFFNESS)
+        minv_kms = _kms_woodbury_precond(spec, params, blocks)
+
+        def precond(r):
+            return jnp.where(use_kms, minv_kms(r), r / d)
+
+        def solve(b_flat):
+            return pcg_solve(matvec, b_flat, precond, tol=tol,
+                             maxiter=maxiter)
+
+        return solve
+
     s = 1.0 / jnp.sqrt(d)
 
     def solve(b_flat):
@@ -232,15 +362,57 @@ def pathwise_q_v_samples(
 
     kdiag = jnp.maximum(_kuu_diag_flat(spec, params),
                         jnp.finfo(blocks[0].dtype).tiny)
-    s_k = 1.0 / jnp.sqrt(kdiag)
+    if _kms_precond_eligible(spec, 0):
+        # Kuu = ⊗(γᵢKMSᵢ + ηᵢI): precondition with ⊗(γᵢ⁻¹ KMSᵢ⁻¹) — exact
+        # up to the O(δ/ℓ)-relative η terms, all closed tridiagonal
+        # matvecs; same runtime u-gate/where-blend vs Jacobi as _g_solver
+        # (the tridiag apply cancels to rounding noise below u ≈ √eps).
+        from vggp_tpu.ops.cg import pcg_solve
+        from vggp_tpu.ops.kms import kms_gamma_rho, kms_tinv_matvec
 
-    def kuu_solve(b_flat):
-        def mv(v):
-            W = (s_k * v).reshape(shape)
-            return s_k * _kuu_matvec_tensor(spec, params, W).reshape(-1)
+        k_ufloor = 5.0 * float(np.sqrt(np.finfo(blocks[0].dtype).eps))
+        k_axes = []
+        k_gam = 1.0
+        k_umin = None
+        for i in range(spec.ndim):
+            p_ax = common.axis_params(params, i)
+            gamma, rho, s2 = kms_gamma_rho(spec.features[i].delta,
+                                           p_ax["variance"],
+                                           p_ax["lengthscale"],
+                                           u_floor=k_ufloor)
+            k_gam = k_gam * gamma
+            k_axes.append((rho, s2))
+            u_i = spec.features[i].delta / p_ax["lengthscale"]
+            k_umin = u_i if k_umin is None else jnp.minimum(k_umin, u_i)
+        k_use = k_umin >= k_ufloor
 
-        return s_k * cg_solve(mv, s_k * b_flat, tol=kuu_tol,
-                              maxiter=kuu_maxiter)
+        def kuu_minv(r_flat):
+            W = r_flat.reshape(shape)
+            for i, (rho, s2) in enumerate(k_axes):
+                Wm = jnp.moveaxis(W, i, 0)
+                sh = Wm.shape
+                out = kms_tinv_matvec(rho, s2, Wm.reshape(sh[0], -1))
+                W = jnp.moveaxis(out.reshape(sh), 0, i)
+            return jnp.where(k_use, (W / k_gam).reshape(-1),
+                             r_flat / kdiag)
+
+        def kuu_solve(b_flat):
+            def mv(v):
+                return _kuu_matvec_tensor(
+                    spec, params, v.reshape(shape)).reshape(-1)
+
+            return pcg_solve(mv, b_flat, kuu_minv, tol=kuu_tol,
+                             maxiter=kuu_maxiter)
+    else:
+        s_k = 1.0 / jnp.sqrt(kdiag)
+
+        def kuu_solve(b_flat):
+            def mv(v):
+                W = (s_k * v).reshape(shape)
+                return s_k * _kuu_matvec_tensor(spec, params, W).reshape(-1)
+
+            return s_k * cg_solve(mv, s_k * b_flat, tol=kuu_tol,
+                                  maxiter=kuu_maxiter)
 
     d = spec.ndim
     G = _L[d:2 * d].upper()

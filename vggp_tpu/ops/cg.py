@@ -75,3 +75,55 @@ def cg_solve(
     if return_info:
         return x, k, jnp.sqrt(jnp.dot(r, r) / bnorm2)
     return x
+
+
+def pcg_solve(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    precond: Callable[[jnp.ndarray], jnp.ndarray],
+    tol: float | None = None,
+    maxiter: int = 1000,
+    return_info: bool = False,
+):
+    """Preconditioned CG: solve A x = b given ``matvec`` and an SPD
+    approximate-inverse ``precond`` (z = M⁻¹ r).
+
+    Same contracts as :func:`cg_solve` — relative-residual stop on the TRUE
+    residual ‖r‖ ≤ tol·‖b‖ (not the preconditioned one, so the answer
+    quality is independent of how good M is), dtype-aware default tol,
+    breakdown-safe exit. With ``precond = identity`` this IS cg_solve.
+    """
+    b = jnp.reshape(b, (-1,))
+    if tol is None:
+        tol = max(1e-8, 50.0 * float(jnp.finfo(b.dtype).eps))
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.dot(r, z)
+    bnorm2 = jnp.maximum(jnp.dot(b, b), jnp.finfo(b.dtype).tiny)
+    tol2 = (tol * tol) * bnorm2
+
+    def cond(state):
+        _, r, _, rz, k = state
+        return (jnp.dot(r, r) > tol2) & (rz > 0) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = matvec(p)
+        denom = jnp.dot(p, ap)
+        ok = denom > 0
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.where(ok, jnp.dot(r, z), jnp.zeros_like(rz))
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0)))
+    if return_info:
+        return x, k, jnp.sqrt(jnp.dot(r, r) / bnorm2)
+    return x

@@ -261,3 +261,53 @@ def banded_whiten_apply(finv, kuf, q, precision):
         return jnp.matmul(fi, B, precision=precision)
 
     return lax.cond(q < 0.7, banded, dense, (finv, kuf))
+
+
+# --------------------------------------------------------------------------- #
+# KMS tridiagonal-inverse pieces for the matrix-free (CG) path
+# --------------------------------------------------------------------------- #
+
+
+def kms_gamma_rho(delta, variance, lengthscale, u_cap: float = 30.0,
+                  u_floor: float = 0.0):
+    """(γ, ρ, 1−ρ²) of the exact decomposition Kuu = γ·KMS(ρ) + η·I.
+
+    Same stable forms as :func:`_tridiag_coefficients` (ρ via the expm1
+    series near 1; γ = c(1−ρ)²/ρ cancellation-free through ``expm1s``).
+    ``u = δ/ℓ`` is capped (γ grows like c·eᵘ and overflows f32 past u ≈ 88;
+    by the cap the Gram is numerically diagonal) AND floored: applying the
+    tridiagonal KMS⁻¹ to a smooth vector cancels to ~u²·|v|, so below
+    u ≈ √eps the apply is pure rounding noise amplified by 1/γ — measured
+    to destroy the Woodbury preconditioner outright in f32 at u ≲ 6e-4.
+    The only consumer is a PRECONDITIONER: a floored u builds the exact
+    factors of a coarser-grid surrogate Gram — still SPD, still a valid
+    (gracefully weaker) preconditioner, never garbage. Pass
+    ``u_floor = 5·√eps(dtype)`` (measured f32 boundary: healthy at
+    u = 2.4e-3, garbage at 6.1e-4).
+    """
+    u = jnp.clip(delta / lengthscale, u_floor, u_cap)
+    rho = jnp.where(u < 1.0, 1.0 + expm1s(-jnp.minimum(u, 1.0)),
+                    jnp.exp(-jnp.maximum(u, 1.0)))
+    omr = -expm1s(-u)                       # 1 − ρ
+    s2 = -expm1s(-2.0 * u)                  # 1 − ρ²
+    c = variance * lengthscale * lengthscale
+    gamma = c * omr * omr / rho
+    return gamma, rho, s2
+
+
+def kms_tinv_matvec(rho, s2, v: jnp.ndarray) -> jnp.ndarray:
+    """KMS(ρ)⁻¹ @ v via the closed tridiagonal inverse — O(m), no solve.
+
+    T⁻¹ = (1/(1−ρ²)) · tridiag(−ρ | 1+ρ², with corner diagonals 1).
+    ``v`` is (m,) or (m, k), applied along axis 0.
+    """
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    w = (1.0 + rho * rho) * v
+    w = w.at[0].add(-(rho * rho) * v[0])
+    w = w.at[-1].add(-(rho * rho) * v[-1])
+    w = w.at[1:].add(-rho * v[:-1])
+    w = w.at[:-1].add(-rho * v[1:])
+    out = w / s2
+    return out[:, 0] if squeeze else out

@@ -444,6 +444,67 @@ def test_marginalized_facade_widen_variances(data1d):
     assert m._laplace is None
 
 
+def test_laplace_cache_rebuilds_on_different_floor(data1d):
+    """A second laplace() call with a different min_eig_rel must rebuild,
+    not silently return the stale state (ADVICE r4)."""
+    X, y = data1d
+    m = GP.gridded(6, (0.0, 1.0)).fit(X, y, n_iters=40, learning_rate=0.05)
+    st1 = m.laplace(min_eig_rel=1e-8)
+    assert m.laplace(min_eig_rel=1e-8) is st1          # same floor: cached
+    st2 = m.laplace(min_eig_rel=1e-2)
+    assert st2 is not st1                               # new floor: rebuilt
+    assert m.laplace(min_eig_rel=1e-2) is st2
+
+
+def test_hmc_facade_marginalized_heads(data1d):
+    """GP.hmc() + method="hmc" marginalized heads (VERDICT r4 item 7):
+    the HMC mixture must agree with the Laplace mixture on this easy,
+    well-identified posterior, and the chain must mix."""
+    X, y = data1d
+    m = GP.gridded(8, (0.0, 1.0)).fit(X, y, n_iters=80, learning_rate=0.05)
+    res = m.hmc(n_samples=128, n_chains=2, n_warmup=48, seed=3)
+    assert 0.4 < float(res.accept_rate) <= 1.0
+    assert m.hmc(n_samples=128, n_chains=2, n_warmup=48, seed=3) is res  # cached
+    xs = jnp.linspace(0.1, 0.9, 7)
+    marg_l = m.predict_marginalized(xs, n_samples=48, seed=1)
+    marg_h = m.predict_marginalized(xs, n_samples=48, seed=1, method="hmc")
+    span = float(np.max(np.asarray(marg_l.mean)) - np.min(np.asarray(marg_l.mean)))
+    np.testing.assert_allclose(np.asarray(marg_h.mean), np.asarray(marg_l.mean),
+                               atol=0.15 * span)
+    assert np.all(np.asarray(marg_h.var) > 0)
+    q_h = m.q_v_marginalized(n_samples=32, seed=2, method="hmc")
+    assert q_h.mean.shape == m.q_v().mean.shape
+    assert np.all(np.isfinite(np.asarray(q_h.mean)))
+    with pytest.raises(ValueError, match="laplace.*hmc|hmc"):
+        m.predict_marginalized(xs, method="nuts")
+    # params change invalidates the chain
+    m.fit(X, y, n_iters=2)
+    assert m._hmc is None
+
+
+def test_iterative_gradient_head_facades(data1d):
+    """Matrix-free gridded-gradient and pointwise-gradient mean heads via
+    the facade == the dense heads (f32 CG stagnation tolerance)."""
+    X, y = data1d
+    m = GP.gridded(24, (0.0, 1.0), kinds="matern32").fit(
+        X, y, n_iters=40, learning_rate=0.05)
+    # gradient heads amplify the w error by ~1/l; push the f32 CG to its
+    # stagnation floor rather than the throughput-oriented default tol
+    m.solve_iterative(tol=1e-7, maxiter=4000)
+    grids = (CellIntegralFeature.from_lims(6, 0.0, 1.0),)
+    want = np.asarray(m.q_dv(grids, axis=0).mean)
+    got = np.asarray(m.q_dv_mean_iterative(grids, axis=0))
+    # facade params are f32: the CG solve stagnates ~1e-6 relative residual
+    # and the face-difference head amplifies the solution error to ~1%
+    scale = float(np.max(np.abs(want)))
+    np.testing.assert_allclose(got, want, atol=2e-2 * scale)
+    xs = jnp.linspace(0.1, 0.9, 9)
+    want_g = np.asarray(m.posterior_grad(xs, axis=0).mean)
+    got_g = np.asarray(m.predict_grad_mean_iterative(xs, axis=0))
+    np.testing.assert_allclose(got_g, want_g,
+                               atol=2e-2 * float(np.max(np.abs(want_g))))
+
+
 def test_pathwise_iterative_facade(data1d):
     """Matrix-free q_v with uncertainty through the facade: moments track
     the dense q_v head on a dense-feasible model."""

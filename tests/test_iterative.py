@@ -185,13 +185,151 @@ def test_2d_cg_scales_past_dense_range():
     assert np.corrcoef(mean, truth)[0, 1] > 0.98
 
 
-def test_iterative_rejects_coregion():
-    feats = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),
+def _mo_data(n=90, seed=5, noise=0.05):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 1.0, n))
+    task = rng.integers(0, 2, n)
+    f = np.sin(5.0 * x)
+    y = np.where(task == 0, f, 0.6 * f + 0.3) + noise * rng.standard_normal(n)
+    return (jnp.asarray(np.stack([x, task.astype(float)], axis=1)),
+            jnp.asarray(y))
+
+
+def _mo_spec(m=24, **kw):
+    feats = (features.CellIntegralFeature.from_lims(m, 0.0, 1.0),
              features.OutputFeature(n_outputs=2))
-    spec = sgpr.SGPRSpec(kinds=("matern12", "coregion"), features=feats)
+    return sgpr.SGPRSpec(kinds=("matern12", "coregion"), features=feats,
+                         jitter=1e-12, **kw)
+
+
+def test_coregion_cg_qv_and_posterior_match_dense_pipeline():
+    """Multi-output (ICM) spec through the matrix-free mean heads: the
+    coregion axis's dense (P, P) matvec is its structured form at P ≪ m
+    (VERDICT r4 item 5 — the exclusion had no mathematical reason)."""
+    X, y = _mo_data()
+    spec = _mo_spec()
     p = spec.init_params(jnp.float64)
-    with pytest.raises(ValueError, match="coregion"):
-        iterative.solve_w(spec, p, jnp.zeros((4, 2)), jnp.zeros(4))
+    grids = (features.CellIntegralFeature.from_lims(7, 0.0, 1.0),
+             features.OutputFeature(n_outputs=2))
+    want = np.asarray(sgpr.q_v(spec, p, X, y, grids, full_cov=False).mean)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-12,
+                                           maxiter=4000))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    want_f = np.asarray(sgpr.posterior(spec, p, X, y, X, full_cov=False).mean)
+    got_f = np.asarray(iterative.posterior_mean_cg(spec, p, X, y, X,
+                                                   tol=1e-12, maxiter=4000))
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-9)
+
+
+def test_coregion_cg_per_output_noise_and_mean_match_dense():
+    """Heteroscedastic per-output noise + learned per-output mean through
+    the weighted CG system (G = c·Kuu + Kuf R Kufᵀ) must reproduce the
+    dense factored pipeline, which routes through common.obs_noise /
+    mean_fn (ADVICE r4: iterative heads previously ignored both)."""
+    X, y = _mo_data(seed=9)
+    spec = _mo_spec(per_output_noise=True, learn_mean=True)
+    p = spec.init_params(jnp.float64)
+    p["noise"] = jnp.asarray([0.02, 0.09], jnp.float64)
+    p["mean"] = jnp.asarray([0.4, -0.2], jnp.float64)
+    grids = (features.CellIntegralFeature.from_lims(6, 0.0, 1.0),
+             features.OutputFeature(n_outputs=2))
+    want = np.asarray(sgpr.q_v(spec, p, X, y, grids, full_cov=False).mean)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, X, y, grids, tol=1e-13,
+                                           maxiter=6000))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    want_f = np.asarray(sgpr.posterior(spec, p, X, y, X, full_cov=False).mean)
+    got_f = np.asarray(iterative.posterior_mean_cg(spec, p, X, y, X,
+                                                   tol=1e-13, maxiter=6000))
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-9)
+
+
+def test_scalar_mean_fn_cg_matches_dense():
+    """learn_mean on a plain 1D spec: solve_w conditions on the residual and
+    the heads add m / ∫m back (regression for the r4 advisor finding)."""
+    X, y = _data()
+    feat = features.CellIntegralFeature.from_lims(32, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,),
+                         jitter=1e-12, learn_mean=True)
+    p = {"axes": ({**P, **feat.init_params(jnp.float64)},),
+         "noise": jnp.asarray(0.01), "mean": jnp.asarray(3.0)}
+    grids = (features.CellIntegralFeature.from_lims(9, 0.0, 1.0),)
+    want = np.asarray(sgpr.q_v(spec, p, X, y + 3.0, grids, full_cov=False).mean)
+    got = np.asarray(iterative.q_v_mean_cg(spec, p, X, y + 3.0, grids,
+                                           tol=1e-12))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    xs = jnp.asarray(np.linspace(0.05, 0.95, 21))
+    want_f = np.asarray(sgpr.posterior(spec, p, X, y + 3.0, xs,
+                                       full_cov=False).mean)
+    got_f = np.asarray(iterative.posterior_mean_cg(spec, p, X, y + 3.0, xs,
+                                                   tol=1e-12))
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-6, atol=1e-9)
+
+
+def test_qdv_mean_cg_matches_dense_pipeline_2d():
+    """Matrix-free gridded-gradient mean (face-difference head at CG scale,
+    VERDICT r4 item 8) vs the dense sgpr.q_dv, both axes, matern12 incl."""
+    rng = np.random.default_rng(21)
+    X = jnp.asarray(rng.random((90, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.05 * rng.standard_normal(90))
+    feats = (features.CellIntegralFeature.from_lims(12, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(11, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern32"), features=feats,
+                         jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(0.9), "lengthscale": jnp.asarray(0.3)},
+                  {"variance": jnp.asarray(1.1), "lengthscale": jnp.asarray(0.25)}),
+         "noise": jnp.asarray(0.04)}
+    grids = (features.CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    w = iterative.solve_w(spec, p, X, y, tol=1e-13, maxiter=6000)
+    for axis in (0, 1):
+        want = np.asarray(sgpr.q_dv(spec, p, X, y, grids, axis=axis,
+                                    full_cov=False).mean)
+        got = np.asarray(iterative.q_dv_mean_from_w(spec, p, grids, axis, w))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_posterior_grad_mean_cg_matches_dense_pipeline():
+    X, y = _data()
+    feat = features.CellIntegralFeature.from_lims(40, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern32",), features=(feat,), jitter=1e-12)
+    p = {"axes": (dict(P),), "noise": jnp.asarray(0.01)}
+    xs = jnp.asarray(np.linspace(0.05, 0.95, 27))
+    w = iterative.solve_w(spec, p, X, y, tol=1e-13, maxiter=6000)
+    want = np.asarray(sgpr.posterior_grad(spec, p, X, y, xs, axis=0,
+                                          full_cov=False).mean)
+    got = np.asarray(iterative.posterior_grad_mean_from_w(spec, p, xs, 0, w))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+    # matern12 has no pointwise gradient — must raise, matching the dense head
+    spec12 = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,))
+    with pytest.raises(ValueError):
+        iterative.posterior_grad_mean_from_w(spec12, p, xs, 0, w)
+
+
+def test_pathwise_rejects_coregion_with_pointer_to_mean_heads():
+    X, y = _mo_data(n=12)
+    spec = _mo_spec(m=8)
+    p = spec.init_params(jnp.float64)
+    grids = (features.CellIntegralFeature.from_lims(4, 0.0, 1.0),
+             features.OutputFeature(n_outputs=2))
+    import jax
+    with pytest.raises(ValueError, match="MEAN heads"):
+        iterative.pathwise_q_v_samples(spec, p, X, y, grids,
+                                       jax.random.PRNGKey(0), n_samples=2)
+
+
+def test_iterative_rejects_structureless_specs():
+    """Sum/additive/free-Z specs have no per-axis (kinds, features) tuples;
+    the error must name the problem, not AttributeError (r4 advisor)."""
+    from vggp_tpu.models import sum as sum_mod
+
+    comp = sgpr.SGPRSpec(
+        kinds=("matern12",),
+        features=(features.CellIntegralFeature.from_lims(8, 0.0, 1.0),))
+    spec = sum_mod.SumSGPRSpec(components=(comp, comp))
+    p = spec.init_params(jnp.float64)
+    with pytest.raises(ValueError, match="dense heads"):
+        iterative.solve_w(spec, p, jnp.zeros((4, 1)), jnp.zeros(4))
 
 
 def test_pathwise_qv_moments_match_dense_1d():
@@ -360,3 +498,53 @@ def test_kms_precond_f32_substiff_falls_back_finite():
     # the gated path runs PCG (Jacobi selected) vs cg_solve's symmetric
     # scaling — same math, different f32 iteration path
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
+
+
+def test_antithetic_pathwise_mean_is_exact():
+    """Antithetic pairs mirror the affine Matheron update around Kvu·w, so
+    the sample mean equals the CG mean for ANY S (here S=4) — where the
+    plain estimator at S=4 would carry O(sqrt(var)/2) MC error."""
+    import jax
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(np.sort(rng.uniform(size=60)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x)) + 0.1 * rng.standard_normal(60))
+    feat = features.CellIntegralFeature.from_lims(24, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.2)},),
+         "noise": jnp.asarray(0.05)}
+    grids = (features.CellIntegralFeature.from_lims(8, 0.0, 1.0),)
+    want = np.asarray(iterative.q_v_mean_cg(spec, p, x, y, grids, tol=1e-12,
+                                            maxiter=4000))
+    got = iterative.q_v_pathwise(spec, p, x, y, grids, jax.random.PRNGKey(3),
+                                 n_samples=4, n_features=256, antithetic=True,
+                                 tol=1e-12, maxiter=4000, kuu_maxiter=4000)
+    np.testing.assert_allclose(np.asarray(got.mean), want, rtol=1e-7, atol=1e-9)
+    with pytest.raises(ValueError, match="even"):
+        iterative.pathwise_q_v_samples(spec, p, x, y, grids,
+                                       jax.random.PRNGKey(0), n_samples=3,
+                                       antithetic=True)
+
+
+def test_control_variate_cuts_pathwise_var_error():
+    """The exact-diag(Kvv) prior control variate must reduce the aggregate
+    variance error vs the dense oracle at moderate S (fixed seed)."""
+    import jax
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(np.sort(rng.uniform(0.3, 0.7, size=50)))  # data-sparse edges
+    y = jnp.asarray(np.sin(6 * np.asarray(x)) + 0.1 * rng.standard_normal(50))
+    feat = features.CellIntegralFeature.from_lims(24, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.15)},),
+         "noise": jnp.asarray(0.05)}
+    grids = (features.CellIntegralFeature.from_lims(10, 0.0, 1.0),)
+    want = np.asarray(sgpr.q_v(spec, p, x, y, grids, full_cov=False).var)
+    kw = dict(n_samples=64, n_features=4096, tol=1e-11, maxiter=4000,
+              kuu_maxiter=4000, antithetic=True)
+    raw = iterative.q_v_pathwise(spec, p, x, y, grids, jax.random.PRNGKey(5),
+                                 control_variate=False, **kw)
+    cv = iterative.q_v_pathwise(spec, p, x, y, grids, jax.random.PRNGKey(5),
+                                control_variate=True, **kw)
+    err_raw = float(np.mean(np.abs(np.asarray(raw.var) - want) / want))
+    err_cv = float(np.mean(np.abs(np.asarray(cv.var) - want) / want))
+    assert err_cv < err_raw, (err_cv, err_raw)
+    assert np.all(np.asarray(cv.var) > 0)

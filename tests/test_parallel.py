@@ -280,3 +280,69 @@ def test_sharded_qv_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
                                rtol=1e-10, atol=1e-12)
     assert np.all(np.asarray(got.var) > 0)
+
+
+def test_sharded_solve_w_matches_unsharded():
+    """Data-sharded matrix-free CG (parallel.cg) == unsharded solve_w: the
+    Kuf contractions psum per-shard partial sums over the data axis while
+    the w-tensor stays replicated (VERDICT r4 item 2)."""
+    from vggp_tpu.models import iterative, sgpr
+    from vggp_tpu.parallel import make_sharded_qv_mean_cg, make_sharded_solve_w
+
+    rng = np.random.default_rng(3)
+    n = 96
+    X = jnp.asarray(rng.random((n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.05 * rng.standard_normal(n))
+    feats = (CellIntegralFeature.from_lims(16, 0.0, 1.0),
+             CellIntegralFeature.from_lims(12, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats,
+                         jitter=1e-12)
+    p = spec.init_params(jnp.float64)
+
+    w0 = np.asarray(iterative.solve_w(spec, p, X, y, tol=1e-12, maxiter=4000))
+    mesh = make_mesh(("data",), (8,))
+    fn = make_sharded_solve_w(spec, mesh, tol=1e-12, maxiter=4000)
+    xb, yb = shard_batch(X, y, mesh)
+    w1 = fn(p, xb, yb)
+    assert w1.sharding.is_fully_replicated
+    # psum reduction order differs from the unsharded einsum; the ULP-level
+    # per-contraction drift is amplified by cond(G) through the CG iterates
+    np.testing.assert_allclose(np.asarray(w1), w0, rtol=1e-6, atol=1e-8)
+
+    grids = (CellIntegralFeature.from_lims(6, 0.0, 1.0),
+             CellIntegralFeature.from_lims(5, 0.0, 1.0))
+    want_qv = np.asarray(iterative.q_v_mean_from_w(spec, p, grids,
+                                                   jnp.asarray(w0)))
+    got_qv = np.asarray(make_sharded_qv_mean_cg(spec, mesh, grids, tol=1e-12,
+                                                maxiter=4000)(p, xb, yb))
+    np.testing.assert_allclose(got_qv, want_qv, rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_pathwise_qv_matches_unsharded():
+    """Data-sharded pathwise q(v) sampler == unsharded moments for the SAME
+    key (draw-for-draw determinism must survive GSPMD partitioning)."""
+    from vggp_tpu.models import iterative, sgpr
+    from vggp_tpu.parallel import make_sharded_pathwise_qv
+
+    rng = np.random.default_rng(4)
+    n = 64
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x)) + 0.1 * rng.standard_normal(n))
+    feat = CellIntegralFeature.from_lims(20, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.25)},),
+         "noise": jnp.asarray(0.05)}
+    grids = (CellIntegralFeature.from_lims(8, 0.0, 1.0),)
+    key = jax.random.PRNGKey(7)
+    want = iterative.q_v_pathwise(spec, p, x, y, grids, key, n_samples=16,
+                                  n_features=512, tol=1e-10)
+    mesh = make_mesh(("data",), (8,))
+    fn = make_sharded_pathwise_qv(spec, mesh, grids, n_samples=16,
+                                  n_features=512, tol=1e-10)
+    xb, yb = shard_batch(x, y, mesh)
+    got = fn(p, xb, yb, key)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
+                               rtol=1e-6, atol=1e-9)

@@ -19,7 +19,8 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
-from vggp_tpu.utils.smoke_cases import cg_case, family_values  # noqa: E402
+from vggp_tpu.utils.smoke_cases import (cg_case, family_values,  # noqa: E402
+                                        hyperpost_case)
 
 
 if __name__ == "__main__":
@@ -33,3 +34,10 @@ if __name__ == "__main__":
         for k, v in vals.items():
             print(f"    \"{k}\": {float(v)!r},")
         print("}")
+    # hyperpost row: f32 goldens feed bench._GOLD_HP_F32 (order: laplace
+    # mean/var, hmc mean/var); f64 printed for the docstring reference
+    for dtype, name in ((jnp.float32, "_GOLD_HP_F32 (+ accept rate)"),
+                        (jnp.float64, "hp f64 reference")):
+        hp_compute, hp_args = hyperpost_case(dtype)
+        hp = jax.jit(hp_compute)(*hp_args)
+        print(name + ":", {k: float(v) for k, v in hp.items()})

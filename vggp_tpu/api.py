@@ -136,7 +136,8 @@ class GP:
         self._jitted: Dict = {}
         self._mod = _module_for(spec)
         self._w = None        # cached CG solve (solve_iterative)
-        self._laplace = None  # cached hyperparameter Laplace state
+        self._laplace = None  # cached (min_eig_rel, LaplaceState)
+        self._hmc = None      # cached (settings key, HMCResult)
 
     # ------------------------------------------------------------------ #
     # Factories (one per reference model family)
@@ -289,6 +290,7 @@ class GP:
                                                  lmbda=lmbda, kappa=kappa)
         self._w = None
         self._laplace = None
+        self._hmc = None
         return self
 
     def fit(self, X, y, n_iters: int = 1000, learning_rate: float = 0.1,
@@ -314,6 +316,7 @@ class GP:
         self._jitted.clear()  # params changed shape-compatibly; keep caches keyed small
         self._w = None
         self._laplace = None
+        self._hmc = None
         return self
 
     def elbo(self) -> float:
@@ -441,6 +444,34 @@ class GP:
             lambda p, w: iterative.q_v_mean_from_w(s, p, axes, w)))
         return fn(self.params, self._w)
 
+    def q_dv_mean_iterative(self, grid_axes=None, axis: int = 0) -> jnp.ndarray:
+        """Gridded-GRADIENT product mean ∫_cell ∂f/∂x_axis via the cached CG
+        solve (== ``q_dv(...).mean``): the face-difference head at scales
+        where the dense pipeline cannot factor (m, m). Valid for every kind
+        incl. matern12."""
+        if getattr(self, "_w", None) is None:
+            self.solve_iterative()
+        from vggp_tpu.models import iterative
+
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("cg_qdv_mean", tuple(map(_feature_key, axes)), axis),
+                       lambda s: jax.jit(
+            lambda p, w: iterative.q_dv_mean_from_w(s, p, axes, axis, w)))
+        return fn(self.params, self._w)
+
+    def predict_grad_mean_iterative(self, xstar, axis: int = 0) -> jnp.ndarray:
+        """Pointwise-gradient posterior mean ∂f/∂x_axis via the cached CG
+        solve (== ``posterior_grad(...).mean``); needs a once-differentiable
+        kernel on ``axis``."""
+        if getattr(self, "_w", None) is None:
+            self.solve_iterative()
+        from vggp_tpu.models import iterative
+
+        fn = self._get(("cg_grad_mean", axis), lambda s: jax.jit(
+            lambda p, xs, w: iterative.posterior_grad_mean_from_w(
+                s, p, xs, axis, w)))
+        return fn(self.params, jnp.asarray(xstar), self._w)
+
     def q_v_pathwise_iterative(self, grid_axes=None, n_samples: int = 64,
                                n_features: int = 1024, seed: int = 0,
                                **cg_kwargs) -> Gaussian:
@@ -468,45 +499,90 @@ class GP:
         """Laplace approximation N(θ̂, H⁻¹) to the hyperparameter posterior
         at the current (fitted) params (``vggp_tpu.hyperpost.laplace``), over
         the same collapsed bound / MLL ``fit`` minimized. Cached until the
-        params change; returned for direct use with ``hyperpost.*``."""
+        params change OR ``min_eig_rel`` differs from the cached build's
+        (ADVICE r4: a stale state built with another floor must not be
+        returned silently); returned for direct use with ``hyperpost.*``."""
         self._need_data()
         from vggp_tpu import hyperpost
 
-        if getattr(self, "_laplace", None) is None:
+        cached = getattr(self, "_laplace", None)
+        if cached is None or cached[0] != min_eig_rel:
             spec, X, y = self.spec, self._X, self._y
-            self._laplace = hyperpost.laplace(
+            self._laplace = (min_eig_rel, hyperpost.laplace(
                 lambda p: self._mod.loss(spec, p, X, y), self.params,
-                min_eig_rel=min_eig_rel)
-        return self._laplace
+                min_eig_rel=min_eig_rel))
+        return self._laplace[1]
 
-    def predict_marginalized(self, xstar, n_samples: int = 64, seed: int = 0) -> Gaussian:
+    def hmc(self, n_samples: int = 256, n_chains: int = 4,
+            n_warmup: int = 128, seed: int = 0, **hmc_kwargs):
+        """Full-MCMC hyperparameter draws (``hyperpost.hmc_sample_params``) —
+        the exact check on :meth:`laplace`'s Gaussian (which preconditions
+        the sampler). Returns an ``HMCResult``; cached until the params
+        change or the sampler settings differ. Beyond-reference."""
+        self._need_data()
+        from vggp_tpu import hyperpost
+
+        key = (n_samples, n_chains, n_warmup, seed,
+               tuple(sorted(hmc_kwargs.items())))
+        cached = getattr(self, "_hmc", None)
+        if cached is None or cached[0] != key:
+            state = self.laplace()
+            spec, X, y = self.spec, self._X, self._y
+            self._hmc = (key, hyperpost.hmc_sample_params(
+                lambda p: self._mod.loss(spec, p, X, y), state,
+                jax.random.PRNGKey(seed), n_samples=n_samples,
+                n_chains=n_chains, n_warmup=n_warmup, **hmc_kwargs))
+        return self._hmc[1]
+
+    def _marginal_draws(self, method: str, n_samples: int, seed: int):
+        """Hyperparameter draws for the marginalized heads: n_samples fresh
+        Gaussian draws from the Laplace state, or an even thinning of the
+        (cached) HMC chain."""
+        from vggp_tpu import hyperpost
+
+        if method == "laplace":
+            return hyperpost.sample_params(self.laplace(),
+                                           jax.random.PRNGKey(seed), n_samples)
+        if method == "hmc":
+            res = self.hmc(n_samples=max(n_samples, 256), seed=seed)
+            total = jax.tree_util.tree_leaves(res.draws)[0].shape[0]
+            idx = jnp.linspace(0, total - 1, min(n_samples, total)).astype(jnp.int32)
+            return jax.tree_util.tree_map(lambda a: a[idx], res.draws)
+        raise ValueError(f"method must be 'laplace' or 'hmc', got {method!r}")
+
+    def predict_marginalized(self, xstar, n_samples: int = 64, seed: int = 0,
+                             method: str = "laplace") -> Gaussian:
         """q(f*) with hyperparameter uncertainty: vmap the posterior head
-        over Laplace draws and moment-match (law of total variance). Honest
-        intervals on the small per-window datasets of nb61 — beyond-reference
+        over hyperparameter draws and moment-match (law of total variance).
+        ``method="laplace"`` (default) draws from the Gaussian Laplace
+        state; ``method="hmc"`` thins the full-MCMC chain (:meth:`hmc`) —
+        exact where the posterior is skewed. Honest intervals on the small
+        per-window datasets of nb61 — beyond-reference
         (``hyperpost.predict_marginalized``)."""
         self._need_data()
         from vggp_tpu import hyperpost
 
-        state = self.laplace()
+        draws = self._marginal_draws(method, n_samples, seed)
         spec, X, y = self.spec, self._X, self._y
         xs = jnp.asarray(xstar)
-        return hyperpost.predict_marginalized(
+        return hyperpost.predict_marginalized_draws(
             lambda p: self._mod.posterior(spec, p, X, y, xs, full_cov=False),
-            state, jax.random.PRNGKey(seed), n_samples=n_samples)
+            draws)
 
     def q_v_marginalized(self, grid_axes=None, n_samples: int = 64,
-                         seed: int = 0) -> Gaussian:
-        """Gridded product q(v) marginalized over the Laplace hyperparameter
-        posterior (moment-matched mixture of per-draw q_v marginals)."""
+                         seed: int = 0, method: str = "laplace") -> Gaussian:
+        """Gridded product q(v) marginalized over the hyperparameter
+        posterior (moment-matched mixture of per-draw q_v marginals);
+        ``method`` as in :meth:`predict_marginalized`."""
         self._need_data()
         from vggp_tpu import hyperpost
 
-        state = self.laplace()
+        draws = self._marginal_draws(method, n_samples, seed)
         axes = self._grid_axes(grid_axes)
         spec, X, y = self.spec, self._X, self._y
-        return hyperpost.predict_marginalized(
+        return hyperpost.predict_marginalized_draws(
             lambda p: self._mod.q_v(spec, p, X, y, axes, full_cov=False),
-            state, jax.random.PRNGKey(seed), n_samples=n_samples)
+            draws)
 
     # ------------------------------------------------------------------ #
     # Persistence
@@ -523,6 +599,7 @@ class GP:
         self._jitted.clear()
         self._w = None
         self._laplace = None
+        self._hmc = None
         return self
 
     # ------------------------------------------------------------------ #

@@ -152,9 +152,20 @@ def window_bounds(
     if hour_frame is None:
         return (np.datetime64(start_date),
                 np.datetime64(end_date) + np.timedelta64(1, "D"))
-    start = np.datetime64(f"{start_date}T{int(hour_frame[0]):02d}")
-    end = np.datetime64(f"{end_date}T{int(hour_frame[1]):02d}") + np.timedelta64(1, "h")
-    return start, end
+    def _t(date: str, hour: str, last: bool):
+        # accepts both "HH" (label-slice inclusive of the whole hour) and
+        # the nb61 configs' full "HH:MM:SS" (inclusive of that second) —
+        # found by the stub-backed end-to-end run: the shipped EXP_1_*
+        # frames use "23:59:59" and crashed the plain-int parse
+        if ":" in hour:
+            h, m, s = (int(p) for p in hour.split(":"))
+            t = np.datetime64(f"{date}T{h:02d}:{m:02d}:{s:02d}")
+            return t + np.timedelta64(1, "s") if last else t
+        t = np.datetime64(f"{date}T{int(hour):02d}")
+        return t + np.timedelta64(1, "h") if last else t
+
+    return (_t(start_date, hour_frame[0], False),
+            _t(end_date, hour_frame[1], True))
 
 
 def time_window_mask(times: np.ndarray, start, end) -> np.ndarray:

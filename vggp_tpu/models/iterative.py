@@ -55,11 +55,49 @@ Params = dict
 _L = "abcdefgh"
 
 
-def _check_spec(spec) -> None:
-    if "coregion" in spec.kinds:
+def _check_spec(spec, pathwise: bool = False) -> None:
+    """Validate the spec carries per-axis structure the matrix-free path
+    needs. Sum-of-kernels / additive / free-Z specs have no aligned
+    (kinds, features) tuples — reject them with a pointer to the dense
+    heads instead of the AttributeError they would otherwise hit.
+
+    The coregion (multi-output) axis IS eligible for the mean heads: its
+    Gram is the tiny dense (P, P) coregionalization matrix B, whose dense
+    per-axis matvec O(P²·m/P) is the structured form at P ≪ m. The
+    pathwise sampler still requires spectral (continuous stationary) axes.
+    """
+    kinds = getattr(spec, "kinds", None)
+    feats = getattr(spec, "features", None)
+    if (not isinstance(kinds, tuple) or not isinstance(feats, tuple)
+            or len(kinds) != len(feats) or not kinds):
         raise ValueError(
-            "the iterative path supports continuous axes only (the discrete "
-            "coregion Gram has no structured matvec); use the dense heads")
+            "the iterative (matrix-free CG) path needs a plain per-axis "
+            "spec (aligned kinds/features tuples, e.g. SGPRSpec/SVGPSpec); "
+            f"got {type(spec).__name__} — use the dense heads for "
+            "sum-of-kernels, additive, and free-Z models")
+    if pathwise and "coregion" in kinds:
+        raise ValueError(
+            "the pathwise iterative sampler supports continuous spectral "
+            "axes only (no coregion prior paths yet); the CG MEAN heads "
+            "(solve_w / posterior_mean_from_w / q_v_mean_from_w) do "
+            "support multi-output specs")
+
+
+def _noise_weights(spec, params: Params, X: jnp.ndarray):
+    """(c, r) for the generalized normal equations with noise D = diag(dᵢ):
+
+        G = c·Kuu + Kuf R Kufᵀ,   G w = Kuf R y,   R = diag(c / dᵢ).
+
+    Homoscedastic noise (scalar d, via ``common.obs_noise``) gives c = σ²,
+    R = I — byte-identical to the classic σ²Kuu + KufKufᵀ system. A
+    per-output noise VECTOR (spec.per_output_noise) yields genuine weights;
+    any positive c gives the same solution w (the system just scales), and
+    c = mean(dᵢ) keeps the Jacobi diagonal well-balanced."""
+    dvec = common.obs_noise(spec, params, X)
+    if dvec.ndim == 0:
+        return dvec, None
+    c = jnp.mean(dvec)
+    return c, c / dvec
 
 
 def _axis_shape(spec) -> Tuple[int, ...]:
@@ -193,21 +231,26 @@ def _kms_woodbury_precond(spec, params: Params, blocks):
     return minv
 
 
-def _g_solver(spec, params: Params, blocks, tol, maxiter):
-    """Preconditioned-CG solver for G = σ²Kuu + Kuf Kufᵀ; returns a function
+def _g_solver(spec, params: Params, blocks, tol, maxiter,
+              noise_c=None, weights=None):
+    """Preconditioned-CG solver for G = c·Kuu + Kuf R Kufᵀ (see
+    :func:`_noise_weights`; homoscedastic R = I, c = σ²); returns a function
     rhs_flat (m,) → G⁻¹ rhs (m,), shared by the mean solve and the sampler.
 
     Preconditioner choice (static): the KMS-Woodbury M⁻¹ when every axis is
     a uniform matern12 cell feature (near-exact — a handful of iterations
     at ANY ℓ/δ), Jacobi diagonal scaling otherwise.
     """
-    p_noise = params["noise"]
+    p_noise = params["noise"] if noise_c is None else noise_c
     shape = _axis_shape(spec)
 
     def matvec(v):
         W = v.reshape(shape)
         kv = _kuu_matvec_tensor(spec, params, W)
-        fv = _kuf_v(blocks, _kufT_w(blocks, W))
+        fw = _kufT_w(blocks, W)
+        if weights is not None:
+            fw = fw * weights
+        fv = _kuf_v(blocks, fw)
         return (p_noise * kv + fv).reshape(-1)
 
     # Jacobi scaling on the EXACT diagonal D = σ²·diag(Kuu) + rowsum(Kuf²).
@@ -217,12 +260,14 @@ def _g_solver(spec, params: Params, blocks, tol, maxiter):
     # diag(Kuu) = ⊗ diag(Kuu_i); rowsum(Kuf²) = ⊗-contraction of per-axis
     # squared blocks (the Khatri–Rao rows square elementwise).
     d_sub = ",".join(f"{_L[i]}n" for i in range(spec.ndim))
-    rowsum = jnp.einsum(
-        f"{d_sub}->{_L[:spec.ndim]}", *[bk * bk for bk in blocks]).reshape(-1)
+    sq = [bk * bk for bk in blocks]
+    if weights is not None:
+        sq[0] = sq[0] * weights[None, :]
+    rowsum = jnp.einsum(f"{d_sub}->{_L[:spec.ndim]}", *sq).reshape(-1)
     d = p_noise * _kuu_diag_flat(spec, params) + rowsum
     d = jnp.maximum(d, jnp.finfo(blocks[0].dtype).tiny)
 
-    if _kms_precond_eligible(spec, blocks[0].shape[1]):
+    if weights is None and _kms_precond_eligible(spec, blocks[0].shape[1]):
         # KMS-Woodbury where the dtype can represent the stiffness; Jacobi
         # where it cannot. The gate is a RUNTIME scalar (u = δ/ℓ with a
         # traced ℓ) so both preconditioner applies run each iteration and a
@@ -282,34 +327,46 @@ def solve_w(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     row-major index convention. ``tol=None`` → the dtype-aware ``cg_solve``
     default (a fixed 1e-8 is unreachable in f32 and would silently burn all
     ``maxiter`` iterations).
+
+    Conditions on the RESIDUAL y − m(x) when a mean function is learned
+    (the repo-wide convention: training subtracts, prediction adds back),
+    and routes noise through ``common.obs_noise`` so per-output noise
+    vectors solve the properly weighted system (:func:`_noise_weights`).
     """
     _check_spec(spec)
-    y = jnp.reshape(y, (-1,))
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     blocks = _kuf_blocks(spec, params, X)
-    b = _kuf_v(blocks, y).reshape(-1)
-    return _g_solver(spec, params, blocks, tol, maxiter)(b)
+    noise_c, weights = _noise_weights(spec, params, X)
+    yw = y if weights is None else y * weights
+    b = _kuf_v(blocks, yw).reshape(-1)
+    return _g_solver(spec, params, blocks, tol, maxiter,
+                     noise_c=noise_c, weights=weights)(b)
 
 
 @common.highest_precision
 def posterior_mean_from_w(spec, params: Params, xstar: jnp.ndarray,
                           w: jnp.ndarray) -> jnp.ndarray:
-    """E_q[f(x*)] = Kuf(x*)ᵀ w for a precomputed ``solve_w`` result."""
+    """E_q[f(x*)] = m(x*) + Kuf(x*)ᵀ w for a precomputed ``solve_w``
+    result (w is the zero-mean GP's weight; the learned mean adds back)."""
     blocks = _kuf_blocks(spec, params, xstar)
-    return _kufT_w(blocks, w.reshape(_axis_shape(spec)))
+    return (_kufT_w(blocks, w.reshape(_axis_shape(spec)))
+            + common.mean_fn(spec, params, xstar))
 
 
 @common.highest_precision
 def q_v_mean_from_w(spec, params: Params,
                     grid_axes: Sequence[CellIntegralFeature],
                     w: jnp.ndarray) -> jnp.ndarray:
-    """E_q[v] = Kvu w for a precomputed ``solve_w`` result (flat, kron
-    row-major over the grid cells)."""
+    """E_q[v] = ∫m + Kvu w for a precomputed ``solve_w`` result (flat, kron
+    row-major over the grid cells; the learned mean adds its exact cell
+    integrals back via ``common.grid_mean``)."""
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)  # per-axis (g_i, m_i)
     d = spec.ndim
     W = w.reshape(_axis_shape(spec))
     G = _L[d:2 * d].upper()
     sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
-    return jnp.einsum(f"{_L[:d]},{sub}->{G}", W, *kvu_blocks).reshape(-1)
+    out = jnp.einsum(f"{_L[:d]},{sub}->{G}", W, *kvu_blocks).reshape(-1)
+    return out + common.grid_mean(spec, params, grid_axes)
 
 
 # --------------------------------------------------------------------------- #
@@ -343,6 +400,7 @@ def pathwise_q_v_samples(
     n_samples: int = 64, n_features: int = 1024,
     tol: float | None = None, maxiter: int = 1000,
     kuu_tol: float | None = None, kuu_maxiter: int = 2000,
+    antithetic: bool = False, return_prior: bool = False,
 ) -> jnp.ndarray:
     """(S, ∏g_i) joint posterior draws of the gridded product, matrix-free.
 
@@ -350,14 +408,26 @@ def pathwise_q_v_samples(
     approximation besides CG tolerance); ``kuu_maxiter`` bounds the Kuu
     solve, whose conditioning grows with (ℓ/δ)² — raise it for very smooth
     fits on fine grids.
+
+    ``antithetic=True`` draws S/2 (prior-path, ε) pairs and emits both
+    signs: the Matheron update is affine in (path, ε), so each pair is
+    exactly mirrored around the true mean Kvu·w — the SAMPLE MEAN of the
+    draws is exact for any S, and each pair costs ONE Kuu solve + two
+    G solves (vs two + two independent), so it is also cheaper per draw.
+    ``return_prior=True`` additionally returns the matching (S, ∏g_i)
+    prior-path grid functionals, whose exact second moment diag(Kvv) is
+    closed form — the control variate :func:`q_v_pathwise` uses.
     """
-    _check_spec(spec)
+    _check_spec(spec, pathwise=True)
     from vggp_tpu import sampling
 
-    y = jnp.reshape(y, (-1,))
+    # residual-space draws: the prior paths sample the zero-mean g, so
+    # condition on y − m(x) and add the exact cell integrals of m back at
+    # the end (coregion is rejected above, so noise is scalar here)
+    y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     blocks = _kuf_blocks(spec, params, X)
     shape = _axis_shape(spec)
-    noise = params["noise"]
+    noise = common.obs_noise(spec, params, X)
     g_solve = _g_solver(spec, params, blocks, tol, maxiter)
 
     kdiag = jnp.maximum(_kuu_diag_flat(spec, params),
@@ -419,7 +489,8 @@ def pathwise_q_v_samples(
     sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
     kvu_blocks = common.grid_kvu(spec, params, grid_axes)
 
-    def one(k):
+    def draw(k):
+        """(prior u path solved + projected, prior grid functional, ε)."""
         k1, k2 = jax.random.split(k)
         om, ph, amp = sampling.prior_paths(k1, spec, params, n_features)
         u_p = sampling.prior_inducing_sample(om, ph, amp, spec, params)
@@ -427,32 +498,134 @@ def pathwise_q_v_samples(
         t = kuu_solve(u_p.reshape(-1)).reshape(shape)
         f_proj = _kufT_w(blocks, t)       # DTC-projected prior path at data
         eps = jnp.sqrt(noise) * jax.random.normal(k2, y.shape, y.dtype)
+        return v_p.reshape(-1), f_proj, eps
+
+    def update(v_p, f_proj, eps):
         alpha = g_solve(
             _kuf_v(blocks, y - f_proj - eps).reshape(-1)).reshape(shape)
         corr = jnp.einsum(f"{_L[:d]},{sub}->{G}", alpha, *kvu_blocks)
-        return (v_p + corr).reshape(-1)
+        return v_p + corr.reshape(-1)
 
-    keys = jax.random.split(key, n_samples)
-    return jax.vmap(one)(keys)
+    if antithetic:
+        if n_samples % 2:
+            raise ValueError(f"antithetic needs an even n_samples, got {n_samples}")
+
+        def one(k):
+            v_p, f_proj, eps = draw(k)
+            return (jnp.stack([update(v_p, f_proj, eps),
+                               update(-v_p, -f_proj, -eps)]),
+                    jnp.stack([v_p, -v_p]))
+
+        keys = jax.random.split(key, n_samples // 2)
+        samples, priors = jax.vmap(one)(keys)          # (S/2, 2, g)
+        samples = samples.reshape(n_samples, -1)
+        priors = priors.reshape(n_samples, -1)
+    else:
+        def one(k):
+            v_p, f_proj, eps = draw(k)
+            return update(v_p, f_proj, eps), v_p
+
+        keys = jax.random.split(key, n_samples)
+        samples, priors = jax.vmap(one)(keys)
+
+    samples = samples + common.grid_mean(spec, params, grid_axes)
+    return (samples, priors) if return_prior else samples
 
 
 def q_v_pathwise(
     spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
     grid_axes: Sequence[CellIntegralFeature], key,
-    n_samples: int = 64, n_features: int = 1024, **cg_kwargs,
+    n_samples: int = 64, n_features: int = 1024,
+    antithetic: bool = False, control_variate: bool = False, **cg_kwargs,
 ):
     """Gaussian(mean, var) moment summary of :func:`pathwise_q_v_samples` —
     the matrix-free analogue of ``sgpr.q_v(..., full_cov=False)`` for grids
     whose (m, m) factorization is impossible. Var is the unbiased
-    sample variance: MC-accurate to ~√(2/S) relative."""
+    sample variance: MC-accurate to ~√(2/S) relative.
+
+    Variance reduction (VERDICT r4 item 3):
+
+    - ``antithetic``: mirrored (prior, ε) pairs → the MEAN is exact for any
+      S (and each pair shares one Kuu solve).
+    - ``control_variate``: the prior-path grid functionals v_p have EXACT
+      known per-cell second moment diag(Kvv) (closed-form per-axis cell
+      Grams), so ``var̂(v_s) − β·(var̂(v_p) − diag Kvv)`` removes the shared
+      prior-path MC noise. β is estimated PER CELL from the same draws (the
+      standard regression coefficient Cov(s², p²)/Var(p²), bias O(1/S)):
+      prior-dominated cells far from any track have v_s ≈ v_p + small
+      correction → β → 1 and most of the noise cancels; data-dense cells
+      have v_s nearly independent of v_p → β → 0 and the CV backs off (a
+      fixed β = 1 measurably ADDS error there — the correction cancels the
+      prior path, so its noise is not shared).
+    """
     from vggp_tpu.models.common import Gaussian
 
-    samples = pathwise_q_v_samples(spec, params, X, y, grid_axes, key,
-                                   n_samples=n_samples,
-                                   n_features=n_features, **cg_kwargs)
+    samples, priors = pathwise_q_v_samples(
+        spec, params, X, y, grid_axes, key, n_samples=n_samples,
+        n_features=n_features, antithetic=antithetic, return_prior=True,
+        **cg_kwargs)
     mean = jnp.mean(samples, axis=0)
     var = jnp.var(samples, axis=0, ddof=1)
+    if control_variate:
+        kvv_diag = None
+        for i, g in enumerate(grid_axes):
+            di = g.kuu_diag(spec.kinds[i], common.axis_params(params, i))
+            kvv_diag = di if kvv_diag is None else (
+                kvv_diag[:, None] * di[None, :]).reshape(-1)
+        var_p = jnp.var(priors, axis=0, ddof=1)
+        s2 = (samples - mean[None, :]) ** 2
+        p2 = (priors - jnp.mean(priors, axis=0)[None, :]) ** 2
+        ds2 = s2 - jnp.mean(s2, axis=0)[None, :]
+        dp2 = p2 - jnp.mean(p2, axis=0)[None, :]
+        beta = (jnp.sum(ds2 * dp2, axis=0)
+                / jnp.maximum(jnp.sum(dp2 * dp2, axis=0),
+                              jnp.finfo(var.dtype).tiny))
+        beta = jnp.clip(beta, 0.0, 1.0)
+        var = var - beta * (var_p - kvv_diag)
+        # unbiased for any fixed β but can cross zero; posterior var is
+        # bounded by the prior var, so floor at a tiny fraction of it
+        var = jnp.maximum(var, 1e-6 * kvv_diag)
     return Gaussian(mean=mean, var=var)
+
+
+@common.highest_precision
+def q_dv_mean_from_w(spec, params: Params,
+                     grid_axes: Sequence[CellIntegralFeature], axis: int,
+                     w: jnp.ndarray) -> jnp.ndarray:
+    """E_q[∫_cell ∂f/∂x_axis] = Kv'u w — the gridded-GRADIENT product's mean
+    at CG scale (flat, kron row-major over cells).
+
+    The axis factor is a FACE DIFFERENCE of Kuf at the cell edges
+    (fundamental theorem of calculus; ``common.grad_grid_kvu``) — valid for
+    every kind including matern12, exactly like the dense ``sgpr.q_dv``
+    (the matrix-free analogue of ``gridded_kronecker_structure.py:421-438``
+    for the gradient observable). Constant means have zero derivative, so
+    nothing adds back. Divide by the cell measure for velocity fields."""
+    _check_spec(spec)
+    kvu_blocks = common.grad_grid_kvu(spec, params, grid_axes, axis)
+    d = spec.ndim
+    W = w.reshape(_axis_shape(spec))
+    G = _L[d:2 * d].upper()
+    sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
+    return jnp.einsum(f"{_L[:d]},{sub}->{G}", W, *kvu_blocks).reshape(-1)
+
+
+@common.highest_precision
+def posterior_grad_mean_from_w(spec, params: Params, xstar: jnp.ndarray,
+                               axis: int, w: jnp.ndarray) -> jnp.ndarray:
+    """E_q[∂f/∂x_axis (x*)] = (∂Kuf)ᵀ w — pointwise-gradient posterior mean
+    at CG scale; requires a once-differentiable kernel on ``axis``
+    (``kernels.DIFFERENTIABLE_KINDS`` — not matern12; the face-difference
+    head above covers every kind)."""
+    _check_spec(spec)
+    orders = common.normalize_deriv_orders(spec, axis)
+    X2 = xstar if xstar.ndim == 2 else jnp.reshape(xstar, (-1, 1))
+    blocks = tuple(
+        (spec.features[i].dKuf_dx if orders[i] else spec.features[i].Kuf)(
+            spec.kinds[i], common.axis_params(params, i), X2[:, i])
+        for i in range(spec.ndim)
+    )
+    return _kufT_w(blocks, w.reshape(_axis_shape(spec)))
 
 
 def posterior_mean_cg(spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,

@@ -106,6 +106,64 @@ def cg_case(dtype):
     return compute, (p, x, y)
 
 
+def hyperpost_case(dtype):
+    """Marginalized-head case (Laplace + short HMC) for the on-device smoke.
+
+    The f32 TPU Hessian of a converged collapsed bound is exactly where
+    hyperpost numerics bite (measured indefinite with eig −9.8; the
+    saddle-free |H| floor exists for it — hyperpost.laplace docstring), so
+    the marginalized heads get device-side coverage. NOTE: eigh eigenvector
+    SIGNS are backend-dependent, so the Laplace/HMC draws differ draw-by-
+    draw across backends even at equal dtype — the observables below are
+    S-averaged mixture moments, stable only to MC error. bench.smoke()
+    therefore asserts them within a LOOSE statistical tolerance (15%),
+    which still catches the real failure modes (NaN chains, exploded
+    1/floor variances, sign-flipped curvature).
+
+    Returns (compute, args); compute(p, x, y, key) → dict of scalars.
+    """
+    import jax
+
+    from vggp_tpu import hyperpost
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(np.sort(rng.uniform(size=64)), dtype)
+    y = jnp.asarray(np.sin(5 * np.asarray(x))
+                    + 0.05 * rng.standard_normal(64), dtype)
+    feat = CellIntegralFeature.from_lims(10, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,))
+    p = {"axes": ({"variance": jnp.asarray(0.9, dtype),
+                   "lengthscale": jnp.asarray(0.3, dtype)},),
+         "noise": jnp.asarray(0.04, dtype)}
+    grid = (feat,)
+
+    def compute(p, x, y, key):
+        def loss_fn(q):
+            return sgpr.loss(spec, q, x, y)
+
+        st = hyperpost.laplace(loss_fn, p)
+        k1, k2 = jax.random.split(key)
+        marg = hyperpost.predict_marginalized(
+            lambda q: sgpr.q_v(spec, q, x, y, grid, full_cov=False),
+            st, k1, n_samples=64)
+        res = hyperpost.hmc_sample_params(loss_fn, st, k2, n_samples=64,
+                                          n_chains=2, n_warmup=32)
+        hmc_marg = hyperpost.predict_marginalized_draws(
+            lambda q: sgpr.q_v(spec, q, x, y, grid, full_cov=False),
+            res.draws)
+        return {
+            "laplace_marg_qv_mean_sum": jnp.sum(marg.mean),
+            "laplace_marg_qv_var_sum": jnp.sum(marg.var),
+            "hmc_accept_rate": res.accept_rate,
+            "hmc_marg_qv_mean_sum": jnp.sum(hmc_marg.mean),
+            "hmc_marg_qv_var_sum": jnp.sum(hmc_marg.var),
+        }
+
+    import jax
+
+    return compute, (p, x, y, jax.random.PRNGKey(17))
+
+
 def family_values(dtype):
     """Scalar observables per family — what the goldens pin.
 

@@ -30,10 +30,115 @@ def timed(fn, *args):
     return out, time.perf_counter() - t0
 
 
+def var_accuracy_study(rng, X2, y2, grid2, p2):
+    """Variance ACCURACY at a dense-feasible 64² grid (VERDICT r4 #3).
+
+    Dense ``sgpr.q_v`` var is the oracle; the S-vs-error curve A/Bs the raw
+    estimator against antithetic+control-variate (VR) under TWO data
+    configurations: ``uniform`` (4096 points everywhere — every cell data-
+    dense, the adversarial case for the prior control variate) and
+    ``tracks`` (8 diagonal tracks — the actual altimetry product setting,
+    most cells data-free, where the exact-diag(Kvv) CV removes the shared
+    prior-path noise). On-device f32.
+
+    Reading the numbers: an antithetic pair has mirrored deviations, so S
+    draws carry S/2 independent squared deviations — at EQUAL S the VR
+    variance is ~√2 noisier in data-dense cells, but each pair shares one
+    Kuu solve (~1.8× faster per draw: the 512² rows), the MEAN is exact,
+    and in data-sparse cells the CV recovers far more than √2.
+    """
+    out = {}
+    feats4 = (CellIntegralFeature.from_lims(64, 0.0, 1.0),
+              CellIntegralFeature.from_lims(64, 0.0, 1.0))
+    spec4 = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats4)
+
+    # track-like obs: 8 diagonal passes, 512 samples each
+    tt = np.linspace(0.0, 1.0, 512)
+    xs_tr, ys_tr = [], []
+    for i in range(8):
+        off = (i + 0.5) / 8.0
+        xs_tr.append(np.stack([tt, (tt + off) % 1.0], 1))
+    X_tr = jnp.asarray(np.concatenate(xs_tr), jnp.float32)
+    y_tr = jnp.asarray(np.sin(5 * np.asarray(X_tr[:, 0]))
+                       * np.cos(4 * np.asarray(X_tr[:, 1]))
+                       + 0.05 * rng.standard_normal(X_tr.shape[0]), jnp.float32)
+
+    for name, Xc, yc in (("uniform", X2, y2), ("tracks", X_tr, y_tr)):
+        dense_g = jax.block_until_ready(jax.jit(
+            lambda p: sgpr.q_v(spec4, p, Xc, yc, grid2, full_cov=False))(p2))
+        dvar = np.asarray(dense_g.var, np.float64)
+        dmean = np.asarray(dense_g.mean, np.float64)
+        curve = {}
+        for S in (8, 16, 32, 64, 128):
+            row = {}
+            for mode, anti in (("raw", False), ("vr", True)):
+                fS = jax.jit(lambda p, k, S=S, anti=anti: iterative.q_v_pathwise(
+                    spec4, p, Xc, yc, grid2, k, n_samples=S, n_features=2048,
+                    maxiter=600, kuu_maxiter=1200, antithetic=anti,
+                    control_variate=anti))
+                g = jax.block_until_ready(fS(p2, jax.random.PRNGKey(11)))
+                var_err = np.abs(np.asarray(g.var, np.float64) - dvar) / dvar
+                mean_err = np.abs(np.asarray(g.mean, np.float64) - dmean)
+                row[mode] = {
+                    "var_rel_err_mean": float(np.mean(var_err)),
+                    "var_rel_err_max": float(np.max(var_err)),
+                    "mean_abs_err_max": float(np.max(mean_err)),
+                }
+            curve[f"S{S}"] = row
+            print(f"64² {name} S={S}: var rel err raw "
+                  f"{row['raw']['var_rel_err_mean']:.4f} -> vr "
+                  f"{row['vr']['var_rel_err_mean']:.4f}")
+        # bias-floor check: the raw S-curve flattens above the sqrt(2/S) MC
+        # theory — if S=128 error drops with 4x the RFF features, the floor
+        # is prior-path fidelity (n_features), not the estimator
+        fB = jax.jit(lambda p, k: iterative.q_v_pathwise(
+            spec4, p, Xc, yc, grid2, k, n_samples=128, n_features=8192,
+            maxiter=600, kuu_maxiter=1200))
+        gB = jax.block_until_ready(fB(p2, jax.random.PRNGKey(11)))
+        bias_err = float(np.mean(
+            np.abs(np.asarray(gB.var, np.float64) - dvar) / dvar))
+        print(f"64² {name} S=128 nF=8192 raw: var rel err {bias_err:.4f}")
+        out[f"pathwise_var_accuracy_64x64_{name}"] = {
+            "m": 64 * 64, "oracle": "dense sgpr.q_v var (on-device f32)",
+            "n_features": 2048, "n_obs": int(Xc.shape[0]),
+            "var_rel_err_vs_dense": curve["S64"]["vr"]["var_rel_err_mean"],
+            "s_curve": curve,
+            "s128_nf8192_raw_var_rel_err_mean": bias_err,
+        }
+        assert curve["S64"]["vr"]["var_rel_err_mean"] < 0.5
+    return out
+
+
 def main():
+    import sys
+
     print("backend:", jax.default_backend())
     results = {}
     rng = np.random.default_rng(0)
+
+    if "--only-var" in sys.argv:
+        # rerun just the variance-accuracy section, merging into cg.json
+        n2 = 4096
+        X2 = jnp.asarray(rng.random((n2, 2)), jnp.float32)
+        y2 = jnp.asarray(np.sin(5 * np.asarray(X2[:, 0]))
+                         * np.cos(4 * np.asarray(X2[:, 1]))
+                         + 0.05 * rng.standard_normal(n2), jnp.float32)
+        p2 = {"axes": ({"variance": jnp.asarray(1.0, jnp.float32),
+                        "lengthscale": jnp.asarray(0.15, jnp.float32)},
+                       {"variance": jnp.asarray(1.0, jnp.float32),
+                        "lengthscale": jnp.asarray(0.15, jnp.float32)}),
+              "noise": jnp.asarray(0.05, jnp.float32)}
+        grid2 = (CellIntegralFeature.from_lims(16, 0.0, 1.0),
+                 CellIntegralFeature.from_lims(16, 0.0, 1.0))
+        merged = {}
+        if os.path.exists("results/scaling/cg.json"):
+            merged = json.load(open("results/scaling/cg.json"))
+        merged.update(var_accuracy_study(rng, X2, y2, grid2, p2))
+        os.makedirs("results/scaling", exist_ok=True)
+        with open("results/scaling/cg.json", "w") as fh:
+            json.dump(merged, fh, indent=2)
+        print(json.dumps(merged))
+        return
 
     # --- 1D, m = 2^18 cells -------------------------------------------------
     n = 2048
@@ -125,42 +230,7 @@ def main():
     print(f"pathwise 512² S=32 VR: {dt3v:.2f}s, "
           f"corr {results['pathwise_2d_512x512_s32_vr']['mean_corr_vs_truth']:.5f}")
 
-    # --- variance ACCURACY at a dense-feasible 64² grid (VERDICT r4 #3) -----
-    # dense sgpr.q_v var is the oracle; the S-vs-error curve A/Bs the raw
-    # estimator against antithetic+control-variate (VR). On-device f32.
-    feats4 = (CellIntegralFeature.from_lims(64, 0.0, 1.0),
-              CellIntegralFeature.from_lims(64, 0.0, 1.0))
-    spec4 = sgpr.SGPRSpec(kinds=("matern12", "matern12"), features=feats4)
-    dense_g = jax.block_until_ready(jax.jit(
-        lambda p: sgpr.q_v(spec4, p, X2, y2, grid2, full_cov=False))(p2))
-    dvar = np.asarray(dense_g.var, np.float64)
-    dmean = np.asarray(dense_g.mean, np.float64)
-    curve = {}
-    for S in (8, 16, 32, 64, 128):
-        row = {}
-        for mode, anti in (("raw", False), ("vr", True)):
-            fS = jax.jit(lambda p, k, S=S, anti=anti: iterative.q_v_pathwise(
-                spec4, p, X2, y2, grid2, k, n_samples=S, n_features=2048,
-                maxiter=600, kuu_maxiter=1200, antithetic=anti,
-                control_variate=anti))
-            g = jax.block_until_ready(fS(p2, jax.random.PRNGKey(11)))
-            var_err = np.abs(np.asarray(g.var, np.float64) - dvar) / dvar
-            mean_err = np.abs(np.asarray(g.mean, np.float64) - dmean)
-            row[mode] = {
-                "var_rel_err_mean": float(np.mean(var_err)),
-                "var_rel_err_max": float(np.max(var_err)),
-                "mean_abs_err_max": float(np.max(mean_err)),
-            }
-        curve[f"S{S}"] = row
-        print(f"64² S={S}: var rel err raw {row['raw']['var_rel_err_mean']:.4f}"
-              f" -> vr {row['vr']['var_rel_err_mean']:.4f}")
-    results["pathwise_var_accuracy_64x64"] = {
-        "m": 64 * 64, "oracle": "dense sgpr.q_v var (on-device f32)",
-        "n_features": 2048,
-        "var_rel_err_vs_dense": curve["S64"]["vr"]["var_rel_err_mean"],
-        "s_curve": curve,
-    }
-    assert curve["S64"]["vr"]["var_rel_err_mean"] < 0.5
+    results.update(var_accuracy_study(rng, X2, y2, grid2, p2))
 
     os.makedirs("results/scaling", exist_ok=True)
     with open("results/scaling/cg.json", "w") as fh:

@@ -77,7 +77,20 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _pallas_step_cost
 
-    print("backend:", jax.default_backend())
+    from vggp_tpu import config
+
+    # Under vmap every lax.cond lowers to a select that EXECUTES BOTH
+    # branches — the banded whiten apply's dense fallback then runs every
+    # replica step alongside the banded path (and safe_cholesky's guards
+    # likewise), so K-replica timings with the default config measure a
+    # DIFFERENT program than K single steps. --no-banded A/Bs that.
+    suffix = ""
+    if "--no-banded" in sys.argv:
+        config.BANDED_WHITEN_APPLY = False
+        suffix = "_nobanded"
+
+    print("backend:", jax.default_backend(), "banded:",
+          config.BANDED_WHITEN_APPLY)
     spec, xb, yb = build()
     opt = optax.adam(1e-2)
     rec = {"m_axis": M_AXIS, "batch": BATCH, "n_timed": N_TIMED}
@@ -139,7 +152,7 @@ def main():
         print(f"K={K}:", json.dumps(rec["replicas"][f"K{K}"]))
 
     os.makedirs("results/bench", exist_ok=True)
-    with open("results/bench/r5_roofline.json", "w") as fh:
+    with open(f"results/bench/r5_roofline{suffix}.json", "w") as fh:
         json.dump(rec, fh, indent=2)
     print(json.dumps(rec))
 

@@ -306,15 +306,31 @@ def test_posterior_grad_mean_cg_matches_dense_pipeline():
         iterative.posterior_grad_mean_from_w(spec12, p, xs, 0, w)
 
 
-def test_pathwise_rejects_coregion_with_pointer_to_mean_heads():
-    X, y = _mo_data(n=12)
-    spec = _mo_spec(m=8)
-    p = spec.init_params(jnp.float64)
-    grids = (features.CellIntegralFeature.from_lims(4, 0.0, 1.0),
-             features.OutputFeature(n_outputs=2))
+def test_pathwise_qv_coregion_moments_match_dense():
+    """Multi-output pathwise q(v): the chol(B)-mixed bundles + heteroscedastic
+    Matheron update must reproduce the dense sgpr.q_v moments (MC tol) —
+    the matrix-free uncertainty channel for multi-mission products."""
     import jax
-    with pytest.raises(ValueError, match="MEAN heads"):
-        iterative.pathwise_q_v_samples(spec, p, X, y, grids,
+    X, y = _mo_data(n=80, seed=6)
+    spec = _mo_spec(m=16, per_output_noise=True)
+    p = spec.init_params(jnp.float64)
+    p["noise"] = jnp.asarray([0.03, 0.08], jnp.float64)
+    grids = (features.CellIntegralFeature.from_lims(6, 0.0, 1.0),
+             features.OutputFeature(n_outputs=2))
+    want = sgpr.q_v(spec, p, X, y, grids, full_cov=False)
+    got = iterative.q_v_pathwise(spec, p, X, y, grids, jax.random.PRNGKey(2),
+                                 n_samples=768, n_features=4096, tol=1e-10,
+                                 maxiter=4000, kuu_maxiter=4000)
+    w_var = np.asarray(want.var)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               atol=5.0 * float(np.max(np.sqrt(w_var / 768))))
+    np.testing.assert_allclose(np.asarray(got.var), w_var, rtol=0.25,
+                               atol=1e-6 * float(np.max(w_var)))
+    # wrong grid axis for the output slot raises loudly
+    bad = (features.CellIntegralFeature.from_lims(6, 0.0, 1.0),
+           features.CellIntegralFeature.from_lims(2, 0.0, 1.0))
+    with pytest.raises(ValueError, match="OutputFeature"):
+        iterative.pathwise_q_v_samples(spec, p, X, y, bad,
                                        jax.random.PRNGKey(0), n_samples=2)
 
 
@@ -548,3 +564,53 @@ def test_control_variate_cuts_pathwise_var_error():
     err_cv = float(np.mean(np.abs(np.asarray(cv.var) - want) / want))
     assert err_cv < err_raw, (err_cv, err_raw)
     assert np.all(np.asarray(cv.var) > 0)
+
+
+def test_pathwise_qdv_moments_match_dense():
+    """Matrix-free gridded-gradient UNCERTAINTY: face-difference Matheron
+    draws must reproduce the dense sgpr.q_dv moments (MC tol) — for
+    matern12 too (the face difference never differentiates pointwise)."""
+    import jax
+    rng = np.random.default_rng(15)
+    X = jnp.asarray(rng.random((70, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(X[:, 0])) * np.asarray(X[:, 1])
+                    + 0.05 * rng.standard_normal(70))
+    feats = (features.CellIntegralFeature.from_lims(10, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(9, 0.0, 1.0))
+    spec = sgpr.SGPRSpec(kinds=("matern12", "matern32"), features=feats,
+                         jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(0.9), "lengthscale": jnp.asarray(0.3)},
+                  {"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.25)}),
+         "noise": jnp.asarray(0.04)}
+    grids = (features.CellIntegralFeature.from_lims(5, 0.0, 1.0),
+             features.CellIntegralFeature.from_lims(4, 0.0, 1.0))
+    for axis in (0, 1):
+        want = sgpr.q_dv(spec, p, X, y, grids, axis=axis, full_cov=False)
+        got = iterative.q_dv_pathwise(spec, p, X, y, grids, axis,
+                                      jax.random.PRNGKey(4), n_samples=768,
+                                      n_features=4096, tol=1e-10,
+                                      maxiter=4000, kuu_maxiter=4000)
+        w_var = np.asarray(want.var)
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(want.mean),
+            atol=5.0 * float(np.max(np.sqrt(w_var / 768))))
+        np.testing.assert_allclose(np.asarray(got.var), w_var, rtol=0.25,
+                                   atol=1e-6 * float(np.max(w_var)))
+
+
+def test_pathwise_qdv_antithetic_mean_matches_cg():
+    """Antithetic face-difference draws: sample mean == Kv'u w exactly."""
+    import jax
+    X, y = _data(n=60, seed=2)
+    feat = features.CellIntegralFeature.from_lims(20, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": (dict(P),), "noise": jnp.asarray(0.03)}
+    grids = (features.CellIntegralFeature.from_lims(7, 0.0, 1.0),)
+    w = iterative.solve_w(spec, p, X, y, tol=1e-12, maxiter=4000)
+    want = np.asarray(iterative.q_dv_mean_from_w(spec, p, grids, 0, w))
+    got = iterative.q_dv_pathwise(spec, p, X, y, grids, 0,
+                                  jax.random.PRNGKey(6), n_samples=4,
+                                  n_features=256, antithetic=True,
+                                  tol=1e-12, maxiter=4000, kuu_maxiter=4000)
+    np.testing.assert_allclose(np.asarray(got.mean), want, rtol=1e-6,
+                               atol=1e-8)

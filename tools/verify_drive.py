@@ -577,6 +577,70 @@ assert np.all(np.isfinite(np.asarray(marg_g.mean)))
 print(f"facade: free_z ok; iterative q_v gap {it_gap:.2e}; marginalized ok")
 assert it_gap < 5e-3
 
+# round-5: multi-output (coregion) matrix-free heads on-device — CG q_v
+# mean + chol(B)-mixed pathwise uncertainty vs the dense pipeline, with
+# per-output noise through the weighted G system
+from vggp_tpu.features import OutputFeature
+from vggp_tpu.models import iterative as _iter
+
+rng_mo = np.random.default_rng(31)
+x_mo = np.sort(rng_mo.uniform(0.0, 1.0, 160))
+task_mo = rng_mo.integers(0, 2, 160)
+f_mo = np.sin(5.0 * x_mo)
+y_np = np.where(task_mo == 0, f_mo, 0.6 * f_mo + 0.3) \
+    + 0.05 * rng_mo.standard_normal(160)
+X_mo = jnp.asarray(np.stack([x_mo, task_mo.astype(np.float64)], 1), jnp.float32)
+y_mo = jnp.asarray(y_np, jnp.float32)
+spec_mo = sgpr.SGPRSpec(
+    kinds=("matern12", "coregion"),
+    features=(CellIntegralFeature.from_lims(20, 0.0, 1.0),
+              OutputFeature(n_outputs=2)),
+    per_output_noise=True)
+p_mo = spec_mo.init_params(jnp.float32)
+p_mo["noise"] = jnp.asarray([0.03, 0.08], jnp.float32)
+grids_mo = (CellIntegralFeature.from_lims(6, 0.0, 1.0),
+            OutputFeature(n_outputs=2))
+qv_mo_dense = jax.jit(lambda p: sgpr.q_v(
+    spec_mo, p, X_mo, y_mo, grids_mo, full_cov=False))(p_mo)
+qv_mo_cg = jax.jit(lambda p: _iter.q_v_mean_cg(
+    spec_mo, p, X_mo, y_mo, grids_mo, maxiter=2000))(p_mo)
+mo_gap = float(np.abs(np.asarray(qv_mo_cg)
+                      - np.asarray(qv_mo_dense.mean)).max())
+qv_mo_pw = jax.jit(lambda p, k: _iter.q_v_pathwise(
+    spec_mo, p, X_mo, y_mo, grids_mo, k, n_samples=128, n_features=1024,
+    antithetic=True))(p_mo, jax.random.PRNGKey(9))
+mo_pw_gap = float(np.abs(np.asarray(qv_mo_pw.mean)
+                         - np.asarray(qv_mo_dense.mean)).max())
+mo_vr = np.asarray(qv_mo_pw.var) / np.asarray(qv_mo_dense.var)
+print(f"coregion CG: mean gap {mo_gap:.2e}; pathwise mean gap "
+      f"{mo_pw_gap:.2e}, var ratio [{mo_vr.min():.2f}, {mo_vr.max():.2f}]")
+assert mo_gap < 5e-3, "coregion CG mean off dense"
+assert mo_pw_gap < 5e-3, "coregion pathwise mean off dense (antithetic=exact)"
+assert 0.5 < mo_vr.min() and mo_vr.max() < 2.0, "coregion pathwise var off"
+
+# round-5: gridded-GRADIENT product uncertainty at CG scale (the velocity
+# product's σ channel): face-difference Matheron draws vs the dense q_dv
+spec_g = sgpr.SGPRSpec(
+    kinds=("matern12", "matern12"),
+    features=(CellIntegralFeature.from_lims(24, 0.0, 1.0),
+              CellIntegralFeature.from_lims(24, 0.0, 1.0)))
+p_g = spec_g.init_params(jnp.float32)
+grids_g = (CellIntegralFeature.from_lims(8, 0.0, 1.0),
+           CellIntegralFeature.from_lims(8, 0.0, 1.0))
+qdv_dense = jax.jit(lambda p: sgpr.q_dv(
+    spec_g, p, X2, y2, grids_g, axis=0, full_cov=False))(p_g)
+qdv_pw = jax.jit(lambda p, k: _iter.q_dv_pathwise(
+    spec_g, p, X2, y2, grids_g, 0, k, n_samples=128, n_features=1024,
+    antithetic=True))(p_g, jax.random.PRNGKey(11))
+gdv_gap = float(np.abs(np.asarray(qdv_pw.mean)
+                       - np.asarray(qdv_dense.mean)).max())
+gdv_scale = float(np.abs(np.asarray(qdv_dense.mean)).max())
+gdv_vr = np.asarray(qdv_pw.var) / np.asarray(qdv_dense.var)
+print(f"q_dv pathwise-CG: mean gap {gdv_gap:.2e} (scale {gdv_scale:.2e}), "
+      f"var ratio [{gdv_vr.min():.2f}, {gdv_vr.max():.2f}]")
+assert gdv_gap < 2e-2 * max(gdv_scale, 1e-6), "q_dv pathwise mean off dense"
+assert 0.5 < gdv_vr.min() and gdv_vr.max() < 2.0, "q_dv pathwise var off"
+
 print("DRIVE OK")
 
 

@@ -491,6 +491,25 @@ class GP:
                 n_features=n_features, **cg_kwargs)))
         return fn(self.params, self._X, self._y, jax.random.PRNGKey(seed))
 
+    def q_dv_pathwise_iterative(self, grid_axes=None, axis: int = 0,
+                                n_samples: int = 64, n_features: int = 1024,
+                                seed: int = 0, **cg_kwargs) -> Gaussian:
+        """Matrix-free gridded-GRADIENT product WITH per-cell uncertainty
+        (face-difference Matheron draws through CG solves) — the velocity
+        product's uncertainty channel past dense range."""
+        self._need_data()
+        from vggp_tpu.models import iterative
+
+        axes = self._grid_axes(grid_axes)
+        fn = self._get(("cg_qdv_pathwise", tuple(map(_feature_key, axes)),
+                        axis, n_samples, n_features,
+                        tuple(sorted(cg_kwargs.items()))),
+                       lambda s: jax.jit(
+            lambda p, X, y, k: iterative.q_dv_pathwise(
+                s, p, X, y, axes, axis, k, n_samples=n_samples,
+                n_features=n_features, **cg_kwargs)))
+        return fn(self.params, self._X, self._y, jax.random.PRNGKey(seed))
+
     # ------------------------------------------------------------------ #
     # Hyperparameter-posterior (Laplace) marginalized prediction
     # ------------------------------------------------------------------ #

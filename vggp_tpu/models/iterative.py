@@ -22,12 +22,20 @@ memory — e.g. a 512×512 cell grid (m = 262 144) whose dense B alone would
 be 275 GB. The reference materializes every Kuu
 (``src/models/sparse/univariate_structure.py:789-825``,
 ``kronecker_structure.py:496,513``) and cannot represent these sizes at
-all. Uncertainty still requires a factorization — use the dense path (or
-subsampled grids) for variances; means are what the nb7-style monthly
-products plot — and :func:`pathwise_q_v_samples` / :func:`q_v_pathwise`
-now supply the per-cell UNCERTAINTY matrix-free too, via Matheron posterior
-function draws whose per-sample cost is two CG solves (exact moments up to
-MC error; derivation at the sampler).
+all. Per-cell UNCERTAINTY is matrix-free too: :func:`pathwise_q_v_samples`
+/ :func:`q_v_pathwise` (and the gridded-GRADIENT analogues
+:func:`pathwise_q_dv_samples` / :func:`q_dv_pathwise`) draw Matheron
+posterior functionals at two CG solves per sample — exact moments up to MC
+error, with antithetic pairing (exact means) and an exact-diag(Kvv)
+control variate as measured variance-reduction options.
+
+Every head routes the repo-wide conventions: training conditions on the
+residual y − m(x) (``common.mean_fn``) with the mean / its exact cell
+integrals added back, noise goes through ``common.obs_noise`` (per-output
+vectors solve the weighted system G = c·Kuu + Kuf R Kufᵀ), and coregion
+(multi-output) axes work everywhere — the (P, P) coregionalization Gram's
+dense matvec IS its structured form at P ≪ m, and the sampler mixes
+per-output spectral bundles by chol(B).
 
 ``solve_w`` is public so a caller wanting BOTH the pointwise means and the
 gridded product pays the CG solve once:
@@ -61,11 +69,14 @@ def _check_spec(spec, pathwise: bool = False) -> None:
     (kinds, features) tuples — reject them with a pointer to the dense
     heads instead of the AttributeError they would otherwise hit.
 
-    The coregion (multi-output) axis IS eligible for the mean heads: its
-    Gram is the tiny dense (P, P) coregionalization matrix B, whose dense
-    per-axis matvec O(P²·m/P) is the structured form at P ≪ m. The
-    pathwise sampler still requires spectral (continuous stationary) axes.
+    The coregion (multi-output) axis IS eligible everywhere here: its Gram
+    is the tiny dense (P, P) coregionalization matrix B, whose dense
+    per-axis matvec O(P²·m/P) is the structured form at P ≪ m, and the
+    pathwise sampler draws chol(B)-mixed per-output spectral bundles
+    (``sampling.prior_paths_multioutput``). ``pathwise`` is kept for API
+    stability; it no longer restricts anything.
     """
+    del pathwise
     kinds = getattr(spec, "kinds", None)
     feats = getattr(spec, "features", None)
     if (not isinstance(kinds, tuple) or not isinstance(feats, tuple)
@@ -75,12 +86,6 @@ def _check_spec(spec, pathwise: bool = False) -> None:
             "spec (aligned kinds/features tuples, e.g. SGPRSpec/SVGPSpec); "
             f"got {type(spec).__name__} — use the dense heads for "
             "sum-of-kernels, additive, and free-Z models")
-    if pathwise and "coregion" in kinds:
-        raise ValueError(
-            "the pathwise iterative sampler supports continuous spectral "
-            "axes only (no coregion prior paths yet); the CG MEAN heads "
-            "(solve_w / posterior_mean_from_w / q_v_mean_from_w) do "
-            "support multi-output specs")
 
 
 def _noise_weights(spec, params: Params, X: jnp.ndarray):
@@ -418,17 +423,60 @@ def pathwise_q_v_samples(
     prior-path grid functionals, whose exact second moment diag(Kvv) is
     closed form — the control variate :func:`q_v_pathwise` uses.
     """
-    _check_spec(spec, pathwise=True)
+    _check_spec(spec)
     from vggp_tpu import sampling
 
     # residual-space draws: the prior paths sample the zero-mean g, so
     # condition on y − m(x) and add the exact cell integrals of m back at
-    # the end (coregion is rejected above, so noise is scalar here)
+    # the end. Multi-output (coregion) specs draw chol(B)-mixed per-output
+    # spectral bundles (sampling.prior_paths_multioutput); per-output noise
+    # rides the weighted system of :func:`_noise_weights` — the Matheron
+    # update with heteroscedastic D is Kvu G⁻¹ Kuf R (y − f_p − ε),
+    # ε ~ N(0, D), via the same push-through identity.
+    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
+    co = spec.kinds.index("coregion") if "coregion" in spec.kinds else None
+
+    def prior_grid_fn(om, ph, amp, LB):
+        if LB is None:
+            return sampling.prior_grid_integral_sample(om, ph, amp, grid_axes)
+        return sampling.prior_grid_integral_sample_multioutput(
+            om, ph, amp, LB, co, grid_axes)
+
+    samples, priors = _matheron_grid_samples(
+        spec, params, X, y, key, n_samples=n_samples, n_features=n_features,
+        tol=tol, maxiter=maxiter, kuu_tol=kuu_tol, kuu_maxiter=kuu_maxiter,
+        antithetic=antithetic, kvu_blocks=kvu_blocks,
+        prior_grid_fn=prior_grid_fn)
+    samples = samples + common.grid_mean(spec, params, grid_axes)
+    return (samples, priors) if return_prior else samples
+
+
+def _matheron_grid_samples(
+    spec, params: Params, X: jnp.ndarray, y: jnp.ndarray, key, *,
+    n_samples, n_features, tol, maxiter, kuu_tol, kuu_maxiter,
+    antithetic, kvu_blocks, prior_grid_fn,
+):
+    """Shared Matheron sampler over CG solves for ANY linear grid
+    functional: (samples, priors), both (S, ∏g_i), zero-mean-GP space.
+
+    ``kvu_blocks`` are the per-axis Cov(functional, u) factors;
+    ``prior_grid_fn(om, ph, amp, LB)`` evaluates the functional on a prior
+    path (LB is the chol(B) bundle mixer for coregion specs, else None).
+    The q(v) head pairs ``grid_kvu`` with the cell-integral functional; the
+    gridded-gradient head pairs ``grad_grid_kvu`` with the face-difference
+    functional — the Titsias-posterior moment identity holds verbatim for
+    every linear functional of f.
+    """
+    from vggp_tpu import sampling
+
+    co = spec.kinds.index("coregion") if "coregion" in spec.kinds else None
     y = jnp.reshape(y, (-1,)) - common.mean_fn(spec, params, X)
     blocks = _kuf_blocks(spec, params, X)
     shape = _axis_shape(spec)
     noise = common.obs_noise(spec, params, X)
-    g_solve = _g_solver(spec, params, blocks, tol, maxiter)
+    noise_c, weights = _noise_weights(spec, params, X)
+    g_solve = _g_solver(spec, params, blocks, tol, maxiter,
+                        noise_c=noise_c, weights=weights)
 
     kdiag = jnp.maximum(_kuu_diag_flat(spec, params),
                         jnp.finfo(blocks[0].dtype).tiny)
@@ -487,22 +535,30 @@ def pathwise_q_v_samples(
     d = spec.ndim
     G = _L[d:2 * d].upper()
     sub = ",".join(f"{G[i]}{_L[i]}" for i in range(d))
-    kvu_blocks = common.grid_kvu(spec, params, grid_axes)
 
     def draw(k):
         """(prior u path solved + projected, prior grid functional, ε)."""
         k1, k2 = jax.random.split(k)
-        om, ph, amp = sampling.prior_paths(k1, spec, params, n_features)
-        u_p = sampling.prior_inducing_sample(om, ph, amp, spec, params)
-        v_p = sampling.prior_grid_integral_sample(om, ph, amp, grid_axes)
+        if co is None:
+            om, ph, amp = sampling.prior_paths(k1, spec, params, n_features)
+            u_p = sampling.prior_inducing_sample(om, ph, amp, spec, params)
+            v_p = prior_grid_fn(om, ph, amp, None)
+        else:
+            om, ph, amp, LB, _ = sampling.prior_paths_multioutput(
+                k1, spec, params, n_features)
+            u_p = sampling.prior_inducing_sample_multioutput(
+                om, ph, amp, LB, co, spec, params)
+            v_p = prior_grid_fn(om, ph, amp, LB)
         t = kuu_solve(u_p.reshape(-1)).reshape(shape)
         f_proj = _kufT_w(blocks, t)       # DTC-projected prior path at data
         eps = jnp.sqrt(noise) * jax.random.normal(k2, y.shape, y.dtype)
         return v_p.reshape(-1), f_proj, eps
 
     def update(v_p, f_proj, eps):
-        alpha = g_solve(
-            _kuf_v(blocks, y - f_proj - eps).reshape(-1)).reshape(shape)
+        resid = y - f_proj - eps
+        if weights is not None:
+            resid = resid * weights
+        alpha = g_solve(_kuf_v(blocks, resid).reshape(-1)).reshape(shape)
         corr = jnp.einsum(f"{_L[:d]},{sub}->{G}", alpha, *kvu_blocks)
         return v_p + corr.reshape(-1)
 
@@ -528,8 +584,7 @@ def pathwise_q_v_samples(
         keys = jax.random.split(key, n_samples)
         samples, priors = jax.vmap(one)(keys)
 
-    samples = samples + common.grid_mean(spec, params, grid_axes)
-    return (samples, priors) if return_prior else samples
+    return samples, priors
 
 
 def q_v_pathwise(
@@ -586,6 +641,67 @@ def q_v_pathwise(
         # bounded by the prior var, so floor at a tiny fraction of it
         var = jnp.maximum(var, 1e-6 * kvv_diag)
     return Gaussian(mean=mean, var=var)
+
+
+@common.highest_precision
+def pathwise_q_dv_samples(
+    spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature], axis: int, key,
+    n_samples: int = 64, n_features: int = 1024,
+    tol: float | None = None, maxiter: int = 1000,
+    kuu_tol: float | None = None, kuu_maxiter: int = 2000,
+    antithetic: bool = False, return_prior: bool = False,
+) -> jnp.ndarray:
+    """(S, ∏g_i) joint posterior draws of the gridded-GRADIENT product
+    ∫_cell ∂f/∂x_axis, matrix-free — the uncertainty channel of the
+    velocity-style products at CG scale.
+
+    Same Matheron machinery as :func:`pathwise_q_v_samples` with the axis
+    factor swapped for FACE DIFFERENCES (fundamental theorem of calculus —
+    exact for every kind incl. matern12, like the dense ``sgpr.q_dv``):
+    Kv'u blocks from ``common.grad_grid_kvu``, the prior functional from
+    ``sampling.prior_grid_grad_sample``. Constant means have zero
+    derivative, so nothing adds back.
+    """
+    _check_spec(spec)
+    from vggp_tpu import sampling
+
+    axis = common.canonical_axis(spec, axis)
+    if spec.kinds[axis] == "coregion":
+        raise ValueError("cannot differentiate along the discrete output axis")
+    kvu_blocks = common.grad_grid_kvu(spec, params, grid_axes, axis)
+    co = spec.kinds.index("coregion") if "coregion" in spec.kinds else None
+
+    def prior_grid_fn(om, ph, amp, LB):
+        if LB is None:
+            return sampling.prior_grid_grad_sample(om, ph, amp, grid_axes,
+                                                   axis)
+        return sampling.prior_grid_grad_sample_multioutput(
+            om, ph, amp, LB, co, grid_axes, axis)
+
+    samples, priors = _matheron_grid_samples(
+        spec, params, X, y, key, n_samples=n_samples, n_features=n_features,
+        tol=tol, maxiter=maxiter, kuu_tol=kuu_tol, kuu_maxiter=kuu_maxiter,
+        antithetic=antithetic, kvu_blocks=kvu_blocks,
+        prior_grid_fn=prior_grid_fn)
+    return (samples, priors) if return_prior else samples
+
+
+def q_dv_pathwise(
+    spec, params: Params, X: jnp.ndarray, y: jnp.ndarray,
+    grid_axes: Sequence[CellIntegralFeature], axis: int, key,
+    n_samples: int = 64, n_features: int = 1024,
+    antithetic: bool = False, **cg_kwargs,
+):
+    """Gaussian(mean, var) summary of :func:`pathwise_q_dv_samples` — the
+    matrix-free analogue of ``sgpr.q_dv(..., full_cov=False)``."""
+    from vggp_tpu.models.common import Gaussian
+
+    samples = pathwise_q_dv_samples(
+        spec, params, X, y, grid_axes, axis, key, n_samples=n_samples,
+        n_features=n_features, antithetic=antithetic, **cg_kwargs)
+    return Gaussian(mean=jnp.mean(samples, axis=0),
+                    var=jnp.var(samples, axis=0, ddof=1))
 
 
 @common.highest_precision

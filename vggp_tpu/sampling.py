@@ -326,6 +326,75 @@ def prior_grid_integral_sample(omegas, phases, amp, grid_axes) -> jnp.ndarray:
     return _accumulate_factors(phases, amp, factors)
 
 
+def _face_diff_pair(mesh: jnp.ndarray, omega: jnp.ndarray):
+    """e^{iωβ} − e^{iωα} for every cell × frequency → (re, im) of (g, F).
+
+    The gridded-GRADIENT product's axis functional: by the fundamental
+    theorem of calculus ∫_cell ∂f = f(β) − f(α), so the differentiated
+    axis's factor on the spectral path is a plain face difference of
+    evaluations (exact — no quadrature). ω → 0 limit is 0."""
+    lo, hi = mesh[:-1][:, None], mesh[1:][:, None]
+    w = omega[None, :]
+    return (jnp.cos(w * hi) - jnp.cos(w * lo),
+            jnp.sin(w * hi) - jnp.sin(w * lo))
+
+
+def prior_grid_grad_sample(omegas, phases, amp, grid_axes,
+                           axis: int) -> jnp.ndarray:
+    """EXACT v'_prior = cell integrals of ∂f/∂x_axis of the prior path over
+    a product grid → (g₁, …, g_d): face differences on ``axis``, closed-form
+    cell integrals elsewhere. The gradient observable's prior functional —
+    pairs with ``models.common.grad_grid_kvu`` exactly."""
+    factors = [
+        (_face_diff_pair if k == axis else _cell_integral_pair)(
+            jnp.asarray(g.mesh, omegas.dtype), omegas[k])
+        for k, g in enumerate(grid_axes)
+    ]
+    return _accumulate_factors(phases, amp, factors)
+
+
+def prior_grid_integral_sample_multioutput(omegas, phases, amp, LB, co,
+                                           grid_axes) -> jnp.ndarray:
+    """EXACT v_prior for a coregion spec's product grid → (g₁, …, g_d) with
+    the output axis (length P) in its slot.
+
+    Cell integrals are linear, so they inherit the chol(B) bundle mixing
+    verbatim: v[(cells…, p)] = Σ_r L_B[p, r] · v_r[cells…] with v_r the
+    continuous-axes grid functional of bundle r. The grid's output axis
+    must be the model's outputs themselves (one product slice per output —
+    ``OutputFeature.Kvu`` semantics)."""
+    g_co = grid_axes[co]
+    P = LB.shape[0]
+    if getattr(g_co, "n_outputs", None) != P:
+        raise ValueError(
+            f"grid axis {co} of a coregion spec must be "
+            f"OutputFeature(n_outputs={P}), got {type(g_co).__name__}")
+    cont_axes = tuple(g for i, g in enumerate(grid_axes) if i != co)
+    v_r = jnp.stack([
+        prior_grid_integral_sample(omegas[r], phases[r], amp, cont_axes)
+        for r in range(P)
+    ])                                                 # (P, g_cont…)
+    v = jnp.einsum("pr,r...->...p", LB, v_r)           # output axis last
+    return jnp.moveaxis(v, -1, co)
+
+
+def prior_grid_grad_sample_multioutput(omegas, phases, amp, LB, co,
+                                       grid_axes, axis: int) -> jnp.ndarray:
+    """Coregion variant of :func:`prior_grid_grad_sample` — the face
+    differences on continuous ``axis`` (full-spec index) inherit the
+    chol(B) bundle mixing like every linear functional."""
+    if axis == co:
+        raise ValueError("cannot differentiate along the discrete output axis")
+    cont_axes = tuple(g for i, g in enumerate(grid_axes) if i != co)
+    cont_axis = axis - (1 if axis > co else 0)
+    v_r = jnp.stack([
+        prior_grid_grad_sample(omegas[r], phases[r], amp, cont_axes, cont_axis)
+        for r in range(LB.shape[0])
+    ])
+    v = jnp.einsum("pr,r...->...p", LB, v_r)
+    return jnp.moveaxis(v, -1, co)
+
+
 # --------------------------------------------------------------------------- #
 # Spectral RKHS functionals for projection-defined inducing features
 #

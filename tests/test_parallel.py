@@ -346,3 +346,43 @@ def test_sharded_pathwise_qv_matches_unsharded():
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_qdv_heads_match_unsharded():
+    """Data-sharded gridded-GRADIENT heads (mean + pathwise uncertainty,
+    parallel.cg) == their unsharded iterative counterparts: the velocity
+    product's sigma channel must survive GSPMD partitioning draw-for-draw
+    (same key), exactly like the q_v heads."""
+    from vggp_tpu.models import iterative, sgpr
+    from vggp_tpu.parallel import (make_sharded_pathwise_qdv,
+                                   make_sharded_qdv_mean_cg)
+
+    rng = np.random.default_rng(5)
+    n = 64
+    x = jnp.asarray(np.sort(rng.uniform(size=n)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x)) + 0.1 * rng.standard_normal(n))
+    feat = CellIntegralFeature.from_lims(20, 0.0, 1.0)
+    spec = sgpr.SGPRSpec(kinds=("matern12",), features=(feat,), jitter=1e-12)
+    p = {"axes": ({"variance": jnp.asarray(1.0), "lengthscale": jnp.asarray(0.25)},),
+         "noise": jnp.asarray(0.05)}
+    grids = (CellIntegralFeature.from_lims(8, 0.0, 1.0),)
+    mesh = make_mesh(("data",), (8,))
+    xb, yb = shard_batch(x, y, mesh)
+
+    w0 = iterative.solve_w(spec, p, x, y, tol=1e-12, maxiter=2000)
+    want_dm = np.asarray(iterative.q_dv_mean_from_w(spec, p, grids, 0, w0))
+    got_dm = make_sharded_qdv_mean_cg(spec, mesh, grids, 0, tol=1e-12,
+                                      maxiter=2000)(p, xb, yb)
+    assert got_dm.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(got_dm), want_dm,
+                               rtol=1e-6, atol=1e-9)
+
+    key = jax.random.PRNGKey(9)
+    want = iterative.q_dv_pathwise(spec, p, x, y, grids, 0, key, n_samples=16,
+                                   n_features=512, tol=1e-10)
+    got = make_sharded_pathwise_qdv(spec, mesh, grids, 0, n_samples=16,
+                                    n_features=512, tol=1e-10)(p, xb, yb, key)
+    np.testing.assert_allclose(np.asarray(got.mean), np.asarray(want.mean),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.var), np.asarray(want.var),
+                               rtol=1e-6, atol=1e-9)

@@ -17,7 +17,9 @@ from vggp_tpu.parallel.mesh import make_mesh, data_model_mesh
 from vggp_tpu.parallel.dp import (make_sharded_svgp_step, make_sharded_assimilate,
                                   make_sharded_qv, shard_params, shard_batch)
 from vggp_tpu.parallel.cg import (make_sharded_solve_w, make_sharded_qv_mean_cg,
-                                  make_sharded_pathwise_qv)
+                                  make_sharded_qdv_mean_cg,
+                                  make_sharded_pathwise_qv,
+                                  make_sharded_pathwise_qdv)
 
 __all__ = [
     "make_mesh",
@@ -27,7 +29,9 @@ __all__ = [
     "make_sharded_qv",
     "make_sharded_solve_w",
     "make_sharded_qv_mean_cg",
+    "make_sharded_qdv_mean_cg",
     "make_sharded_pathwise_qv",
+    "make_sharded_pathwise_qdv",
     "shard_params",
     "shard_batch",
 ]

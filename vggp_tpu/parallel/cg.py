@@ -100,6 +100,36 @@ def make_sharded_qv_mean_cg(
     return fn
 
 
+def make_sharded_qdv_mean_cg(
+    spec,
+    mesh: Mesh,
+    grid_axes: Sequence,
+    axis: int,
+    data_axis: str = "data",
+    tol: Optional[float] = None,
+    maxiter: int = 1000,
+):
+    """``fn(params, X, y) -> E_q[∫_cell ∂f/∂x_axis]`` (flat, replicated):
+    the sharded solve + gridded-GRADIENT product mean — the velocity-field
+    head (``iterative.q_dv_mean_from_w``, face-difference Kv'u, valid for
+    every kind incl. matern12) at multi-chip CG scale. Divide by the cell
+    measure for velocities."""
+    iterative._check_spec(spec)
+    rep = NamedSharding(mesh, P())
+    grid_axes = tuple(grid_axes)
+
+    @jax.jit
+    def fn(params, X, y):
+        xs, ys = _data_shardings(mesh, data_axis, X.ndim)
+        X = jax.lax.with_sharding_constraint(X, xs)
+        y = jax.lax.with_sharding_constraint(y, ys)
+        w = iterative.solve_w(spec, params, X, y, tol=tol, maxiter=maxiter)
+        dm = iterative.q_dv_mean_from_w(spec, params, grid_axes, axis, w)
+        return jax.lax.with_sharding_constraint(dm, rep)
+
+    return fn
+
+
 def make_sharded_pathwise_qv(
     spec,
     mesh: Mesh,
@@ -130,6 +160,40 @@ def make_sharded_pathwise_qv(
         g = iterative.q_v_pathwise(spec, params, X, y, grid_axes, key,
                                    n_samples=n_samples,
                                    n_features=n_features, **cg_kwargs)
+        return jax.tree.map(
+            lambda t: jax.lax.with_sharding_constraint(t, rep), g)
+
+    return fn
+
+
+def make_sharded_pathwise_qdv(
+    spec,
+    mesh: Mesh,
+    grid_axes: Sequence,
+    axis: int,
+    data_axis: str = "data",
+    n_samples: int = 64,
+    n_features: int = 1024,
+    **cg_kwargs,
+):
+    """``fn(params, X, y, key) -> Gaussian(mean, var)``: the matrix-free
+    gridded-GRADIENT uncertainty head (``iterative.q_dv_pathwise``),
+    data-sharded exactly like :func:`make_sharded_pathwise_qv` — the
+    face-difference spectral functional and the Matheron updates are
+    n-local with one psum per contraction; the sample axis stays
+    unsharded."""
+    iterative._check_spec(spec, pathwise=True)
+    rep = NamedSharding(mesh, P())
+    grid_axes = tuple(grid_axes)
+
+    @jax.jit
+    def fn(params, X, y, key):
+        xs, ys = _data_shardings(mesh, data_axis, X.ndim)
+        X = jax.lax.with_sharding_constraint(X, xs)
+        y = jax.lax.with_sharding_constraint(y, ys)
+        g = iterative.q_dv_pathwise(spec, params, X, y, grid_axes, axis, key,
+                                    n_samples=n_samples,
+                                    n_features=n_features, **cg_kwargs)
         return jax.tree.map(
             lambda t: jax.lax.with_sharding_constraint(t, rep), g)
 
